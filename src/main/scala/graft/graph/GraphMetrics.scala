@@ -1,0 +1,111 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph metrics over an edge DataFrame with `src`/`dst` columns — the
+  * capability surface of the reference's GraphFrames usage
+  * (`/root/reference/src/graphframes_flights.py:15-155`) without the
+  * GraphFrames dependency.
+  *
+  * Two implementations:
+  *   - pure-DataFrame (stays in Catalyst/AQE; used by the registered queries
+  *     and the scale path — every step is a hash aggregate or broadcast-able
+  *     join, and PageRank truncates lineage per iteration);
+  *   - GraphX (`/opt/spark/jars/spark-graphx_2.13-4.1.2.jar`), used as a
+  *     cross-check in tests (GraphFrames itself delegates to GraphX, so this
+  *     pins the reference semantics).
+  */
+object GraphMetrics {
+
+  /** Per-vertex incoming-edge count; parallel edges counted, vertices with no
+    * in-edges absent — exactly GraphFrames `graph.inDegrees`
+    * (ref: src/graphframes_flights.py:37-41). One hash aggregate. */
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDegree"))
+
+  /** Per-vertex outgoing-edge count (GraphFrames `outDegrees`). */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))
+
+  /** Fixed-iteration (non-converged) PageRank matching GraphX
+    * `PageRank.run(numIter, resetProb)` — which is what GraphFrames
+    * `pageRank(resetProbability, maxIter)` runs (ref:
+    * src/graphframes_flights.py:44-46): ranks start at 1.0, each iteration
+    * rank' = resetProb + (1-resetProb) · Σ incoming rank·weight, edge weight
+    * = multiplicity / outDegree(src). Dangling vertices keep resetProb.
+    *
+    * Scale design: parallel edges are collapsed to (src, dst, weight) FIRST —
+    * the per-iteration join then touches |distinct pairs| rows, not |edges|;
+    * ranks are vertex-count-sized. `localCheckpoint` per iteration truncates
+    * the 10-deep lineage (SURVEY §4.3 O3). */
+  def staticPageRank(edges: DataFrame, resetProb: Double = 0.15, numIter: Int = 10): DataFrame = {
+    val collapsed = edges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outDeg = collapsed.groupBy("src").agg(sum(col("w")).as("outdeg"))
+    val weighted = collapsed.join(outDeg, "src")
+      .select(col("src"), col("dst"), (col("w").cast("double") / col("outdeg")).as("weight"))
+      .localCheckpoint()
+    val vertices = collapsed.select(col("src").as("id"))
+      .union(collapsed.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var ranks = vertices.withColumn("pr", lit(1.0))
+    for (_ <- 1 to numIter) {
+      val contribs = weighted.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("pr") * col("weight")).as("contrib"))
+      ranks = vertices.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Per-vertex triangle count with GraphFrames semantics: direction ignored,
+    * edges deduplicated, self-loops dropped (ref:
+    * src/graphframes_flights.py:48-49). Implemented as the canonical a<b<c
+    * three-way self-join; every vertex of the undirected edge set appears
+    * (0 for triangle-free vertices).
+    *
+    * Scale design: the self-join shuffles on the join keys; at web scale
+    * you'd pre-partition `und` by `a` and rely on AQE skew splitting —
+    * semantics unchanged. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val t1 = und.as("t1"); val t2 = und.as("t2"); val t3 = und.as("t3")
+    val tri = t1.join(t2, col("t1.b") === col("t2.a"))
+      .join(t3, col("t3.a") === col("t1.a") && col("t3.b") === col("t2.b"))
+      .select(col("t1.a").as("x"), col("t1.b").as("y"), col("t2.b").as("z"))
+    val perVertex = tri.select(col("x").as("id"))
+      .union(tri.select(col("y").as("id")))
+      .union(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val vertices = und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct()
+    vertices.join(perVertex, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  // ---- GraphX cross-check implementations (integer vertex ids) ----
+
+  private def toGraphX(spark: SparkSession, edges: DataFrame): Graph[Int, Int] = {
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0)
+  }
+
+  def pageRankGraphX(spark: SparkSession, edges: DataFrame,
+      resetProb: Double = 0.15, numIter: Int = 10): DataFrame = {
+    import spark.implicits._
+    val g = toGraphX(spark, edges)
+    org.apache.spark.graphx.lib.PageRank.run(g, numIter, resetProb)
+      .vertices.map { case (id, r) => (id, r) }.toDF("id", "pr")
+  }
+
+  def triangleCountGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val g = toGraphX(spark, edges)
+    org.apache.spark.graphx.lib.TriangleCount.run(g)
+      .vertices.map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+  }
+}

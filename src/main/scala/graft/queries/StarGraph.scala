@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.graph.GraphMetrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators G1-G4 (SURVEY.md §2.9) on the star schema's nation graph:
+  * one edge per lineitem, src = ordering customer's nation, dst = supplying
+  * supplier's nation (FIXTURES.md §B) — a 25-vertex multigraph.
+  */
+object StarGraph {
+
+  /** The nation multigraph: src=c_nationkey, dst=s_nationkey per lineitem. */
+  private def edges(s: SparkSession, d: String,
+      factFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val t = Tables(s, d)
+    val fact = factFilter.fold(t.lineitem)(t.lineitem.filter)
+    fact
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+  }
+
+  private val EdgesCte =
+    """edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey)""".stripMargin
+
+  /** Sparse undirected subgraph for triangle counting (high-price edges only). */
+  private val SparseEdgesCte =
+    """edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE l.l_extendedprice > 100000)""".stripMargin
+
+  /** GraphX-semantics static PageRank, unrolled to 10 iterations of SQL for
+    * the DuckDB oracle (no recursive-CTE aggregation needed). */
+  private val PageRankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0) AS pr
+         |  FROM v LEFT JOIN (
+         |    SELECT ew.dst, sum(r${i - 1}.pr * ew.weight) AS contrib
+         |    FROM ew JOIN r${i - 1} ON ew.src = r${i - 1}.id GROUP BY ew.dst) c
+         |  ON v.id = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${EdgesCte},
+       |e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst),
+       |o AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.outdeg AS weight
+       |  FROM e JOIN o ON e.src = o.src),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT id, 1.0 AS pr FROM v),
+       |$iters
+       |SELECT id, round(pr, 6) AS pr FROM r10""".stripMargin
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // G1 — graph construction: vertices/edges by column projection (ref:
+    // src/graphframes_flights.py:27-34); materialized as the collapsed edge
+    // list with multiplicities.
+    QDef("g1_edge_construction",
+      s"""WITH ${EdgesCte}
+         |SELECT src, dst, count(*) AS cnt FROM edges GROUP BY src, dst""".stripMargin) {
+      (s, d) => edges(s, d).groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    },
+
+    // G2 — inDegrees: parallel edges counted, 0-in-degree vertices absent
+    // (ref: src/graphframes_flights.py:37-41).
+    QDef("g2_indegrees",
+      s"""WITH ${EdgesCte}
+         |SELECT dst AS id, count(*) AS inDegree FROM edges GROUP BY dst""".stripMargin) {
+      (s, d) => GraphMetrics.inDegrees(edges(s, d))
+    },
+
+    // G3 — static PageRank, resetProb=0.15, maxIter=10, GraphX/GraphFrames
+    // normalization (ref: src/graphframes_flights.py:44-46).
+    QDef("g3_pagerank", PageRankSql) { (s, d) =>
+      GraphMetrics.staticPageRank(edges(s, d), 0.15, 10)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+    },
+
+    // G4 — per-vertex triangle count over the canonicalized (undirected,
+    // deduped, no self-loop) sparse subgraph (ref: src/graphframes_flights.py:48-49).
+    QDef("g4_triangle_count",
+      s"""WITH ${SparseEdgesCte},
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |tri AS (
+         |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+         |  FROM und t1 JOIN und t2 ON t1.b = t2.a
+         |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b),
+         |verts AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+         |pv AS (SELECT id, count(*) AS triangles FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT verts.id, coalesce(pv.triangles, 0) AS triangles
+         |FROM verts LEFT JOIN pv ON verts.id = pv.id""".stripMargin) { (s, d) =>
+      GraphMetrics.triangleCounts(edges(s, d, Some(col("l_extendedprice") > 100000)))
+    }
+  )
+}
