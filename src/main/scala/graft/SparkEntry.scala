@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def all: Seq[QDef] =
-    StarCore.defs ++ StarJoins.defs ++ StarAggs.defs ++ StarGraph.defs ++ StarFlights.defs
+    StarCore.defs ++ StarJoins.defs ++ StarAggs.defs ++ StarGraph.defs ++
+      StarFlights.defs ++ StarExt.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. All banded/bucketed — NEVER an all-pairs
+  * crossJoin: candidate generation is a shuffle-join on band signatures
+  * (O(n·bands) rows), and only candidates pay the exact-verification cost.
+  * At 100 TB the band join is the only wide operation and it partitions by
+  * signature, so it scales out; skewed signatures (boilerplate docs) are
+  * handled by AQE skew splitting.
+  */
+object Dedup {
+
+  /** MinHash parameters — shared with the DuckDB oracle generator. */
+  val Prime: Long = 2147483647L
+  val HashAB: Seq[(Long, Long)] = Seq(
+    (1000003L, 12345L), (1000033L, 54321L), (1000211L, 11111L), (1000231L, 22222L),
+    (1000249L, 33333L), (1000253L, 44444L), (1000273L, 55555L), (1000289L, 66666L),
+    (1000291L, 10101L), (1000303L, 20202L), (1000313L, 30303L), (1000333L, 40404L),
+    (1000357L, 50505L), (1000367L, 60606L), (1000381L, 70707L), (1000393L, 80808L))
+  val NumBands = 4
+  val RowsPerBand = 4
+
+  /** Exact dedup: group identical texts (md5 key), keep the smallest id.
+    * One hash aggregate — at scale, pre-hash to a 128-bit key so the
+    * shuffle carries 16 bytes per row, not the document body. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** (id, shingle) exploded distinct set — the base for MinHash and exact
+    * Jaccard. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(TextOps.charShingles(col(textCol))).as("sh"))
+      .distinct()
+
+  /** 16 MinHash signatures per document, one hash-aggregate pass. */
+  def minHashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = HashAB.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("sh") + lit(b)) % Prime).as(s"m$k")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: NumBands bands of RowsPerBand signatures each, signature
+    * string per band; candidate pairs = documents sharing any band. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      sigs.select(col("id"), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }.reduce(_ union _)
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("d1"), col("r.id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the shingle sets, computed ONLY for candidate pairs. */
+  def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val s1 = sh.select(col("id").as("d1"), col("sh"))
+    val s2 = sh.select(col("id").as("d2"), col("sh"))
+    val inter = cand.join(s1, "d1").join(s2, Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify ≥ threshold. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol)
+    verifiedJaccard(lshCandidates(minHashSignatures(sh)), sh)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash per document: bit j set iff Σ_{shingles}(2·bit_j(sh)−1) > 0. */
+  def simHash(sh: DataFrame): DataFrame = {
+    val weights = (0 until 16).map { j =>
+      sum(shiftright(col("sh"), j) % 2 * 2 - 1).as(s"w$j")
+    }
+    sh.groupBy("id").agg(weights.head, weights.tail: _*)
+      .select(col("id"),
+        (0 until 16).map(j => when(col(s"w$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming. Bucketed by
+    * the high byte (near-dups differ in ≤ maxHamming bits, so pairs whose
+    * high bytes differ in more than maxHamming bits can't match — at scale,
+    * band over several byte-slices like MinHash-LSH instead of self-joining
+    * everything; here both byte-halves are used as two bands). */
+  def simHashNearDups(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val hashed = simHash(sh)
+    val bands = Seq(
+      hashed.select(col("id"), col("simhash"), lit(0).as("band"), (col("simhash") % 256).as("sig")),
+      hashed.select(col("id"), col("simhash"), lit(1).as("band"), shiftright(col("simhash"), 8).as("sig")))
+      .reduce(_ union _)
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("d1"), col("r.id").as("d2"),
+        bit_count(expr("l.simhash ^ r.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard near-dups within a partition-friendly scope column
+    * (e.g. language): pairs are generated per shared trigram — an inverted-
+    * index join, not a crossJoin — then scored exactly. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+      explode(TextOps.wordTrigrams(col(textCol))).as("g")).distinct()
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
+    val l = g.select(col("id").as("d1"), col("g"))
+    val r = g.select(col("id").as("d2"), col("g"))
+    val inter = l.join(r, Seq("g")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

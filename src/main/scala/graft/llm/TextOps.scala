@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * shingling, tokenization, language-ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a codegen-friendly Column expression (no UDFs, no
+  * driver-side loops) built from `org.apache.spark.sql.functions` +
+  * higher-order array functions, so it whole-stage-compiles and scales
+  * linearly with the scan. All hashes use exact integer arithmetic so
+  * results are reproducible across engines (the DuckDB oracles compute the
+  * same numbers).
+  */
+object TextOps {
+
+  /** Character 3-gram shingles as exact 24-bit integers:
+    * ascii(c1)·2^16 + ascii(c2)·2^8 + ascii(c3). */
+  def charShingles(text: Column): Column = {
+    val t = text
+    val body = transform(sequence(lit(1), length(t) - 2),
+      i => (ascii(t.substr(i, lit(1))) * 65536
+        + ascii(t.substr(i + 1, lit(1))) * 256
+        + ascii(t.substr(i + 2, lit(1)))).cast("bigint"))
+    when(length(t) >= 3, body).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Whitespace tokens (single-space split — mirrors the oracle's
+    * string_split; empty tokens kept for positional determinism). */
+  def spaceTokens(text: Column): Column = split(text, " ", -1)
+
+  /** Word 3-gram shingles as space-joined strings. */
+  def wordTrigrams(text: Column): Column = {
+    val toks = spaceTokens(text)
+    val body = transform(sequence(lit(1), size(toks) - 2),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
+        lit(" "), element_at(toks, i + 2)))
+    when(size(toks) >= 3, body).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact 26-bit word hash: first three chars (underscore-padded) packed +
+    * length·2^24 — identical to the oracle's arithmetic. */
+  def wordHash(tok: Column): Column = {
+    val padded = concat(tok, lit("___"))
+    (ascii(padded.substr(1, 1)) * 65536 + ascii(padded.substr(2, 1)) * 256
+      + ascii(padded.substr(3, 1))).cast("bigint") + length(tok).cast("bigint") * 16777216L
+  }
+
+  /** Position-weighted rolling document fingerprint:
+    * Σ position·wordHash(token) — order-sensitive (a permuted document gets a
+    * different fingerprint), exact int64 (no overflow below ~2^17 tokens). */
+  def fingerprint(text: Column): Column = {
+    val toks = spaceTokens(text)
+    aggregate(
+      sequence(lit(1), size(toks)),
+      lit(0L),
+      (acc, i) => acc + i.cast("bigint") * wordHash(element_at(toks, i)))
+  }
+
+  /** Occurrence count of `kw` in `text` via length arithmetic — exact. */
+  def occurrences(text: Column, kw: String): Column =
+    ((length(text) - length(replace(text, lit(kw), lit("")))) / kw.length).cast("int")
+
+  /** Marker keywords per language for the n-gram language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "es" -> Seq(" el ", " los "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " les "))
+
+  /** Per-language marker score. */
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(occurrences(text, _)).reduce(_ + _)
+
+  /** Argmax language with first-listed priority on ties; 'unknown' if no
+    * marker hit at all. */
+  def predictedLang(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(when(best === 0, "unknown")) {
+      case (acc, (l, s)) => acc.when(s === best, l)
+    }
+    chain.otherwise("unknown")
+  }
+
+  /** Non-empty token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(spaceTokens(text), t => t =!= ""))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single punctuation. */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenRegex), lit(0)))
+
+  /** Simple quality score: stopword density + length prior, rounded for
+    * cross-engine determinism. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val stopRatio = occurrences(text, " the ") / nTok
+    round(stopRatio * 0.5 + least(length(text).cast("double") / 1000, lit(1.0)) * 0.5, 6)
+  }
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (the extension surface — builder
+  * prompt + SURVEY §7.4): dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-LSH), similarity search (brute-force + IVF), text
+  * analysis, multimodal plumbing, and batch equivalents of the streaming
+  * windows. Engine logic lives in graft.llm / graft.streaming; each entry
+  * here wires it to the testdata tables and pairs it with DuckDB oracle SQL
+  * generated from the SAME constants.
+  */
+object StarExt {
+
+  // ---------- shared oracle SQL fragments ----------
+
+  private val ShCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |    CAST(ascii(substr(text, CAST(i AS INT), 1))*65536
+      |       + ascii(substr(text, CAST(i AS INT)+1, 1))*256
+      |       + ascii(substr(text, CAST(i AS INT)+2, 1)) AS BIGINT) AS sh
+      |  FROM documents, unnest(range(1, length(text)-1)) t(i))""".stripMargin
+
+  private val MhCte = {
+    val mins = Dedup.HashAB.zipWithIndex.map { case ((a, b), k) =>
+      s"min(($a * sh + $b) % ${Dedup.Prime}) AS m$k"
+    }.mkString(",\n    ")
+    s"""mh AS (
+       |  SELECT id,
+       |    $mins
+       |  FROM sh GROUP BY id)""".stripMargin
+  }
+
+  private val BandsCte = {
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val sig = (0 until Dedup.RowsPerBand)
+        .map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"bands AS (\n  $bands)"
+  }
+
+  /** Positional embedding explode: (vec_id, j, e) with j 0-based, e DOUBLE. */
+  private val EmbExpl =
+    """ee AS (
+      |  SELECT vec_id, CAST(j AS BIGINT) AS j,
+      |    CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) AS e
+      |  FROM embeddings, unnest(range(0, 64)) t(j))""".stripMargin
+
+  private val NormsCte =
+    "norms AS (SELECT vec_id, sum(e * e) AS n2 FROM ee GROUP BY vec_id)"
+
+  private def occSql(kw: String) =
+    s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS INT)"
+
+  private val WordHashSql =
+    """(CAST(ascii(substr(tok || '___', 1, 1))*65536
+      |    + ascii(substr(tok || '___', 2, 1))*256
+      |    + ascii(substr(tok || '___', 3, 1)) AS BIGINT)
+      |    + CAST(length(tok) AS BIGINT)*16777216)""".stripMargin
+
+  // ---------- query definitions ----------
+
+  val defs: Seq[QDef] = Seq(
+
+    // Exact dedup: identical texts collapse to one keeper id.
+    QDef("x_dedup_exact",
+      """SELECT md5(text) AS text_key, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, d) => Dedup.exactDedup(Tables(s, d).documents, "doc_id", "text")
+    },
+
+    // MinHash + LSH near-dup detection: shingle → 16 minhashes → 4 bands ×
+    // 4 rows → candidate pairs → exact Jaccard ≥ 0.7. Banded, not all-pairs.
+    QDef("x_dedup_minhash_lsh",
+      s"""WITH $ShCte,
+         |$MhCte,
+         |$BandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh s1 ON s1.id = c.d1
+         |  JOIN sh s2 ON s2.id = c.d2 AND s2.sh = s1.sh
+         |  GROUP BY c.d1, c.d2)
+         |SELECT d1, d2, round(i / (n1.n + n2.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes n1 ON n1.id = d1
+         |JOIN sizes n2 ON n2.id = d2
+         |WHERE i / (n1.n + n2.n - i) >= 0.7""".stripMargin) {
+      (s, d) => Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
+    },
+
+    // SimHash near-dups: 16-bit fingerprints, byte-sliced banding, Hamming ≤ 3.
+    QDef("x_dedup_simhash", {
+      val weights = (0 until 16)
+        .map(j => s"sum(((sh >> $j) & 1) * 2 - 1) AS w$j").mkString(",\n    ")
+      val value = (0 until 16)
+        .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH $ShCte,
+         |w AS (
+         |  SELECT id,
+         |    $weights
+         |  FROM sh GROUP BY id),
+         |h AS (SELECT id, CAST($value AS BIGINT) AS simhash FROM w),
+         |bands AS (
+         |  SELECT id, simhash, 0 AS band, simhash % 256 AS sig FROM h
+         |  UNION ALL
+         |  SELECT id, simhash, 1 AS band, simhash >> 8 AS sig FROM h)
+         |SELECT DISTINCT a.id AS d1, b.id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.shingleSet(Tables(s, d).documents, "doc_id", "text")
+      Dedup.simHashNearDups(sh, 3).select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+    },
+
+    // Word-trigram Jaccard near-dups via an inverted-index join (≥ 0.5).
+    QDef("x_dedup_ngram_jaccard",
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       unnest(range(1, len(toks)-1)) t(i)),
+        |sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+        |inter AS (
+        |  SELECT l.id AS d1, r.id AS d2, count(*) AS i
+        |  FROM g l JOIN g r ON l.g = r.g AND l.id < r.id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(i / (n1.n + n2.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes n1 ON n1.id = d1
+        |JOIN sizes n2 ON n2.id = d2
+        |WHERE i / (n1.n + n2.n - i) >= 0.5""".stripMargin) {
+      (s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text", 0.5)
+    },
+
+    // Embedding near-dups: sign-LSH buckets (4 hyperplanes), in-bucket cosine.
+    QDef("x_dedup_embedding", {
+      val projs = (0 until 4).map { i =>
+        s"sum(e * (CAST((${i * 64} + j) * 2654435761 % 1000 AS DOUBLE)/1000 - 0.5)) AS p$i"
+      }.mkString(",\n    ")
+      val bucket = (0 until 4)
+        .map(i => s"CASE WHEN round(p$i, 6) > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |proj AS (
+         |  SELECT vec_id,
+         |    $projs
+         |  FROM ee GROUP BY vec_id),
+         |b AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM proj),
+         |pairs AS (
+         |  SELECT l.vec_id AS d1, r.vec_id AS d2
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |dots AS (
+         |  SELECT p.d1, p.d2, sum(e1.e * e2.e) AS dot
+         |  FROM pairs p
+         |  JOIN ee e1 ON e1.vec_id = p.d1
+         |  JOIN ee e2 ON e2.vec_id = p.d2 AND e2.j = e1.j
+         |  GROUP BY p.d1, p.d2)
+         |SELECT d1, d2, round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) AS cos
+         |FROM dots
+         |JOIN norms n1 ON n1.vec_id = d1
+         |JOIN norms n2 ON n2.vec_id = d2
+         |WHERE round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) >= 0.2""".stripMargin
+    }) { (s, d) =>
+      Similarity.embeddingNearDups(Tables(s, d).embeddings, 4, 64, 0.2)
+    },
+
+    // Brute-force cosine top-5 for the first 10 query vectors.
+    QDef("x_sim_cosine_topk",
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 5)
+    },
+
+    // IVF coarse assignment: nearest of 8 deterministic centroids.
+    QDef("x_sim_ivf_assign",
+      s"""WITH $EmbExpl,
+         |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
+         |  FROM ee v JOIN cent c ON c.j = v.j
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, dist2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+         |  FROM d2)
+         |SELECT vec_id, centroid_id, dist2 FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
+    },
+
+    // Language-ID heuristic: per-language marker-occurrence scores + argmax.
+    QDef("x_text_langid", {
+      val scores = TextOps.LangMarkers.map { case (l, kws) =>
+        s"(${kws.map(occSql).mkString(" + ")}) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |  $scores
+         |  FROM documents)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN $best = 0 THEN 'unknown' $chain ELSE 'unknown' END AS predicted
+         |FROM s""".stripMargin
+    }) { (s, d) =>
+      val scoreCols = TextOps.LangMarkers.map { case (l, _) =>
+        TextOps.langScore(col("text"), l).as(s"s_$l")
+      }
+      Tables(s, d).documents
+        .select(Seq(col("doc_id"), col("lang")) ++ scoreCols
+          :+ TextOps.predictedLang(col("text")).as("predicted"): _*)
+    },
+
+    // Quality scoring: length/stopword-density features + composite score.
+    QDef("x_text_quality",
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens,
+         |  round(${occSql(" the ")} / len(list_filter(string_split(text, ' '), x -> x <> '')) * 0.5
+         |    + least(CAST(length(text) AS DOUBLE) / 1000, 1.0) * 0.5, 6) AS quality
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    QDef("x_text_tokens",
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.TokenRegex}')) AS INT) AS re_tokens
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.regexTokenCount(col("text")).as("re_tokens"))
+    },
+
+    // Position-weighted rolling-hash document fingerprint (exact int64).
+    QDef("x_text_fingerprint",
+      s"""SELECT doc_id, CAST(sum(i * $WordHashSql) AS BIGINT) AS fp
+         |FROM (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, toks[CAST(i AS INT)] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |       unnest(range(1, len(toks)+1)) t(i))
+         |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+
+    // Multimodal plumbing: binary payload + metadata + (stubbed) batch decode.
+    QDef("x_mm_features",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      val media = Multimodal.toMediaTable(Tables(s, d).documents, "doc_id", "text", "text")
+      Multimodal.decodeFeatures(media).toDF()
+    },
+
+    // Batch equivalent of the streaming tumbling-window aggregation
+    // (EventStreams.tumblingAgg — same code path; watermark is a no-op in batch).
+    QDef("x_stream_tumbling",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) => EventStreams.tumblingAgg(Tables(s, d).events)
+    },
+
+    // Batch equivalent of the sliding-window aggregation (1h / 30m).
+    QDef("x_stream_sliding",
+      """WITH w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type, value
+        |  FROM events),
+        |e AS (
+        |  SELECT b AS window_start, event_type, value FROM w
+        |  UNION ALL
+        |  SELECT b - INTERVAL '30 minutes', event_type, value FROM w)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin) {
+      (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
+    }
+  )
+}
