@@ -40,14 +40,19 @@ object GraphMetrics {
     * the per-iteration join then touches |distinct pairs| rows, not |edges|;
     * ranks are vertex-count-sized. `localCheckpoint` per iteration truncates
     * the 10-deep lineage (SURVEY §4.3 O3). */
-  def staticPageRank(edges: DataFrame, resetProb: Double = 0.15, numIter: Int = 10): DataFrame = {
+  def staticPageRank(edges: DataFrame, resetProb: Double = 0.15, numIter: Int = 10,
+      vertexDf: Option[DataFrame] = None): DataFrame = {
     val collapsed = edges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val outDeg = collapsed.groupBy("src").agg(sum(col("w")).as("outdeg"))
     val weighted = collapsed.join(outDeg, "src")
       .select(col("src"), col("dst"), (col("w").cast("double") / col("outdeg")).as("weight"))
       .localCheckpoint()
-    val vertices = collapsed.select(col("src").as("id"))
-      .union(collapsed.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // GraphFrames builds the graph from an explicit vertex DF, so isolated
+    // vertices exist and finish at rank = resetProb; default to edge endpoints.
+    val vertices = vertexDf.getOrElse(
+        collapsed.select(col("src").as("id"))
+          .union(collapsed.select(col("dst").as("id"))).distinct())
+      .select("id").localCheckpoint()
     var ranks = vertices.withColumn("pr", lit(1.0))
     for (_ <- 1 to numIter) {
       val contribs = weighted.join(ranks, col("src") === col("id"))

@@ -1,0 +1,138 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup
+    (4L, "completely different content about database query planning engines"),
+    (5L, "zzz qqq xxx vvv kkk www yyy uuu ttt rrr sss")).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts and keeps the min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text").collect()
+    assert(out.length === 4) // 5 docs, one exact pair
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L) // keeper = min(doc_id)
+  }
+
+  test("minHash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0) // identical shingle sets
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup caught
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simHash: identical docs hamming 0; near dups close; banding finds them") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val hashes = Dedup.simHash(sh).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(2L))
+    val pairs = Dedup.simHashNearDups(sh, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("ngram Jaccard scores word-trigram overlap exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // doc 3 differs in the last of 13 tokens → 10 of 11 trigrams shared,
+    // jaccard = 10 / (11 + 11 - 10) = 0.833333
+    assert(math.abs(pairs((1L, 3L)) - 0.833333) < 1e-6)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(2f, 0f, 0f, 0f)),   // parallel to 0
+    (3L, Array(1f, 1f, 0f, 0f)),
+    (4L, Array(-1f, 0f, 0f, 0f))). // anti-parallel to 0
+    toDF("vec_id", "embedding")
+
+  test("cosine: parallel 1, orthogonal 0, anti-parallel -1") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val top = Similarity.cosineTopK(q, vecs, 4).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(top(2L) === 1.0)
+    assert(top(1L) === 0.0)
+    assert(top(4L) === -1.0)
+    assert(math.abs(top(3L) - 0.707107) < 1e-6)
+  }
+
+  test("cosineTopK ranks desc with id tiebreak and respects k") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val top2 = Similarity.cosineTopK(q, vecs, 2).collect().sortBy(_.getInt(3))
+    assert(top2.map(_.getLong(1)).toSeq === Seq(2L, 3L))
+    assert(top2.map(_.getInt(3)).toSeq === Seq(1, 2))
+  }
+
+  test("ivfAssign puts each centroid in its own cluster at distance 0") {
+    val centroids = vecs.filter(col("vec_id") < 2)
+    val assign = Similarity.ivfAssign(vecs, centroids).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(assign(0L) === ((0L, 0.0)))
+    assert(assign(1L) === ((1L, 0.0)))
+    assert(assign(2L)._1 === 0L) // parallel vector joins centroid 0's cluster
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint is position-sensitive (permuted tokens differ)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(3L))
+    assert(fp(1L) !== fp(2L))
+  }
+
+  test("occurrences and token counts are exact") {
+    val df = Seq((1L, "a the b the c, d!")).toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.occurrences(col("text"), " the ").as("occ"),
+      TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.regexTokenCount(col("text")).as("re")).first()
+    assert(r.getInt(0) === 2)
+    assert(r.getInt(1) === 6)
+    assert(r.getInt(2) === 8) // a,the,b,the,c,',',d,'!'
+  }
+
+  test("language-ID picks the marker-dominant language with priority ties") {
+    val df = Seq(
+      (1L, "x the y and z the w"),
+      (2L, "a el b los c el d"),
+      (3L, "nothing matching here")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.predictedLang(col("text")).as("lang"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "unknown"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table plumbing: payload bytes + metadata + stub decode features") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Seq((7L, "hello"), (8L, "")).toDF("doc_id", "text")
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text", "text")
+    assert(media.schema("payload").dataType.typeName === "binary")
+    assert(media.select("meta.size_bytes").collect().map(_.getLong(0)).toSet === Set(5L, 0L))
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(7L).n_bytes === 5L)
+    assert(feats(7L).first_byte === 'h'.toInt)
+    assert(feats(7L).digest === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(feats(8L).first_byte === -1)
+  }
+}

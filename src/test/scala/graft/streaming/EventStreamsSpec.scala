@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  val rows = Seq(
+    EventRow(1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.5),
+    EventRow(2L, ts("2024-01-01 10:55:00"), 100L, "click", 2.5),
+    EventRow(3L, ts("2024-01-01 11:05:00"), 101L, "click", 3.0),
+    EventRow(4L, ts("2024-01-01 10:20:00"), 101L, "view", 4.0),
+    EventRow(5L, ts("2024-01-01 12:40:00"), 100L, "view", 5.0))
+
+  test("streaming tumbling agg through MemoryStream equals the batch agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val query = EventStreams.startToMemory(
+      EventStreams.tumblingAgg(stream.toDF(), "1 hour", "2 hours"), "tumbling_test")
+    stream.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("tumbling_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    query.stop()
+    val batch = EventStreams.tumblingAgg(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(streamed === batch)
+    assert(batch((ts("2024-01-01 10:00:00"), "click")) === ((2L, 4.0)))
+  }
+
+  test("sliding windows assign each event to width/slide windows") {
+    import spark.implicits._
+    val out = EventStreams.slidingAgg(rows.toDF()).collect()
+    // event 1 at 10:05 → windows [09:30,10:30) and [10:00,11:00)
+    val clickWindows = out.filter(_.getString(2) == "click").map(_.getTimestamp(0).toString).toSet
+    assert(clickWindows.contains("2024-01-01 09:30:00.0"))
+    assert(clickWindows.contains("2024-01-01 10:00:00.0"))
+  }
+
+  test("sessionize accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("update").start()
+    stream.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    val sessions = spark.table("sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // latest update for user 100: 3 events totalling 9.0
+    assert(sessions.contains((100L, 3L, 9.0)))
+    assert(sessions.contains((101L, 2L, 7.0)))
+  }
+}
