@@ -94,6 +94,7 @@ object Similarity {
       threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes, dims).as("bucket"))
+      .cache() // both sides of the bucket self-join
     val l = b.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))
     l.join(r, Seq("bucket")).filter(col("d1") < col("d2"))

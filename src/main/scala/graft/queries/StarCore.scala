@@ -111,6 +111,20 @@ object StarCore {
       df.select(cols.map(c => count(when(col(c).isNull, c)).as(c)): _*)
     },
 
+    // A1 — the same single-row null-count aggregate, registered under the
+    // aggregation row id too (SURVEY §2.5 A1 = §2.2 P1).
+    QDef("a1_null_count_agg",
+      s"""WITH ${NullsCte}
+         |SELECT
+         |  count(CASE WHEN qty_n IS NULL THEN 1 END) AS qty_n,
+         |  count(CASE WHEN price_n IS NULL THEN 1 END) AS price_n,
+         |  count(CASE WHEN flag_n IS NULL THEN 1 END) AS flag_n
+         |FROM lineitem_n""".stripMargin) { (s, d) =>
+      val df = lineitemN(Tables(s, d))
+      val cols = Seq("qty_n", "price_n", "flag_n")
+      df.select(cols.map(c => count(when(col(c).isNull, c)).as(c)): _*)
+    },
+
     // P2 — null percentage per column (ref: src/preprocessing.py:24-25).
     QDef("p2_null_pct",
       s"""WITH ${NullsCte}

@@ -25,6 +25,22 @@ object StarExt {
       |       + ascii(substr(text, CAST(i AS INT)+2, 1)) AS BIGINT) AS sh
       |  FROM documents, unnest(range(1, length(text)-1)) t(i))""".stripMargin
 
+  private def whSql(tok: String) =
+    s"""(CAST(ascii(substr($tok || '___', 1, 1))*65536
+       | + ascii(substr($tok || '___', 2, 1))*256
+       | + ascii(substr($tok || '___', 3, 1)) AS BIGINT)
+       | + CAST(length($tok) AS BIGINT)*16777216)""".stripMargin.replace("\n", "")
+
+  /** Word-trigram-hash shingle set (matches TextOps.wordTrigramHashes). */
+  private val WordShCte =
+    s"""wsh AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    ((${whSql("toks[CAST(i AS INT)]")} * 1000003
+       |      + ${whSql("toks[CAST(i AS INT)+1]")}) % 2147483647 * 1000033
+       |      + ${whSql("toks[CAST(i AS INT)+2]")}) % 2147483647 AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       unnest(range(1, len(toks)-1)) t(i))""".stripMargin
+
   private val MhCte = {
     val mins = Dedup.HashAB.zipWithIndex.map { case ((a, b), k) =>
       s"min(($a * sh + $b) % ${Dedup.Prime}) AS m$k"
@@ -32,7 +48,7 @@ object StarExt {
     s"""mh AS (
        |  SELECT id,
        |    $mins
-       |  FROM sh GROUP BY id)""".stripMargin
+       |  FROM wsh GROUP BY id)""".stripMargin
   }
 
   private val BandsCte = {
@@ -78,17 +94,17 @@ object StarExt {
     // MinHash + LSH near-dup detection: shingle → 16 minhashes → 4 bands ×
     // 4 rows → candidate pairs → exact Jaccard ≥ 0.7. Banded, not all-pairs.
     QDef("x_dedup_minhash_lsh",
-      s"""WITH $ShCte,
+      s"""WITH $WordShCte,
          |$MhCte,
          |$BandsCte,
          |cand AS (
          |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bands a
          |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
-         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
          |inter AS (
          |  SELECT c.d1, c.d2, count(*) AS i FROM cand c
-         |  JOIN sh s1 ON s1.id = c.d1
-         |  JOIN sh s2 ON s2.id = c.d2 AND s2.sh = s1.sh
+         |  JOIN wsh s1 ON s1.id = c.d1
+         |  JOIN wsh s2 ON s2.id = c.d2 AND s2.sh = s1.sh
          |  GROUP BY c.d1, c.d2)
          |SELECT d1, d2, round(i / (n1.n + n2.n - i), 6) AS jaccard
          |FROM inter

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  val base = "the quick brown fox jumps over the lazy dog while the calm cat " +
+    "sleeps near the warm stove and the old owl watches from the tall tree"
   val docs = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
-    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
-    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("tall tree", "tall oak")), // near dup (one trailing token)
     (4L, "completely different content about database query planning engines"),
     (5L, "zzz qqq xxx vvv kkk www yyy uuu ttt rrr sss")).toDF("doc_id", "text")
 
@@ -42,9 +44,9 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 2L)) === 1.0)
-    // doc 3 differs in the last of 13 tokens → 10 of 11 trigrams shared,
-    // jaccard = 10 / (11 + 11 - 10) = 0.833333
-    assert(math.abs(pairs((1L, 3L)) - 0.833333) < 1e-6)
+    // doc 3 differs in the last of 27 tokens → 24 of 25 trigrams shared,
+    // jaccard = 24 / (25 + 25 - 24) = 0.923077
+    assert(math.abs(pairs((1L, 3L)) - 0.923077) < 1e-6)
   }
 }
 
