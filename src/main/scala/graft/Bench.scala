@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up outside the timed loop: pays the one-time JVM/codegen/scan
+    // costs so the first alphabetical query isn't charged for them.
+    try {
+      val t = graft.Tables(spark, sfDir)
+      t.lineitem.groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      t.events.limit(1).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // noop sink executes the FULL physical plan (a bare count() would let
     // Catalyst prune every projection and under-measure — VERDICT r1 §9).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
