@@ -64,7 +64,7 @@ object Similarity {
 
   /** IVF search: top-k among candidates sharing the query's centroid. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val assign = ivfAssign(corpus, centroids)
+    val assign = ivfAssign(corpus, centroids).cache() // reused by query + candidate sides
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .join(assign.select(col("vec_id").as("qid"), col("centroid_id")), "qid")
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))

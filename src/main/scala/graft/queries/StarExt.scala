@@ -229,6 +229,43 @@ object StarExt {
       Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
     },
 
+    // IVF search: top-3 within the query's own cluster — the corpus is
+    // partitioned by centroid so a probe touches 1/k of the data.
+    QDef("x_sim_ivf_topk",
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
+         |  FROM ee v JOIN cent c ON c.j = v.j
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, centroid_id FROM assign WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.qid, a.vec_id AS cid FROM q
+         |  JOIN assign a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.qid),
+         |dots AS (
+         |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
+         |  FROM pairs p
+         |  JOIN ee e1 ON e1.vec_id = p.qid
+         |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, emb.filter(col("vec_id") < 8), 3)
+    },
+
     // Language-ID heuristic: per-language marker-occurrence scores + argmax.
     QDef("x_text_langid", {
       val scores = TextOps.LangMarkers.map { case (l, kws) =>

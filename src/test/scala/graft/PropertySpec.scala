@@ -1,0 +1,110 @@
+package graft
+
+import graft.flights.{Ingest, Preprocessing, Rounding}
+import graft.graph.GraphMetrics
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY §5.2(3)) — bare ScalaCheck driven from
+  * ScalaTest (the scalatest-scalacheck bridge isn't in the offline dep
+  * cache). Fixed seed count keeps runs deterministic-ish and fast on a
+  * local session. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check[A](gen: Gen[A], n: Int = 5)(f: A => Boolean): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1),
+      Prop.forAll(gen)(f))
+    assert(res.passed, res.status.toString)
+  }
+
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+
+  test("invariant: |cancelled| + |delayed| + |null-ELAPSED delayed rows| = |flights|") {
+    val flights = Ingest.readFlights(spark, resource("flights.csv"))
+    val (cancelled, delayed) = Preprocessing.preprocess(flights)
+    val droppedByElapsed = flights
+      .filter(col("CANCELLED") === 0 && col("ELAPSED_TIME").isNull).count()
+    assert(cancelled.count() + delayed.count() + droppedByElapsed === flights.count())
+  }
+
+  test("invariant: sum(inDegree) == edge count, on random multigraphs") {
+    check(edgeListGen, 5) { pairs =>
+      pairs.isEmpty || {
+        val total = GraphMetrics.inDegrees(pairs.toDF("src", "dst"))
+          .agg(sum("inDegree")).first().getLong(0)
+        total == pairs.size.toLong
+      }
+    }
+  }
+
+  test("invariant: PageRank of every vertex is >= resetProb and <= N") {
+    check(edgeListGen, 3) { pairs =>
+      val clean = pairs.filter { case (a, b) => a != b }
+      clean.isEmpty || {
+        val ranks = GraphMetrics.staticPageRank(clean.toDF("src", "dst"), 0.15, 5)
+          .collect().map(_.getDouble(1))
+        ranks.forall(r => r >= 0.15 - 1e-12 && r <= ranks.length.toDouble)
+      }
+    }
+  }
+
+  test("invariant: triangle counts are direction-invariant and sum to 3x#triangles") {
+    check(edgeListGen, 3) { pairs =>
+      val clean = pairs.filter { case (a, b) => a != b }
+      clean.isEmpty || {
+        val fwd = GraphMetrics.triangleCounts(clean.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val rev = GraphMetrics.triangleCounts(clean.map(_.swap).toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        fwd == rev && fwd.values.sum % 3 == 0
+      }
+    }
+  }
+
+  test("invariant: percentage-of-total sums to 100") {
+    val pct = new graft.flights.CancelledFlights(
+      Preprocessing.preprocess(Ingest.readFlights(spark, resource("flights.csv")))._1)
+      .cancellationReasonsPct
+    assert(math.abs(pct.agg(sum("percentage")).first().getDouble(0) - 100.0) < 1e-9)
+  }
+
+  test("invariant: state vertex set covers every edge endpoint") {
+    val flights = Ingest.readFlights(spark, resource("flights.csv"))
+    val (_, delayed) = Preprocessing.preprocess(flights)
+    val airports = Ingest.readAirports(spark, resource("airports.csv"))
+    val g = new graft.flights.GraphFlights(delayed, airports)
+    val verts = g.stateVertices.collect().map(_.getString(0)).toSet
+    val endpoints = g.stateEdges.select("src").union(g.stateEdges.select("dst"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(endpoints.subsetOf(verts))
+  }
+
+  test("property: halfEven matches Python round() incl. half-integer ties") {
+    assert(Rounding.halfEven(0.5) === 0.0)
+    assert(Rounding.halfEven(1.5) === 2.0)
+    assert(Rounding.halfEven(2.5) === 2.0)
+    assert(Rounding.halfEven(-0.5) === 0.0)
+    assert(Rounding.halfEven(-1.5) === -2.0)
+    check(Gen.choose(-1e6, 1e6), 50)(x => Rounding.halfEven(x) == math.rint(x))
+  }
+
+  test("property: exact dedup keeps one group per distinct text, min id wins") {
+    val rowsGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("a b c", "d e f", "g h i")))
+    check(rowsGen, 5) { rows =>
+      rows.map(_._1).distinct.size != rows.size || rows.isEmpty || {
+        val out = graft.llm.Dedup.exactDedup(rows.toDF("doc_id", "text"), "doc_id", "text")
+          .collect()
+        val byText = rows.groupBy(_._2)
+        out.length == byText.size && out.forall { r =>
+          byText.values.exists(g =>
+            g.size.toLong == r.getLong(2) && g.map(_._1).min == r.getLong(1))
+        }
+      }
+    }
+  }
+}
