@@ -95,14 +95,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash per document: bit j set iff Σ_{shingles}(2·bit_j(sh)−1) > 0. */
+  /** 32-bit SimHash as a pure scalar Column over the text — ONE pass, zero
+    * shuffle: the 32 bit-weights accumulate in a struct inside a single
+    * `aggregate` HOF over the distinct-shingle array. At 100 TB this is the
+    * formulation that matters — the grouped variant below explodes shingles
+    * through a shuffle (~30× row amplification); this one is scan-local. */
+  def simHashColumn(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val arr = array_distinct(TextOps.charShingles(text))
+    val zero = struct((0 until 32).map(j => lit(0L).as(s"w$j")): _*)
+    aggregate(arr, zero,
+      (acc, sh) => struct((0 until 32).map { j =>
+        (acc.getField(s"w$j") + (shiftright(sh, j) % 2 * 2 - 1)).as(s"w$j")
+      }: _*),
+      acc => (0 until 32).map { j =>
+        when(acc.getField(s"w$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _))
+  }
+
+  /** Per-document SimHash via the scalar column (scale path). */
+  def simHashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), simHashColumn(col(textCol)).as("simhash"))
+
+  /** 32-bit SimHash per document from the exploded shingle set (grouped
+    * formulation — mirrors the SQL oracle; result-identical to
+    * [[simHashColumn]]): bit j set iff Σ_{shingles}(2·bit_j(sh)−1) > 0. */
   def simHash(sh: DataFrame): DataFrame = {
-    val weights = (0 until 16).map { j =>
+    val weights = (0 until 32).map { j =>
       sum(shiftright(col("sh"), j) % 2 * 2 - 1).as(s"w$j")
     }
     sh.groupBy("id").agg(weights.head, weights.tail: _*)
       .select(col("id"),
-        (0 until 16).map(j => when(col(s"w$j") > 0, 1L << j).otherwise(0L))
+        (0 until 32).map(j => when(col(s"w$j") > 0, 1L << j).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 
@@ -111,11 +134,15 @@ object Dedup {
     * high bytes differ in more than maxHamming bits can't match — at scale,
     * band over several byte-slices like MinHash-LSH instead of self-joining
     * everything; here both byte-halves are used as two bands). */
-  def simHashNearDups(sh: DataFrame, maxHamming: Int): DataFrame = {
-    val hashed = simHash(sh).cache() // referenced 4× by the band self-join
+  def simHashNearDups(sh: DataFrame, maxHamming: Int): DataFrame =
+    simHashNearDupsFromHashes(simHash(sh).cache(), maxHamming)
+
+  /** Near-dup pairs from a precomputed (id, simhash) frame. */
+  def simHashNearDupsFromHashes(hashedIn: DataFrame, maxHamming: Int): DataFrame = {
+    val hashed = hashedIn.cache() // referenced 4× by the band self-join
     val bands = Seq(
-      hashed.select(col("id"), col("simhash"), lit(0).as("band"), (col("simhash") % 256).as("sig")),
-      hashed.select(col("id"), col("simhash"), lit(1).as("band"), shiftright(col("simhash"), 8).as("sig")))
+      hashed.select(col("id"), col("simhash"), lit(0).as("band"), (col("simhash") % 65536).as("sig")),
+      hashed.select(col("id"), col("simhash"), lit(1).as("band"), shiftright(col("simhash"), 16).as("sig")))
       .reduce(_ union _)
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig")

