@@ -30,9 +30,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Rounded cosine similarity. */
+  /** Rounded cosine similarity — backed by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (single fused loop in
+    * whole-stage codegen; bit-identical to the HOF formulation
+    * `dot/(norm·norm)`, asserted in VectorExpressionsSpec). */
   def cosine(a: Column, b: Column, scale: Int = 6): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), scale)
+    round(graft.functions.GraftFunctions.cosineSim(a, b), scale)
 
   /** Brute-force cosine top-k: for every row of `queries`, the k nearest
     * rows of `corpus` (excluding itself when ids collide). */
