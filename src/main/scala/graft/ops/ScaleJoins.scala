@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join strategies for hostile data distributions at cluster scale.
+  *
+  * AQE (on by default in Spark 4) already splits skewed SHUFFLE partitions;
+  * explicit salting still matters when one side must be replicated anyway
+  * (skewed key ⋈ medium dimension too big to broadcast) or when AQE's
+  * per-partition splitting can't help (single giant key). Bucketing removes
+  * the shuffle entirely for stable fact-fact join keys — the layout decision
+  * that matters most at 100 TB, where a lineitem⋈orders shuffle is the
+  * dominant cost of every query that joins them.
+  */
+object ScaleJoins {
+
+  /** Salted inner equi-join: the big (skewed) side gets a per-row salt in
+    * [0, buckets); the small side is replicated `buckets` times; the join
+    * key becomes (key, salt) so a hot key spreads over `buckets` tasks.
+    * Result-identical to `big.join(small, key)` — salt only changes the
+    * partitioning, never the matches. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed+sorted managed table: co-located,
+    * pre-sorted layout so later equi-joins/aggregations on `key` plan with
+    * NO shuffle exchange (SortMergeJoin reads buckets directly). */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+}
