@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, sum}
 import java.sql.Timestamp
 
 class EventStreamsSpec extends SparkSpec {
@@ -39,6 +40,25 @@ class EventStreamsSpec extends SparkSpec {
     val clickWindows = out.filter(_.getString(2) == "click").map(_.getTimestamp(0).toString).toSet
     assert(clickWindows.contains("2024-01-01 09:30:00.0"))
     assert(clickWindows.contains("2024-01-01 10:00:00.0"))
+  }
+
+  test("file-source stream: readEventStream windows a growing parquet directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    rows.take(3).toDF().withColumn("props", lit("{}"))
+      .write.mode("append").parquet(dir)
+    val q = EventStreams.startToMemory(
+      EventStreams.tumblingAgg(EventStreams.readEventStream(spark, dir)), "file_stream_test")
+    q.processAllAvailable()
+    val afterFirst = spark.table("file_stream_test").agg(sum("cnt")).first().getLong(0)
+    assert(afterFirst === 3L)
+    // a new file lands; the stream picks it up incrementally
+    rows.drop(3).toDF().withColumn("props", lit("{}"))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val afterSecond = spark.table("file_stream_test").agg(sum("cnt")).first().getLong(0)
+    q.stop()
+    assert(afterSecond === 5L)
   }
 
   test("sessionize accumulates per-user state across micro-batches") {
