@@ -112,9 +112,20 @@ object Dedup {
       }.reduce(_ + _))
   }
 
-  /** Per-document SimHash via the scalar column (scale path). */
+  /** Per-document SimHash via the native codegen'd expression (scale path:
+    * one fused loop per row, no shingle materialization, no shuffle).
+    * Char-shingled variant. */
   def simHashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simHashColumn(col(textCol)).as("simhash"))
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHash32.simHash32(col(textCol)).as("simhash"))
+
+  /** Word-trigram-shingled native SimHash — the variant to use on corpora
+    * with a shared vocabulary (same rationale as [[wordShingleSet]]: char
+    * shingles make nearly ALL documents Hamming-close, so the pair phase
+    * goes quadratic; word trigrams isolate true near-dups). */
+  def simHashDocsWords(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHash32.simHash32Words(col(textCol)).as("simhash"))
 
   /** 32-bit SimHash per document from the exploded shingle set (grouped
     * formulation — mirrors the SQL oracle; result-identical to

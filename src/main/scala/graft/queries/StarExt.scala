@@ -114,17 +114,18 @@ object StarExt {
       (s, d) => Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
     },
 
-    // SimHash near-dups: 32-bit fingerprints, 16-bit-half banding, Hamming ≤ 3.
+    // SimHash near-dups: 32-bit word-trigram fingerprints, 16-bit-half
+    // banding, Hamming ≤ 3.
     QDef("x_dedup_simhash", {
       val weights = (0 until 32)
         .map(j => s"sum(((sh >> $j) & 1) * 2 - 1) AS w$j").mkString(",\n    ")
       val value = (0 until 32)
         .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH $ShCte,
+      s"""WITH $WordShCte,
          |w AS (
          |  SELECT id,
          |    $weights
-         |  FROM sh GROUP BY id),
+         |  FROM wsh GROUP BY id),
          |h AS (SELECT id, CAST($value AS BIGINT) AS simhash FROM w),
          |bands AS (
          |  SELECT id, simhash, 0 AS band, simhash % 65536 AS sig FROM h
@@ -136,9 +137,10 @@ object StarExt {
          |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     }) { (s, d) =>
-      // scalar single-pass simhash (zero shuffle) — the oracle's grouped
-      // formulation is result-identical, proven by this very comparison
-      val hashed = Dedup.simHashDocs(Tables(s, d).documents, "doc_id", "text")
+      // native single-pass word-trigram simhash (zero shuffle) — the
+      // oracle's grouped formulation is result-identical, proven by this
+      // very comparison
+      val hashed = Dedup.simHashDocsWords(Tables(s, d).documents, "doc_id", "text")
       Dedup.simHashNearDupsFromHashes(hashed, 3)
         .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
     },

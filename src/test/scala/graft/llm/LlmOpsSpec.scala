@@ -40,12 +40,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
-  test("scalar one-pass simHashColumn equals the grouped shuffle formulation") {
-    val grouped = Dedup.simHash(Dedup.shingleSet(docs, "doc_id", "text"))
+  test("all simhash formulations agree: grouped shuffle == HOF column == native exprs") {
+    // char-shingled family
+    val groupedChar = Dedup.simHash(Dedup.shingleSet(docs, "doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val scalar = Dedup.simHashDocs(docs, "doc_id", "text")
+    val hof = docs.select(col("doc_id"), Dedup.simHashColumn(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(scalar === grouped)
+    val nativeChar = Dedup.simHashDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof === groupedChar)
+    assert(nativeChar === groupedChar)
+    // word-trigram family (used by the registered query)
+    val groupedWord = Dedup.simHash(Dedup.wordShingleSet(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nativeWord = Dedup.simHashDocsWords(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeWord === groupedWord)
+    assert(nativeWord(1L) === nativeWord(2L)) // exact dup → identical hash
   }
 
   test("ngram Jaccard scores word-trigram overlap exactly") {
