@@ -49,6 +49,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Brute-force cosine top-k via the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate instead of a window:
+    * partial (map-side) aggregation ships k rows per query per partition to
+    * the exchange, where the window formulation shuffles EVERY scored
+    * candidate. Result-identical to [[cosineTopK]] (same tie order). */
+  def cosineTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topKByScore(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** IVF coarse quantization: nearest centroid per vector by (rounded)
     * squared L2 distance, centroid id breaking ties. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {

@@ -234,6 +234,27 @@ object StarExt {
       Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8))
     },
 
+    // Same top-5 via the bounded-heap TopKByScore aggregate (map-side
+    // partial top-k; no per-key window sort) — identical oracle.
+    QDef("x_sim_cosine_topk_agg",
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.cosineTopKAgg(emb.filter(col("vec_id") < 10), emb, 5)
+    },
+
     // IVF search: top-3 within the query's own cluster — the corpus is
     // partitioned by centroid so a probe touches 1/k of the data.
     QDef("x_sim_ivf_topk",
