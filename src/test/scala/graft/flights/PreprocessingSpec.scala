@@ -9,7 +9,7 @@ class PreprocessingSpec extends SparkSpec {
   lazy val flights: DataFrame = Ingest.readFlights(spark, resource("flights.csv"))
 
   test("explicit-schema CSV ingest reads all rows with declared types") {
-    assert(flights.count() === 28)
+    assert(flights.count() === 30)
     assert(flights.schema("DEPARTURE_DELAY").dataType.typeName === "integer")
     assert(flights.schema("CANCELLATION_REASON").dataType.typeName === "string")
   }
@@ -51,8 +51,8 @@ class PreprocessingSpec extends SparkSpec {
   test("preprocess splits cancelled/delayed; delayed drops null ELAPSED_TIME rows") {
     val (cancelled, delayed) = Preprocessing.preprocess(flights)
     assert(cancelled.count() === 8)
-    // 20 CANCELLED=0 rows, one (flight 601) has null ELAPSED_TIME
-    assert(delayed.count() === 19)
+    // 22 CANCELLED=0 rows, one (flight 601) has null ELAPSED_TIME
+    assert(delayed.count() === 21)
     assert(!cancelled.columns.contains("DEPARTURE_DELAY"))
     assert(!delayed.columns.contains("CANCELLATION_REASON"))
     assert(delayed.columns.contains("SCHEDULED_DEPARTURE"))
