@@ -13,13 +13,7 @@ object Plans {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "s1_scan_pruned", "j1_broadcast_dim", "j2_chain_two_dims", "t2_topk",
       "a11_fused_count_avg", "q_most_delay", "g2_indegrees", "x_sim_cosine_topk")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = Sessions.local("4")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction with the engine's scale posture in one place.
+  *
+  * Local defaults here mirror what the cluster profile would set per-job:
+  * - `spark.sql.shuffle.partitions`: sized to cores locally; on a cluster,
+  *   2-3× total executor cores (AQE coalesces small partitions back down,
+  *   so oversizing is safe; undersizing causes spills).
+  * - AQE on (Spark 4 default): runtime re-planning, skew-join splitting,
+  *   partition coalescing.
+  * - `spark.sql.files.maxPartitionBytes` default 128 MB: at 100 TB that's
+  *   ~800k scan tasks — raise per-job if task overhead dominates.
+  * - events.parquet nanos handling (see Tables.events).
+  */
+object Sessions {
+
+  def local(cores: String, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+}
