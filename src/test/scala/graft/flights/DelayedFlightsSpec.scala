@@ -89,6 +89,20 @@ class DelayedFlightsSpec extends SparkSpec {
     assert(h6.getDouble(2) === 12.0 && h6.getDouble(3) === 25.0)
   }
 
+  test("delaysPerTimeSlot: avg-of-HOURLY-means semantics + null hour lands in Notte") {
+    val slots = d.delaysPerTimeSlot.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // Sera = hours 19 (flight 300, dep 20), 20 (203, dep 10), 23 (301, dep 10):
+    // one late flight each → Total Delays 3; slot mean = mean of hourly means
+    // (pandas groupby of the hourly frame), NOT the row-level mean.
+    assert(slots("Sera (19 - 1)")._1 === 3L)
+    assert(math.abs(slots("Sera (19 - 1)")._2 - (20.0 + 10.0 + 10.0) / 3) < 1e-12)
+    // flight 401's "2400" departure → null hour → pandas else-branch → Notte
+    val night = d.hourlyDelayStats.withColumn("slot", d.timeSlot(col("Hour")))
+      .filter(col("Hour").isNull).select("slot").first().getString(0)
+    assert(night === "Notte (1 - 6)")
+  }
+
   test("routeMostDelay and originAirportPct return plausible shapes") {
     assert(d.routeMostDelay.columns.contains("TOTAL_AVG_DELAY"))
     val pct = d.originAirportPct.agg(sum("PERCENTAGE")).first().getDouble(0)
