@@ -110,7 +110,7 @@ object StarExt {
          |FROM inter
          |JOIN sizes n1 ON n1.id = d1
          |JOIN sizes n2 ON n2.id = d2
-         |WHERE i / (n1.n + n2.n - i) >= 0.7""".stripMargin) {
+         |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.7""".stripMargin) {
       (s, d) => Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
     },
 
@@ -161,7 +161,7 @@ object StarExt {
         |FROM inter
         |JOIN sizes n1 ON n1.id = d1
         |JOIN sizes n2 ON n2.id = d2
-        |WHERE i / (n1.n + n2.n - i) >= 0.5""".stripMargin) {
+        |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.5""".stripMargin) {
       (s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text", 0.5)
     },
 
