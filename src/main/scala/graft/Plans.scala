@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dumps formatted physical plans for representative queries — the evidence
   * that the 100 TB plan properties hold (pushdown, pruning, broadcast dim

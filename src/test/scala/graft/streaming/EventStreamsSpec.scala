@@ -61,6 +61,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(afterSecond === 5L)
   }
 
+  test("watermark drops late events in append mode (state bounded, windows finalize)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.tumblingAgg(stream.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("watermark_test")
+      .outputMode("append").start()
+    // batch 1: two events in the 10:00 window
+    stream.addData(
+      EventRow(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: event at 15:00 → watermark advances to 14:00; 10:00 window finalizes
+    stream.addData(EventRow(3L, ts("2024-01-01 15:00:00"), 1L, "click", 3.0))
+    q.processAllAvailable()
+    // batch 3: LATE event for the already-finalized 10:00 window → dropped
+    stream.addData(EventRow(4L, ts("2024-01-01 10:20:00"), 1L, "click", 100.0))
+    q.processAllAvailable()
+    val finalized = spark.table("watermark_test").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(3), r.getDouble(4))).toMap
+    q.stop()
+    // the 10:00 window emitted with ONLY the two on-time events
+    assert(finalized("2024-01-01 10:00:00.0") === ((2L, 3.0)))
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val s = spark
