@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Completes table and function-family coverage: the snowflake chain through
+  * region, the part dimension, JSON extraction over events.props, and date
+  * arithmetic over the order/ship timestamps.
+  */
+object StarMisc {
+
+  val defs: Seq[QDef] = Seq(
+
+    // Full snowflake rollup: fact → supplier → nation → region (every level
+    // broadcast; one fact-side shuffle for the final aggregate).
+    QDef("q_region_rollup",
+      """SELECT r.r_name, count(*) AS cnt, avg(l.l_quantity) AS avg_qty
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), avg(col("l_quantity")).as("avg_qty"))
+    },
+
+    // Part-dimension stats: brand-level aggregate over the real part table.
+    QDef("q_part_brand_stats",
+      """SELECT p.p_brand, count(*) AS cnt, avg(l.l_quantity) AS avg_qty,
+        |  round(avg(p.p_retailprice), 4) AS avg_retail
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), avg(col("l_quantity")).as("avg_qty"),
+          round(avg(col("p_retailprice")), 4).as("avg_retail"))
+    },
+
+    // Hierarchy rollup region → nation with subtotal + grand-total rows
+    // (beyond the reference's flat groupBys; Spark rollup ≡ GROUP BY ROLLUP).
+    QDef("q_rollup_hierarchy",
+      """SELECT r.r_name, n.n_name, count(*) AS cnt
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      // fresh aliases before rollup: Expand re-references the grouping
+      // columns and trips the ambiguous-self-join detector otherwise
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("rn"), col("n_name").as("nn"))
+        .rollup(col("rn"), col("nn"))
+        .agg(count(lit(1)).as("cnt"))
+        .toDF("r_name", "n_name", "cnt")
+    },
+
+    // Analytic windows over event sequences: per-user running sum and delta
+    // vs the previous event (ordered by ts with a unique tiebreak).
+    QDef("x_window_sequence",
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events WHERE user_id < 50""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events.filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w.rowsBetween(Long.MinValue, 0)), 4).as("running_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    },
+
+    // JSON extraction from the events.props column (string JSON payloads).
+    QDef("x_json_extract",
+      """SELECT event_type, count(*) AS cnt,
+        |  avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables(s, d).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), avg(col("k")).as("avg_k"))
+    },
+
+    // Date arithmetic: ship lag in days per order month (exact int measures).
+    QDef("x_date_arith",
+      """SELECT CAST(month(o.o_orderdate) AS INT) AS mon,
+        |  count(*) AS cnt,
+        |  avg(date_diff('day', o.o_orderdate, l.l_shipdate)) AS avg_ship_days
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(month(col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("cnt"),
+          avg(datediff(col("l_shipdate"), col("o_orderdate"))).as("avg_ship_days"))
+    }
+  )
+}
