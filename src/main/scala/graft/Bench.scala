@@ -15,7 +15,10 @@ object Bench {
     } catch { case _: Throwable => () }
     // noop sink executes the FULL physical plan (a bare count() would let
     // Catalyst prune every projection and under-measure — VERDICT r1 §9).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val subset = args.toSet // optional query-name filter for local iteration
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }

@@ -82,6 +82,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<float>` columns — Σ(aᵢ−bᵢ)²
+  * accumulated in double, ascending index, as one fused codegen loop.
+  * Same rationale as [[CosineSimilarity]]: the `aggregate(zip_with(...))`
+  * composition is interpreted per element; accumulation order is identical,
+  * so results are bit-for-bit equal to the HOF formulation (and to the
+  * DuckDB oracle's `sum((v.e - c.e) * (v.e - c.e))` over ordinal-joined
+  * elements).
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration surface: imperative (`register`) for existing sessions and a
   * `SparkSessionExtensions` hook for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -91,21 +151,32 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
 
+  /** Dataset-API entry: `l2Sq(col("a"), col("b"))`. */
+  def l2Sq(a: Column, b: Column): Column =
+    Shim.column(SquaredL2Distance(Shim.expression(a), Shim.expression(b)))
+
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
-  /** Register `cosine_sim` in an existing session's function registry
-    * (usable from `spark.sql(...)`). */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimDescriptor
-    Shim.registerFunction(spark, ident, info, builder)
-  }
+  val l2SqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2_sq"),
+    new ExpressionInfo(classOf[SquaredL2Distance].getName, "l2_sq"),
+    (children: Seq[Expression]) => SquaredL2Distance(children(0), children(1)))
+
+  /** Register `cosine_sim` / `l2_sq` in an existing session's function
+    * registry (usable from `spark.sql(...)`). */
+  def register(spark: SparkSession): Unit =
+    Seq(cosineSimDescriptor, l2SqDescriptor).foreach { case (ident, info, builder) =>
+      Shim.registerFunction(spark, ident, info, builder)
+    }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectFunction(GraftFunctions.l2SqDescriptor)
+  }
 }

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   *   - brute-force top-k: broadcast the (small) query set, scan candidates
   *     once, per-query top-k — O(|queries|·|corpus|) dot products but a
   *     single pass over the corpus, no shuffle of the corpus itself;
-  *   - IVF: assign every vector to its nearest centroid (broadcast
-  *     centroids), then search only the probed cluster — the corpus is
-  *     hash-partitioned by `centroid`, so a query touches 1/k of the data;
+  *   - IVF: assign every vector to its nearest centroid by folding over a
+  *     broadcast centroid array (map-only, the corpus never shuffles), then
+  *     search only the probed cluster — a query touches 1/k of the data;
   *   - sign-LSH (random hyperplanes): bucket by sign bits, search in-bucket.
   */
 object Similarity {
@@ -67,34 +67,67 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** IVF coarse quantization: nearest centroid per vector by (rounded)
-    * squared L2 distance, centroid id breaking ties. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    val v = corpus.select(col("vec_id"), col("embedding").as("ve"))
-    val d2 = aggregate(
-      zip_with(col("ve"), col("ce"),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-    val scored = v.crossJoin(broadcast(c)).select(col("vec_id"), col("centroid_id"),
-      round(d2, 6).as("dist2"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "centroid_id", "dist2")
-  }
+  /** Centroid set collapsed to ONE row holding a centroid_id-sorted
+    * `array<struct<centroid_id, ce>>` — broadcast to every task so
+    * assignment is a per-row argmin, not a join. The centroid count is the
+    * IVF fan-out (hundreds to thousands), always broadcastable. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(array_sort(collect_list(struct(
+      col("vec_id").as("centroid_id"), col("embedding").as("ce")))).as("cents"))
 
-  /** IVF search: top-k among candidates sharing the query's centroid. */
+  /** `struct(dist2, centroid_id)` of the centroid in the in-scope `cents`
+    * array nearest to embedding `e`: a fold over the sorted array with
+    * strict `<`, so ties keep the smaller centroid_id — same order as
+    * `ORDER BY dist2, centroid_id LIMIT 1`. Distances via the native
+    * codegen'd [[graft.functions.SquaredL2Distance]], rounded to 6 decimals
+    * before comparison for cross-engine determinism. */
+  private def nearest(e: Column): Column =
+    aggregate(col("cents"),
+      struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("centroid_id")),
+      (acc, c) => {
+        val d = round(graft.functions.GraftFunctions.l2Sq(e, c.getField("ce")), 6)
+        when(d < acc.getField("dist2"),
+          struct(d.as("dist2"), c.getField("centroid_id").as("centroid_id")))
+          .otherwise(acc)
+      })
+
+  /** IVF coarse quantization: nearest centroid per vector by (rounded)
+    * squared L2 distance, centroid id breaking ties.
+    *
+    * Map-only: centroids collapse to one broadcast array row and every
+    * vector folds over it locally — zero shuffle of the corpus, where the
+    * crossJoin + per-vector window alternative shuffles and sorts
+    * |corpus|·|centroids| scored rows. At 100 TB the corpus never moves. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").as("ve"))
+      .crossJoin(broadcast(centroidArray(centroids)))
+      .select(col("vec_id"), nearest(col("ve")).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.dist2").as("dist2"))
+
+  /** IVF search: top-k among candidates sharing the query's centroid.
+    *
+    * Scale shape: both sides assign map-only (broadcast centroid array),
+    * the (small) query set broadcasts into the corpus scan, and the per-
+    * query top-k is the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate — the single exchange carries ≤ k rows per query per
+    * partition instead of every scored candidate. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val assign = ivfAssign(corpus, centroids).cache() // reused by query + candidate sides
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .join(assign.select(col("vec_id").as("qid"), col("centroid_id")), "qid")
+    val cents = centroidArray(centroids)
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .join(assign.select(col("vec_id").as("cid"), col("centroid_id")), "cid")
-    val scored = c.join(broadcast(q), Seq("centroid_id"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("ce"), nearest(col("ce")).getField("centroid_id").as("centroid_id"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), nearest(col("qe")).getField("centroid_id").as("centroid_id"))
+    c.join(broadcast(q), Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topKByScore(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Sign-LSH bucket id from `nPlanes` deterministic pseudo-random

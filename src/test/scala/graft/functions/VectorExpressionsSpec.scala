@@ -36,6 +36,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(cos(2L) === 0.6)
   }
 
+  test("native SquaredL2Distance matches the HOF formulation bit-for-bit") {
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        GraftFunctions.l2Sq(col("a.embedding"), col("b.embedding")).as("native"),
+        hofL2(col("a.embedding"), col("b.embedding")).as("hof"))
+    pairs.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        s"pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+    // known value: ‖(1,0,0)−(0,1,0)‖² = 2
+    val d = vecs.filter(col("vec_id") === 0).as("a")
+      .crossJoin(vecs.filter(col("vec_id") === 1).as("b"))
+      .select(GraftFunctions.l2Sq(col("a.embedding"), col("b.embedding"))).first().getDouble(0)
+    assert(d === 2.0)
+  }
+
   test("null array propagates to null result") {
     val withNull = Seq((1L, Some(Array(1f, 2f))), (2L, None)).toDF("id", "e")
     val out = withNull.as("a").crossJoin(withNull.as("b"))
