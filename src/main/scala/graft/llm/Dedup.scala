@@ -81,17 +81,50 @@ object Dedup {
         round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
   }
 
-  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify ≥ threshold. */
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify ≥ threshold.
+    *
+    * Scan-local signature generation: the native
+    * [[graft.functions.MinHash16]] expression computes all 16 minima in one
+    * fused pass per document (min over a multiset == min over the set, so
+    * the explode→distinct→groupBy shuffle of the grouped formulation —
+    * [[wordShingleSet]] + [[minHashSignatures]], kept as the
+    * oracle-mirroring reference — is unnecessary). Exact-Jaccard
+    * verification runs per CANDIDATE pair via `array_intersect` on
+    * distinct-shingle arrays built only for candidate documents, so the
+    * shingle set is never exploded or materialized corpus-wide. The cached
+    * signature frame is referenced 8× by the band self-join; at production
+    * scale it'd be a checkpointed table. */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    // The shingle set feeds the signature pipeline AND the verify join twice;
-    // the band self-join references the signature frame 8× (4 bands × 2
-    // sides). Without materialization Catalyst re-executes the whole
-    // explode→distinct→16-min lineage per reference (measured 224s → ~3s on
-    // 500 docs). At production scale these would be checkpointed tables.
-    val sh = wordShingleSet(docs, idCol, textCol).cache()
-    val sigs = minHashSignatures(sh).cache()
-    verifiedJaccard(lshCandidates(sigs), sh)
+    val sigs = docs.select(col(idCol).as("id"),
+        graft.functions.MinHash16.minHash16(col(textCol)).as("mh"))
+      .filter(col("mh").isNotNull) // < 3 tokens → no shingles → no signature
+      .cache()
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
+      sigs.select(col("id"), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+    }.reduce(_ union _)
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
+          && col("l.id") < col("r.id"))
+      .select(col("l.id").as("d1"), col("r.id").as("d2"))
+      .distinct()
+    // Exact-Jaccard verify: join the texts back and build the distinct-
+    // shingle arrays AFTER the joins, so trigram sets are materialized only
+    // for documents that actually appear in a candidate pair (the candidate
+    // set is tiny next to the corpus when banding is selective).
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    cand
+      .join(txt.select(col("id").as("d1"), col("txt").as("txt1")), "d1")
+      .join(txt.select(col("id").as("d2"), col("txt").as("txt2")), "d2")
+      .select(col("d1"), col("d2"),
+        array_distinct(TextOps.wordTrigramHashes(col("txt1"))).as("sh1"),
+        array_distinct(TextOps.wordTrigramHashes(col("txt2"))).as("sh2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).as("i"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .select(col("d1"), col("d2"),
+        round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -172,8 +205,15 @@ object Dedup {
     val g = docs.select(col(idCol).as("id"),
       explode(TextOps.wordTrigrams(col(textCol))).as("g")).distinct().cache()
     val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
-    val l = g.select(col("id").as("d1"), col("g"))
-    val r = g.select(col("id").as("d2"), col("g"))
+    // A trigram present in a single document can't contribute to any pair's
+    // intersection — drop singletons before the inverted-index self-join
+    // (Zipf: most trigrams are singletons, so both join sides shrink
+    // drastically; no result changes — sizes use the unfiltered sets).
+    val shared = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val gs = g.join(shared, "g")
+    val l = gs.select(col("id").as("d1"), col("g"))
+    val r = gs.select(col("id").as("d2"), col("g"))
     val inter = l.join(r, Seq("g")).filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     inter

@@ -59,6 +59,19 @@ class DedupSpec extends SparkSpec {
     assert(nativeWord(1L) === nativeWord(2L)) // exact dup → identical hash
   }
 
+  test("native MinHash16 agrees with the grouped explode/distinct/min formulation") {
+    val grouped = Dedup.minHashSignatures(Dedup.wordShingleSet(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (0 until 16).map(k => r.getLong(k + 1))).toMap
+    val native = docs.select(col("doc_id"),
+        graft.functions.MinHash16.minHash16(col("text")).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(native === grouped)
+    // a doc with < 3 tokens has no trigram: null, matching "no signature row"
+    val short = Seq((9L, "two tokens")).toDF("doc_id", "text")
+    assert(short.select(graft.functions.MinHash16.minHash16(col("text")))
+      .first().isNullAt(0))
+  }
+
   test("ngram Jaccard scores word-trigram overlap exactly") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
