@@ -76,20 +76,15 @@ object Similarity {
       col("vec_id").as("centroid_id"), col("embedding").as("ce")))).as("cents"))
 
   /** `struct(dist2, centroid_id)` of the centroid in the in-scope `cents`
-    * array nearest to embedding `e`: a fold over the sorted array with
-    * strict `<`, so ties keep the smaller centroid_id — same order as
-    * `ORDER BY dist2, centroid_id LIMIT 1`. Distances via the native
-    * codegen'd [[graft.functions.SquaredL2Distance]], rounded to 6 decimals
-    * before comparison for cross-engine determinism. */
+    * array nearest to embedding `e`: one distance per centroid via the
+    * native codegen'd [[graft.functions.SquaredL2Distance]] (rounded to 6
+    * decimals for cross-engine determinism), then `array_min` under
+    * lexicographic struct ordering — exactly
+    * `ORDER BY dist2, centroid_id LIMIT 1`. */
   private def nearest(e: Column): Column =
-    aggregate(col("cents"),
-      struct(lit(Double.MaxValue).as("dist2"), lit(-1L).as("centroid_id")),
-      (acc, c) => {
-        val d = round(graft.functions.GraftFunctions.l2Sq(e, c.getField("ce")), 6)
-        when(d < acc.getField("dist2"),
-          struct(d.as("dist2"), c.getField("centroid_id").as("centroid_id")))
-          .otherwise(acc)
-      })
+    array_min(transform(col("cents"), c =>
+      struct(round(graft.functions.GraftFunctions.l2Sq(e, c.getField("ce")), 6).as("dist2"),
+        c.getField("centroid_id").as("centroid_id"))))
 
   /** IVF coarse quantization: nearest centroid per vector by (rounded)
     * squared L2 distance, centroid id breaking ties.
