@@ -24,6 +24,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // native functions (cosine_sim, l2_sq) + the WindowTopKRewrite
+      // optimizer rule (window top-k → bounded-heap aggregate where
+      // provably identical)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     extra.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()
   }

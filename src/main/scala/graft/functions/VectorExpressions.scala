@@ -178,5 +178,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.l2SqDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

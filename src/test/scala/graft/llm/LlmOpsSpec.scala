@@ -118,6 +118,16 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(1L) === ((1L, 0.0)))
     assert(assign(2L)._1 === 0L) // parallel vector joins centroid 0's cluster
   }
+
+  test("ivfAssign tie-break: equidistant centroids resolve to the smaller id") {
+    val centroids = Seq((20L, Array(1f, 0f, 0f, 0f)), (10L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding") // listed larger-id first on purpose
+    val v = Seq((1L, Array(0f, 3f, 0f, 0f))).toDF("vec_id", "embedding") // dist² = 10 to both
+    val r = Similarity.ivfAssign(v, centroids).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 10L) // ORDER BY dist2, centroid_id semantics
+    assert(r.head.getDouble(2) === 10.0)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
