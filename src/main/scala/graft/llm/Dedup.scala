@@ -202,20 +202,25 @@ object Dedup {
     * index join, not a crossJoin — then scored exactly. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // Per-document trigram SETS in-row (array_distinct before the explode):
+    // (id, g) duplicates can only arise within one document, so this equals
+    // the exploded global `.distinct()` — minus its corpus-wide shuffle.
     val g = docs.select(col(idCol).as("id"),
-      explode(TextOps.wordTrigrams(col(textCol))).as("g")).distinct().cache()
+      explode(array_distinct(TextOps.wordTrigrams(col(textCol)))).as("g")).cache()
     val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
-    // A trigram present in a single document can't contribute to any pair's
-    // intersection — drop singletons before the inverted-index self-join
-    // (Zipf: most trigrams are singletons, so both join sides shrink
-    // drastically; no result changes — sizes use the unfiltered sets).
-    val shared = g.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("g")
-    val gs = g.join(shared, "g")
-    val l = gs.select(col("id").as("d1"), col("g"))
-    val r = gs.select(col("id").as("d2"), col("g"))
-    val inter = l.join(r, Seq("g")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    // Candidate pairs straight off the inverted index: group the posting
+    // list per trigram and expand ordered id pairs in-row. One deterministic
+    // hash-aggregate shuffle replaces the g⋈g self-join, whose build side
+    // sat on the broadcast threshold and flip-flopped plans run-to-run.
+    // Singleton trigrams (most, by Zipf) die at the size filter; per-trigram
+    // pair expansion is the same Σ df(g)² work the join row-count was.
+    val byG = g.groupBy("g").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val inter = byG.select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
