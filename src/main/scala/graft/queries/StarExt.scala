@@ -388,6 +388,36 @@ object StarExt {
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM e GROUP BY 1, 2, 3""".stripMargin) {
       (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
+    },
+
+    // Top-2 nations per region by customer count, written as the window
+    // row_number anti-pattern ON PURPOSE: score/id are provably non-null
+    // (count + coalesced key), so plans.WindowTopKRewrite (active via
+    // GraftExtensions in graft.Sessions) rewrites it to the bounded-heap
+    // TopKByScore aggregate — this oracle row proves the rewrite end-to-end.
+    QDef("x_window_topk_rewrite",
+      """WITH cnt AS (
+        |  SELECT coalesce(c_nationkey, -1) AS nid,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM customer GROUP BY 1),
+        |j AS (
+        |  SELECT c.nid, c.cnt, n.n_regionkey FROM cnt c
+        |  JOIN nation n ON n.n_nationkey = c.nid),
+        |r AS (
+        |  SELECT nid, cnt, n_regionkey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY n_regionkey ORDER BY cnt DESC, nid) AS INT) AS rk
+        |  FROM j)
+        |SELECT nid, cnt, n_regionkey, rk FROM r WHERE rk <= 2""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val base = t.customer.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(coalesce(col("c_nationkey"), lit(-1L)).as("nid"), col("cnt"))
+      val withRegion = base.join(
+        broadcast(t.nation.select(col("n_nationkey").as("nid"), col("n_regionkey"))), Seq("nid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_regionkey").orderBy(col("cnt").desc, col("nid"))
+      withRegion.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
     }
   )
 }
