@@ -92,6 +92,28 @@ class PropertySpec extends SparkSpec {
     check(Gen.choose(-1e6, 1e6), 50)(x => Rounding.halfEven(x) == math.rint(x))
   }
 
+  test("property: native MinHash16 == grouped formulation on random token streams") {
+    // random word soups, including repeats (multiset-min == set-min) and
+    // docs shorter than one trigram (null signature == no signature row)
+    val docGen = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 1000L),
+      Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy", ""))
+        .map(_.mkString(" "))))
+    check(docGen, 5) { docs =>
+      docs.map(_._1).distinct.size != docs.size || docs.isEmpty || {
+        val df = docs.toDF("doc_id", "text")
+        val native = df.select(col("doc_id"),
+            graft.functions.MinHash16.minHash16(col("text")).as("mh"))
+          .collect().flatMap(r =>
+            if (r.isNullAt(1)) None
+            else Some(r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq)).toMap
+        val grouped = graft.llm.Dedup.minHashSignatures(
+            graft.llm.Dedup.wordShingleSet(df, "doc_id", "text"))
+          .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong(_)).toIndexedSeq).toMap
+        native == grouped
+      }
+    }
+  }
+
   test("property: exact dedup keeps one group per distinct text, min id wins") {
     val rowsGen = Gen.listOfN(20,
       Gen.zip(Gen.choose(1L, 1000L), Gen.oneOf("a b c", "d e f", "g h i")))
