@@ -390,6 +390,29 @@ object StarExt {
       (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
     },
 
+    // Gap-based sessionization (batch mirror of the stateful streaming
+    // sessionizer): 30-min inactivity gap per user.
+    QDef("x_sessionize_batch",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, min(ts) AS session_start,
+        |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY 1, 2""".stripMargin) {
+      (s, d) => EventStreams.sessionizeBatch(Tables(s, d).events, 30)
+    },
+
     // Top-2 nations per region by customer count, written as the window
     // row_number anti-pattern ON PURPOSE: score/id are provably non-null
     // (count + coalesced key), so plans.WindowTopKRewrite (active via

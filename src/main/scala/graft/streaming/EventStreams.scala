@@ -41,6 +41,35 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Batch gap-based sessionization: per user, a new session starts when
+    * the gap to the previous event exceeds `gapMinutes`. The batch mirror
+    * of [[sessionize]] (and of Structured Streaming's `session_window`):
+    * lag → gap flag → running sum = session ordinal → aggregate. All
+    * window frames are per-user and ordered by (ts, event_id) so results
+    * are deterministic; gap arithmetic in exact microseconds
+    * (`unix_micros`) for cross-engine parity.
+    *
+    * Scale shape: two per-user window functions + one hash aggregate, all
+    * partitioned by user_id — a single shuffle of the events (AQE handles
+    * hot users via skew splitting). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val flagged = events
+      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > gapMicros, 1).otherwise(0))
+    flagged
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+  }
+
   /** Per-user sessionization with custom state (mapGroupsWithState +
     * processing-time timeout): running count/sum and session bounds. */
   def sessionize(events: Dataset[EventRow])(implicit spark: SparkSession): Dataset[SessionSummary] = {

@@ -105,4 +105,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.contains((100L, 3L, 9.0)))
     assert(sessions.contains((101L, 2L, 7.0)))
   }
+
+  test("sessionizeBatch splits on the inactivity gap, per user, ordinal sessions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: events at 0, 10, 50 min (gap 40 > 30 → split); user 2: one event
+    val events = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"),
+      (2L, ts(10), 1L, "a", 2.0, "{}"),
+      (3L, ts(50), 1L, "a", 4.0, "{}"),
+      (4L, ts(5), 2L, "b", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.sessionizeBatch(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size === 3)
+    assert(out((1L, 1L)) === ((ts(0), ts(10), 2L, 3.0)))  // first session: 2 events
+    assert(out((1L, 2L)) === ((ts(50), ts(50), 1L, 4.0))) // split by the 40-min gap
+    assert(out((2L, 1L)) === ((ts(5), ts(5), 1L, 8.0)))
+  }
 }
