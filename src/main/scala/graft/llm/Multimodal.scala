@@ -51,4 +51,43 @@ object Multimodal {
         it.map { case (id, bytes) => stubDecode(id, bytes) }
       }
   }
+
+  /** STUB resize: a real implementation decodes, scales to w×h, re-encodes.
+    * The stub truncates/zero-pads the payload to w·h bytes so the contract
+    * (payload transformed per-record, meta width/height updated, row count
+    * and partitioning preserved) is testable without codecs. */
+  def resize(media: DataFrame, w: Int, h: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val target = w * h
+    val resized = media
+      .select(col("media_id"), col("payload"), col("meta.kind").as("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it => // per-partition codec init site, as in decodeFeatures
+        it.map { case (id, bytes, kind) =>
+          (id, java.util.Arrays.copyOf(bytes, target), kind)
+        }
+      }.toDF("media_id", "payload", "kind")
+    resized.select(col("media_id"), col("payload"),
+      struct(col("kind"), lit(target.toLong).as("size_bytes"),
+        lit(w).as("width"), lit(h).as("height")).as("meta"))
+  }
+
+  /** Frame sampling for video-like payloads: every `everyNth` frame of
+    * `frameBytes` bytes becomes its own row — declarative row amplification
+    * (`explode(sequence)`), so it distributes and prunes like any other
+    * lateral view; memory is bounded by one payload per row, never a whole
+    * partition of frames. Emits (media_id, frame_idx, frame_off, frame) with
+    * the frame slice itself; payloads shorter than one frame produce no
+    * rows (matching a decoder that finds no complete frame). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = (octet_length(col("payload")) / frameBytes).cast("int")
+    media
+      .select(col("media_id"), col("payload"), nFrames.as("n_frames"))
+      .filter(col("n_frames") >= 1)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("frame_off"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+  }
 }

@@ -366,6 +366,28 @@ object StarExt {
       Multimodal.decodeFeatures(media).toDF()
     },
 
+    // Frame sampling over video-like payloads: every 2nd complete 256-byte
+    // frame becomes a row (declarative explode(sequence) amplification);
+    // frames compared by md5 digest (documents are ASCII, so the oracle's
+    // char-based substr equals the engine's byte slicing).
+    QDef("x_mm_frames",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(octet_length(CAST(text AS BLOB)) // 256 AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, text, CAST(i AS INT) AS frame_idx
+        |  FROM m, unnest(range(0, n_frames, 2)) t(i)
+        |  WHERE n_frames >= 1)
+        |SELECT media_id, frame_idx, CAST(frame_idx * 256 AS INT) AS frame_off,
+        |  md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_digest
+        |FROM f""".stripMargin) { (s, d) =>
+      val media = Multimodal.toMediaTable(Tables(s, d).documents, "doc_id", "text", "text")
+      Multimodal.sampleFrames(media, frameBytes = 256, everyNth = 2)
+        .select(col("media_id"), col("frame_idx"), col("frame_off"),
+          md5(col("frame")).as("frame_digest"))
+    },
+
     // Batch equivalent of the streaming tumbling-window aggregation
     // (EventStreams.tumblingAgg — same code path; watermark is a no-op in batch).
     QDef("x_stream_tumbling",

@@ -179,4 +179,30 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(7L).digest === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(feats(8L).first_byte === -1)
   }
+
+  test("resize stub: payload truncated/padded to w*h, meta rewritten, rows preserved") {
+    import spark.implicits._
+    implicit val s = spark
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.toMediaTable(docs, "doc_id", "text", "img"), 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getStruct(2).getLong(1), r.getStruct(2).getInt(2))).toMap
+    assert(out.size === 2)
+    assert(out(1L)._1.toSeq === "abcd".getBytes.toSeq) // truncated to 4
+    assert(out(2L)._1.toSeq === ("xy".getBytes ++ Array[Byte](0, 0)).toSeq) // zero-padded
+    assert(out(1L)._2 === 4L && out(1L)._3 === 2)
+  }
+
+  test("sampleFrames: every-nth complete frame as its own row, byte-exact slices") {
+    import spark.implicits._
+    // 10 bytes, 3-byte frames → 3 complete frames (0,1,2); every 2nd → 0, 2
+    val docs = Seq((1L, "0123456789"), (2L, "ab")).toDF("doc_id", "text")
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 3, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), new String(r.getAs[Array[Byte]](3)))).toMap
+    assert(frames.keySet === Set((1L, 0), (1L, 2))) // doc 2: no complete frame
+    assert(frames((1L, 0)) === ((0, "012")))
+    assert(frames((1L, 2)) === ((6, "678")))
+  }
 }
