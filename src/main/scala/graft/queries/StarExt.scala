@@ -412,6 +412,28 @@ object StarExt {
       (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
     },
 
+    // As-of join (Spark has no built-in): each click event carries the
+    // latest at-or-before error value for its user. Oracle = DuckDB's
+    // native ASOF LEFT JOIN — a fully independent implementation of the
+    // same inclusive semantics.
+    QDef("x_asof_join",
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS err_value FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.ops.AsOfJoin.asofJoin(clicks, errors, "user_id", "ts", "value", "err_value")
+    },
+
     // Gap-based sessionization (batch mirror of the stateful streaming
     // sessionizer): 30-min inactivity gap per user.
     QDef("x_sessionize_batch",
