@@ -101,6 +101,24 @@ object StarMisc {
         .groupBy(month(col("o_orderdate")).as("mon"))
         .agg(count(lit(1)).as("cnt"),
           avg(datediff(col("l_shipdate"), col("o_orderdate"))).as("avg_ship_days"))
+    },
+
+    // Exact interpolated quantiles per group (data-quality staple). On the
+    // integer-valued l_quantity the 2^-k interpolation fractions are exact
+    // in binary, so Spark `percentile` == DuckDB `quantile_cont` bit-wise;
+    // the arbitrary-double price median is rounded on both sides.
+    QDef("x_quantiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS price_med
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_med"))
     }
   )
 }
