@@ -412,6 +412,63 @@ object StarExt {
       (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
     },
 
+    // SQL-TEXT surface end-to-end: the whole query is a spark.sql(...)
+    // string over a temp view, with the natively-registered cosine_sim
+    // (GraftExtensions) inside — proving the SQL interface carries the
+    // engine's custom expressions, not just the Dataset API. The DuckDB
+    // oracle recomputes the cosines from exploded elements independently.
+    QDef("x_sql_surface",
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+         |  FROM ee q JOIN ee c ON c.j = q.j
+         |    AND q.vec_id < 5 AND c.vec_id BETWEEN 5 AND 15
+         |  GROUP BY 1, 2)
+         |SELECT qid, cid,
+         |  round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |FROM dots
+         |JOIN norms nq ON nq.vec_id = qid
+         |JOIN norms nc ON nc.vec_id = cid""".stripMargin) { (s, d) =>
+      Tables(s, d).embeddings.createOrReplaceTempView("emb_sql")
+      s.sql("""
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               round(cosine_sim(a.embedding, b.embedding), 6) AS cos
+        FROM emb_sql a JOIN emb_sql b
+          ON a.vec_id < 5 AND b.vec_id BETWEEN 5 AND 15""")
+    },
+
+    // Spark's BUILT-IN session_window over the same 30-min gap — the
+    // cross-check for sessionizeBatch. Built-in semantics: a new session
+    // starts when the gap is >= the duration (event at exactly
+    // last_ts + gap falls outside the [start, last+gap) window), and
+    // session_end = last event + gap; the oracle encodes exactly that.
+    QDef("x_session_window",
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, seq""".stripMargin) { (s, d) =>
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"), col("total_value"))
+    },
+
     // As-of join (Spark has no built-in): each click event carries the
     // latest at-or-before error value for its user. Oracle = DuckDB's
     // native ASOF LEFT JOIN — a fully independent implementation of the
