@@ -430,6 +430,8 @@ object StarExt {
          |FROM dots
          |JOIN norms nq ON nq.vec_id = qid
          |JOIN norms nc ON nc.vec_id = cid""".stripMargin) { (s, d) =>
+      // idempotent — covers sessions built without spark.sql.extensions
+      graft.functions.GraftFunctions.register(s)
       Tables(s, d).embeddings.createOrReplaceTempView("emb_sql")
       s.sql("""
         SELECT a.vec_id AS qid, b.vec_id AS cid,

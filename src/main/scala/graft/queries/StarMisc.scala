@@ -119,6 +119,29 @@ object StarMisc {
           expr("percentile(l_quantity, 0.5)").as("q50"),
           expr("percentile(l_quantity, 0.75)").as("q75"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_med"))
+    },
+
+    // Range (band) join: per order, how many OTHER orders the same customer
+    // placed within the following 30 days. Equi-join on the customer key
+    // carries the shuffle; the date band is a post-join filter — per-key
+    // groups stay small, so the plan scales like any key join (AQE splits
+    // hot customers). No crossJoin, no O(|orders|²).
+    QDef("x_range_join",
+      """SELECT o1.o_orderkey, CAST(count(*) AS BIGINT) AS repeats
+        |FROM orders o1 JOIN orders o2
+        |  ON o2.o_custkey = o1.o_custkey AND o2.o_orderkey <> o1.o_orderkey
+        |  AND o2.o_orderdate >= o1.o_orderdate
+        |  AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val orders = Tables(s, d).orders
+      val o1 = orders.select(col("o_orderkey").as("k1"), col("o_custkey").as("c1"),
+        col("o_orderdate").as("d1"))
+      val o2 = orders.select(col("o_orderkey").as("k2"), col("o_custkey").as("c2"),
+        col("o_orderdate").as("d2"))
+      o1.join(o2, col("c1") === col("c2") && col("k1") =!= col("k2")
+          && col("d2") >= col("d1") && col("d2") <= date_add(col("d1"), 30))
+        .groupBy(col("k1").as("o_orderkey"))
+        .agg(count(lit(1)).as("repeats"))
     }
   )
 }
