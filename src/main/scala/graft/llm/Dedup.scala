@@ -99,7 +99,7 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("id"),
         graft.functions.MinHash16.minHash16(col(textCol)).as("mh"))
       .filter(col("mh").isNotNull) // < 3 tokens → no shingles → no signature
-      .cache()
+      .localCheckpoint() // GC-cleaned, unlike cache() (pinned in CacheManager)
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
       sigs.select(col("id"), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
@@ -179,11 +179,13 @@ object Dedup {
     * band over several byte-slices like MinHash-LSH instead of self-joining
     * everything; here both byte-halves are used as two bands). */
   def simHashNearDups(sh: DataFrame, maxHamming: Int): DataFrame =
-    simHashNearDupsFromHashes(simHash(sh).cache(), maxHamming)
+    simHashNearDupsFromHashes(simHash(sh), maxHamming)
 
   /** Near-dup pairs from a precomputed (id, simhash) frame. */
   def simHashNearDupsFromHashes(hashedIn: DataFrame, maxHamming: Int): DataFrame = {
-    val hashed = hashedIn.cache() // referenced 4× by the band self-join
+    // referenced 4× by the band self-join; localCheckpoint (not cache) so
+    // the blocks are GC-cleaned once the query's DataFrame is dropped
+    val hashed = hashedIn.localCheckpoint()
     val bands = Seq(
       hashed.select(col("id"), col("simhash"), lit(0).as("band"), (col("simhash") % 65536).as("sig")),
       hashed.select(col("id"), col("simhash"), lit(1).as("band"), shiftright(col("simhash"), 16).as("sig")))
@@ -197,25 +199,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Default document-frequency ceiling for [[ngramJaccardPairs]]: trigrams
+    * appearing in more documents than this are dropped from the shingle
+    * universe (boilerplate carries no near-dup signal; its posting lists are
+    * the one structure that would OOM a single task at web scale). */
+  val DefaultMaxDf = 1000
+
+  /** Hot-shingle-capped posting lists: (trigram, sorted id array), with
+    * every array bounded by `maxDf` BY CONSTRUCTION — trigrams whose df
+    * exceeds the cap are removed by a broadcast anti-join BEFORE any list
+    * is collected, so no aggregation buffer ever holds a hot posting list.
+    * Zipf ⇒ the hot set is tiny ⇒ it broadcasts and the anti-join is
+    * map-side. Exposed for the boundedness test. */
+  private[llm] def postingLists(kept: DataFrame): DataFrame =
+    kept.groupBy("g").agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+
+  /** (id, trigram) pairs with hot trigrams (df > maxDf) anti-joined away —
+    * the filtered shingle universe everything downstream sees. */
+  private[llm] def keptShingles(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Int): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.wordTrigrams(col(textCol)))).as("g"))
+      .localCheckpoint()
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("g")
+    g.join(broadcast(hot), Seq("g"), "left_anti")
+  }
+
   /** Word n-gram Jaccard near-dups within a partition-friendly scope column
     * (e.g. language): pairs are generated per shared trigram — an inverted-
-    * index join, not a crossJoin — then scored exactly. */
+    * index join, not a crossJoin — then scored exactly.
+    *
+    * `maxDf` caps posting-list length: trigrams with document frequency
+    * above the cap are dropped from the shingle universe (index, sizes, and
+    * intersections alike — standard df filtering, so the Jaccard stays
+    * exact and self-consistent over the filtered universe). Below the cap
+    * the result is bit-identical to the uncapped computation; above it,
+    * only pairs whose ONLY overlap is boilerplate disappear. The cap is
+    * what makes the exact path safe at 100 TB: without it one hot trigram
+    * (df 10⁶) materializes a 10⁶-element array in a single task. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
     // Per-document trigram SETS in-row (array_distinct before the explode):
     // (id, g) duplicates can only arise within one document, so this equals
     // the exploded global `.distinct()` — minus its corpus-wide shuffle.
-    val g = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.wordTrigrams(col(textCol)))).as("g")).cache()
-    val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
+    // localCheckpoint (not cache) so the blocks are GC-cleaned when the
+    // query's DataFrame is dropped, instead of pinned in the CacheManager
+    // for the session's lifetime.
+    val kept = keptShingles(docs, idCol, textCol, maxDf).localCheckpoint()
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     // Candidate pairs straight off the inverted index: group the posting
     // list per trigram and expand ordered id pairs in-row. One deterministic
     // hash-aggregate shuffle replaces the g⋈g self-join, whose build side
     // sat on the broadcast threshold and flip-flopped plans run-to-run.
     // Singleton trigrams (most, by Zipf) die at the size filter; per-trigram
-    // pair expansion is the same Σ df(g)² work the join row-count was.
-    val byG = g.groupBy("g").agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    // pair expansion is Σ min(df, maxDf)² — bounded, unlike the raw Σ df².
+    val byG = postingLists(kept)
     val inter = byG.select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           b => struct(a.as("d1"), b.as("d2")))))).as("p"))

@@ -143,7 +143,9 @@ object Similarity {
       threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes, dims).as("bucket"))
-      .cache() // both sides of the bucket self-join
+      // both sides of the bucket self-join; localCheckpoint (not cache) so
+      // the blocks are GC-cleaned once the query's DataFrame is dropped
+      .localCheckpoint()
     val l = b.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))
     l.join(r, Seq("bucket")).filter(col("d1") < col("d2"))

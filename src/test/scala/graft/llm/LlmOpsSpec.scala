@@ -80,6 +80,48 @@ class DedupSpec extends SparkSpec {
     // jaccard = 24 / (25 + 25 - 24) = 0.923077
     assert(math.abs(pairs((1L, 3L)) - 0.923077) < 1e-6)
   }
+
+  // every doc shares this prefix, so its internal trigrams have df = 6
+  val boiler = "terms of service apply to all pages"
+  val capDocs = Seq(
+    (10L, s"$boiler alpha beta gamma delta epsilon zeta"),
+    (11L, s"$boiler alpha beta gamma delta epsilon eta"), // near dup of 10
+    (12L, s"$boiler one two three four five six"),
+    (13L, s"$boiler seven eight nine ten eleven twelve"),
+    (14L, s"$boiler unique words here nothing shared again"),
+    (15L, s"$boiler more totally distinct filler text rows")).toDF("doc_id", "text")
+
+  def ngramPairs(maxDf: Int): Map[(Long, Long), Double] =
+    Dedup.ngramJaccardPairs(capDocs, "doc_id", "text", 0.0, maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("ngram Jaccard maxDf: bit-identical below the cap") {
+    assert(ngramPairs(maxDf = 100) === ngramPairs(maxDf = Int.MaxValue))
+    // and the default cap leaves the original docs' scores untouched
+    val deflt = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val unc = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(deflt === unc)
+  }
+
+  test("ngram Jaccard maxDf: posting lists bounded by construction above the cap") {
+    // uncapped, the boilerplate trigrams produce df-6 posting lists…
+    val uncappedMax = Dedup.postingLists(
+        Dedup.keptShingles(capDocs, "doc_id", "text", Int.MaxValue))
+      .agg(max(size(col("ids")))).first().getInt(0)
+    assert(uncappedMax === 6)
+    // …capped at 3, no list exceeds 3 — hot trigrams die before collect_list
+    val cappedMax = Dedup.postingLists(
+        Dedup.keptShingles(capDocs, "doc_id", "text", 3))
+      .agg(max(size(col("ids")))).first().getInt(0)
+    assert(cappedMax <= 3)
+    // pairs whose ONLY overlap is boilerplate disappear; real near-dups stay
+    val capped = ngramPairs(maxDf = 3)
+    assert(capped.contains((10L, 11L)))
+    assert(!capped.contains((12L, 13L)))
+    assert(ngramPairs(maxDf = Int.MaxValue).contains((12L, 13L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
