@@ -142,6 +142,27 @@ object StarMisc {
           && col("d2") >= col("d1") && col("d2") <= date_add(col("d1"), 30))
         .groupBy(col("k1").as("o_orderkey"))
         .agg(count(lit(1)).as("repeats"))
+    },
+
+    // Salted skew join, oracle-checked against the PLAIN equi-join: the salt
+    // spreads a hot key over `buckets` tasks but must never change the match
+    // set — lost or duplicated salt buckets are exactly what the count /
+    // integer key-sum per segment would catch. (At sf the small side is
+    // broadcastable anyway; the mechanism targets a skewed key joining a
+    // medium dimension too big to broadcast.)
+    QDef("x_salted_join",
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum,
+        |  round(avg(o.o_totalprice), 4) AS avg_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val small = t.customer.withColumnRenamed("c_custkey", "o_custkey")
+      graft.ops.ScaleJoins.saltedJoin(t.orders, small, "o_custkey", buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
     }
   )
 }
