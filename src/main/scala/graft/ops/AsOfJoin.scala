@@ -1,59 +1,113 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join: every left row picks up the value of the LATEST right row
   * with the same key and `rightTs <= leftTs` (inclusive — DuckDB/kdb ASOF
-  * semantics). Spark has no built-in as-of join; the composable
-  * formulation here (preference order (a) — no custom plan needed) is the
-  * scale-correct one:
+  * semantics). Spark has no built-in as-of join; two interchangeable
+  * implementations live here:
   *
-  * tag both sides, union, then one pass of
-  * `last(_v, ignoreNulls).over(partitionBy(key).orderBy(ts, side))` carries
-  * the most recent right value forward into each left row. ONE shuffle of
-  * |L|+|R| rows partitioned by key + a per-key sort — versus the
-  * per-row-subquery or range-join alternatives that are O(|L|·|R|) per key.
-  * Skewed keys split under AQE like any other sort/window load.
+  *  - [[asofJoin]]: composable Dataset-API formulation (preference order
+  *    (a)) — tag both sides, union, one pass of
+  *    `last(_, ignoreNulls).over(partitionBy(key).orderBy(ts, side))`
+  *    carries the most recent right value forward into each left row. ONE
+  *    shuffle of |L|+|R| rows partitioned by key + a per-key sort — versus
+  *    the per-row-subquery or range-join alternatives that are O(|L|·|R|)
+  *    per key. Skewed keys split under AQE like any other sort/window load.
+  *  - [[asofJoinMerge]]: whole-operator Catalyst integration (preference
+  *    order (c)) — [[graft.plans.AsOfJoinNode]] planned by
+  *    [[graft.plans.AsOfJoinStrategy]] as a dedicated sort-merge
+  *    [[graft.plans.AsOfJoinExec]]: same shuffle/sort contract as a
+  *    SortMergeJoin, then an O(|L|+|R|) forward merge with O(1) state per
+  *    partition (no window buffer). The two are result-identical and
+  *    cross-checked in AsOfJoinSpec and by the `x_asof_join` /
+  *    `x_asof_join_native` oracle rows.
   *
-  * Right rows are pre-collapsed to one per (key, ts) (max value) so results
-  * are deterministic when a key has several right rows at one timestamp;
-  * right rows order BEFORE left rows at equal ts, which is exactly the
-  * inclusive `l.ts >= r.ts` ASOF bound.
+  * Shared semantics (both match DuckDB `ASOF LEFT JOIN`):
+  *  - NULL join keys and NULL timestamps never match (left rows with a NULL
+  *    key or ts get a NULL value; right rows with a NULL key or ts are
+  *    ignored) — SQL comparison semantics, enforced, not caveated.
+  *  - Several right rows on the latest (key, ts): the MAX value wins
+  *    (deterministic tie-break).
+  *  - A matched right row whose VALUE is null yields null — presence is
+  *    tracked separately from the value, so an earlier snapshot is NOT
+  *    carried past a latest-but-null row.
   */
 object AsOfJoin {
 
   /** Left as-of join carrying `valueCol` from `right` as `valueAlias`.
     * Output = every `left` row + the as-of value (null when no right row
-    * precedes it).
-    *
-    * Null-key caveat: the window partition groups NULL keys together,
-    * where SQL equality-join semantics would match nothing — callers with
-    * nullable keys should filter or coalesce them first. */
+    * precedes it). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCol: String, valueAlias: String): DataFrame = {
     val vt = right.schema(valueCol).dataType
-    val r = right.groupBy(col(key), col(ts))
+    val pvType = StructType(Seq(StructField("_v", vt)))
+    // presence struct: non-null for every matched right row even when the
+    // VALUE inside is null, so `last(ignoreNulls)` carries the latest MATCH
+    // rather than the latest non-null value
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull) // NULLs never match
+      .groupBy(col(key), col(ts))
       .agg(max(col(valueCol)).as("_v"))
+      .withColumn("_pv", struct(col("_v")))
+      .drop("_v")
       .withColumn("_side", lit(0))
     val leftCols = left.columns
     val l = left
-      .withColumn("_v", lit(null).cast(vt))
+      .withColumn("_pv", lit(null).cast(pvType))
       .withColumn("_side", lit(1))
     // align R to L's schema: null for every left-only column
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols :+ "_v" :+ "_side").map(col): _*)
-    val unioned = l.select((leftCols :+ "_v" :+ "_side").map(col): _*)
+    }.select((leftCols :+ "_pv" :+ "_side").map(col): _*)
+    val unioned = l.select((leftCols :+ "_pv" :+ "_side").map(col): _*)
       .unionByName(rAligned)
+    // right rows order BEFORE left rows at equal ts — the inclusive bound;
+    // null key/ts left rows sort into all-left prefixes and get null
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(valueAlias, last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn("_pvl", last(col("_pv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop("_v", "_side")
+      .withColumn(valueAlias, col("_pvl").getField("_v"))
+      .drop("_pv", "_pvl", "_side")
+  }
+
+  /** As-of join through the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]]); result-identical to [[asofJoin]]. */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCol: String, valueAlias: String): DataFrame = {
+    // robust in ANY session: sessions built without
+    // spark.sql.extensions=GraftExtensions still plan the node (public
+    // ExperimentalMethods API; no-op when already registered either way)
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = Shim.analyzed(left)
+    val rPlan0 = Shim.analyzed(right)
+    // self-join lineage: if both sides share attribute ids (left and right
+    // carved from one source), re-alias the right side with FRESH exprIds —
+    // otherwise the analyzer's relation dedup re-ids the right subtree
+    // underneath the node while its attribute fields keep the stale ids
+    val rPlan = if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(a => left.sparkSession.sessionState.conf.resolver(a.name, n))
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val rv = attr(rPlan, valueCol)
+    val out = AttributeReference(valueAlias, rv.dataType, nullable = true)()
+    Shim.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, key), attr(rPlan, ts), rv, out))
   }
 }

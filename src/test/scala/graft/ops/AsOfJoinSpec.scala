@@ -35,4 +35,59 @@ class AsOfJoinSpec extends SparkSpec {
         (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
     assert(out(102L) === Some(200.0)) // max(200, 150) at t=20
   }
+
+  def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+    df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+
+  test("custom-plan asofJoinMerge is result-identical to the window formulation") {
+    val dupRight = right.union(Seq((1L, 20L, 150.0)).toDF("k", "t", "snap"))
+    assert(asMap(AsOfJoin.asofJoinMerge(left, dupRight, "k", "t", "snap", "asof_snap"))
+      === asMap(AsOfJoin.asofJoin(left, dupRight, "k", "t", "snap", "asof_snap")))
+  }
+
+  test("AsOfJoinStrategy plans AsOfJoinExec with SMJ-style exchanges and sorts") {
+    val df = AsOfJoin.asofJoinMerge(left, right, "k", "t", "snap", "asof_snap")
+    df.collect() // force planning through AQE
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
+  // DuckDB ASOF LEFT JOIN parity on nulls, hand-computed:
+  //   NULL keys/timestamps match nothing; a matched latest row with a NULL
+  //   VALUE yields NULL (presence != value).
+  val nullLeft = Seq(
+    (200L, Some(1L), Some(12L), 0.0), // plain: latest right at t<=12
+    (201L, None, Some(12L), 0.0),     // NULL key -> no match
+    (202L, Some(1L), None, 0.0))      // NULL ts  -> no match
+    .toDF("event_id", "k", "t", "v")
+  val nullRight = Seq(
+    (Some(1L), Some(8L), Some(80.0)),
+    (Some(1L), Some(10L), None),      // latest at t<=12 — value IS null
+    (None, Some(9L), Some(999.0)),    // NULL key: never matches
+    (Some(1L), None, Some(888.0)))    // NULL ts: never matches
+    .toDF("k", "t", "snap")
+
+  test("NULL keys/ts never match; latest-but-null value stays null (both impls)") {
+    for (impl <- Seq(AsOfJoin.asofJoin _, AsOfJoin.asofJoinMerge _)) {
+      val out = asMap(impl(nullLeft, nullRight, "k", "t", "snap", "asof_snap"))
+      assert(out(200L) === None) // matched t=10 row carries a NULL VALUE
+      assert(out(201L) === None) // null key
+      assert(out(202L) === None) // null ts
+    }
+  }
+
+  test("null-value rows do not mask presence: earlier non-null not carried past") {
+    // left at t=9 must still see the t=8 snapshot (the null-value row is at 10)
+    val probe = Seq((300L, Some(1L), Some(9L), 0.0)).toDF("event_id", "k", "t", "v")
+    for (impl <- Seq(AsOfJoin.asofJoin _, AsOfJoin.asofJoinMerge _)) {
+      val out = asMap(impl(probe, nullRight, "k", "t", "snap", "asof_snap"))
+      assert(out(300L) === Some(80.0))
+    }
+  }
 }
