@@ -70,24 +70,42 @@ object EventStreams {
         count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
   }
 
-  /** Per-user sessionization with custom state (mapGroupsWithState +
-    * processing-time timeout): running count/sum and session bounds. */
-  def sessionize(events: Dataset[EventRow])(implicit spark: SparkSession): Dataset[SessionSummary] = {
+  /** Per-user sessionization with custom state (mapGroupsWithState). With
+    * `idleTimeoutMs > 0` a processing-time timeout is armed: a user idle
+    * that long has their session emitted one final time and the state
+    * REMOVED — state is bounded by ACTIVE users, not all users ever seen
+    * (the production posture at scale). With the default 0 no timeout is
+    * armed (NoTimeout): state lives for the query's lifetime — demo/test
+    * mode, where the engine otherwise busy-triggers timeout-check batches
+    * and `processAllAvailable` never settles. */
+  def sessionize(events: Dataset[EventRow], idleTimeoutMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[SessionSummary] = {
     import spark.implicits._
+    val timeoutConf = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionSummary, SessionSummary](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SessionSummary, SessionSummary](timeoutConf) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionSummary]) =>
-          val batch = rows.toSeq
-          val prev = state.getOption
-          val minTs = (prev.map(_.session_start) ++ batch.map(_.ts)).minBy(_.getTime)
-          val maxTs = (prev.map(_.session_end) ++ batch.map(_.ts)).maxBy(_.getTime)
-          val next = SessionSummary(
-            userId,
-            prev.map(_.n_events).getOrElse(0L) + batch.size,
-            prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
-            minTs, maxTs)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // timeout invocation: rows is empty, state is present — emit the
+            // closed session once more and expire the state
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption
+            val minTs = (prev.map(_.session_start) ++ batch.map(_.ts)).minBy(_.getTime)
+            val maxTs = (prev.map(_.session_end) ++ batch.map(_.ts)).maxBy(_.getTime)
+            val next = SessionSummary(
+              userId,
+              prev.map(_.n_events).getOrElse(0L) + batch.size,
+              prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
+              minTs, maxTs)
+            state.update(next)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            next
+          }
       }
   }
 
@@ -103,4 +121,38 @@ object EventStreams {
   def startToMemory(agg: DataFrame, queryName: String): StreamingQuery =
     agg.writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete()).start()
+
+  /** Land an append-mode stream (e.g. a watermarked windowed aggregate) as
+    * parquet through the BUILT-IN file sink: exactly-once via the sink's
+    * `_spark_metadata` transaction log + the checkpoint's WAL — a batch
+    * replayed after a crash re-commits the same file set, and readers only
+    * see files recorded in the log. */
+  def startToParquet(agg: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Same landing through `foreachBatch`, the programmable-sink surface:
+    * each micro-batch overwrites its own `batch=<id>/` subdirectory, so a
+    * batch replayed after restart rewrites the SAME directory instead of
+    * appending duplicates — idempotent writes + checkpoint offsets =
+    * exactly-once output. (`foreachBatch` is where production pipelines do
+    * merges/upserts; directory-per-batch is the minimal idempotent form.) */
+  def startForeachBatchParquet(agg: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** Read back everything [[startForeachBatchParquet]] has landed. */
+  def readForeachBatchOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch")
 }

@@ -86,6 +86,58 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalized("2024-01-01 10:00:00.0") === ((2L, 3.0)))
   }
 
+  test("foreachBatch parquet sink: restart from checkpoint, sink equals batch, no dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val stream = MemoryStream[EventRow]
+    def start() = EventStreams.startForeachBatchParquet(
+      EventStreams.tumblingAgg(stream.toDF(), "1 hour", "1 hour"), outDir, ckpt)
+    // phase 1: three events, stop (nothing finalized yet — watermark at 10:05)
+    val q1 = start()
+    stream.addData(rows.take(3): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: RESTART from the same checkpoint; remaining events + a
+    // sentinel that pushes the watermark past every real window
+    val q2 = start()
+    stream.addData(rows.drop(3): _*)
+    q2.processAllAvailable()
+    stream.addData(EventRow(99L, ts("2024-01-02 12:00:00"), 999L, "sentinel", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val sunk = EventStreams.readForeachBatchOutput(spark, outDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+    // exactly once: no (window, type) key appears twice across batch dirs
+    assert(sunk.length === sunk.toMap.size)
+    // and the landed content equals the batch aggregate over the same rows
+    val batch = EventStreams.tumblingAgg(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(sunk.toMap === batch)
+  }
+
+  test("built-in parquet file sink lands finalized windows exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt").toString
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.startToParquet(
+      EventStreams.tumblingAgg(stream.toDF(), "1 hour", "1 hour"), outDir, ckpt)
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    stream.addData(EventRow(99L, ts("2024-01-02 12:00:00"), 999L, "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4)))
+    assert(sunk.length === sunk.toMap.size)
+    val batch = EventStreams.tumblingAgg(rows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(sunk.toMap === batch)
+  }
+
   test("sessionize accumulates per-user state across micro-batches") {
     import spark.implicits._
     implicit val s = spark
@@ -104,6 +156,39 @@ class EventStreamsSpec extends SparkSpec {
     // latest update for user 100: 3 events totalling 9.0
     assert(sessions.contains((100L, 3L, 9.0)))
     assert(sessions.contains((101L, 2L, 7.0)))
+  }
+
+  test("sessionize idle timeout expires state: next event starts a FRESH session") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    // 200 ms idle timeout; with ProcessingTimeTimeout the engine triggers
+    // continuously, so processAllAvailable never settles — poll the memory
+    // sink with a deadline instead.
+    val q = EventStreams.sessionize(stream.toDS(), idleTimeoutMs = 200L)
+      .writeStream.format("memory").queryName("sessions_timeout_test")
+      .outputMode("update").start()
+    def await(pred: Set[(Long, Long, Double)] => Boolean): Set[(Long, Long, Double)] = {
+      val deadline = System.currentTimeMillis + 30000
+      var got = Set.empty[(Long, Long, Double)]
+      while (!pred(got) && System.currentTimeMillis < deadline) {
+        Thread.sleep(100)
+        got = spark.table("sessions_timeout_test").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      got
+    }
+    stream.addData(EventRow(1L, ts("2024-01-01 10:00:00"), 500L, "click", 1.0))
+    assert(await(_.contains((500L, 1L, 1.0))).contains((500L, 1L, 1.0)))
+    Thread.sleep(2000) // >> idle timeout: state expires and is removed
+    stream.addData(EventRow(2L, ts("2024-01-01 10:01:00"), 500L, "click", 9.0))
+    // fresh session: n_events restarts at 1 with ONLY the new value — had the
+    // state survived, the update would read (500, 2, 10.0)
+    val got = await(_.contains((500L, 1L, 9.0)))
+    q.stop()
+    assert(got.contains((500L, 1L, 9.0)))
+    assert(!got.contains((500L, 2L, 10.0)))
   }
 
   test("sessionizeBatch splits on the inactivity gap, per user, ordinal sessions") {
