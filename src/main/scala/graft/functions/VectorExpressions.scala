@@ -165,10 +165,23 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SquaredL2Distance].getName, "l2_sq"),
     (children: Seq[Expression]) => SquaredL2Distance(children(0), children(1)))
 
-  /** Register `cosine_sim` / `l2_sq` in an existing session's function
-    * registry (usable from `spark.sql(...)`). */
+  val minHash16Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash16"),
+    new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+    (children: Seq[Expression]) => MinHash16(children.head))
+
+  val simHash32WordsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash32_words"),
+    new ExpressionInfo(classOf[SimHash32Words].getName, "simhash32_words"),
+    (children: Seq[Expression]) => SimHash32Words(children.head))
+
+  private def allDescriptors = Seq(cosineSimDescriptor, l2SqDescriptor,
+    minHash16Descriptor, simHash32WordsDescriptor)
+
+  /** Register `cosine_sim` / `l2_sq` / `minhash16` / `simhash32_words` in an
+    * existing session's function registry (usable from `spark.sql(...)`). */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSimDescriptor, l2SqDescriptor).foreach { case (ident, info, builder) =>
+    allDescriptors.foreach { case (ident, info, builder) =>
       Shim.registerFunction(spark, ident, info, builder)
     }
 }
@@ -178,6 +191,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.l2SqDescriptor)
+    ext.injectFunction(GraftFunctions.minHash16Descriptor)
+    ext.injectFunction(GraftFunctions.simHash32WordsDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

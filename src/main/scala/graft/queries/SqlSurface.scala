@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+
+/** SQL-TEXT twins of flagship queries: each runs entirely as a
+  * `spark.sql(...)` string over temp views, proving the engine's full SQL
+  * interface — parser → analyzer (registered custom functions) → optimizer
+  * (injected rules) → execution — carries the same semantics as the
+  * Dataset-API formulations. Each twin shares its oracle with (or derives it
+  * from) the Dataset-API original, so both interfaces are held to the same
+  * DuckDB ground truth.
+  */
+object SqlSurface {
+
+  private def viewed(s: org.apache.spark.sql.SparkSession, d: String,
+      names: String*): Unit = {
+    val t = Tables(s, d)
+    names.foreach {
+      case n @ "lineitem" => t.lineitem.createOrReplaceTempView(n)
+      case n @ "supplier" => t.supplier.createOrReplaceTempView(n)
+      case n @ "nation" => t.nation.createOrReplaceTempView(n)
+      case n @ "region" => t.region.createOrReplaceTempView(n)
+      case n @ "customer" => t.customer.createOrReplaceTempView(n)
+      case n @ "documents" => t.documents.createOrReplaceTempView(n)
+      case n => throw new IllegalArgumentException(s"no such view: $n")
+    }
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // The flagship most_delay pipeline as ONE SQL string (scalar subquery
+    // replaces the collect-scalar barrier; bround = the Scala side's
+    // HALF_EVEN banker's rounding).
+    QDef("x_sql_most_delay", StarFlights.MostDelaySql) { (s, d) =>
+      viewed(s, d, "lineitem", "supplier", "nation")
+      s.sql("""
+        WITH detail AS (
+          SELECT n.n_name, l.l_quantity, l.l_extendedprice
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        counts AS (SELECT n_name, count(*) AS num_rows FROM detail GROUP BY n_name),
+        popular AS (SELECT n_name FROM counts
+          WHERE num_rows > (SELECT bround(avg(num_rows)) FROM counts))
+        SELECT d.n_name, avg(d.l_quantity) AS avg_qty,
+          round(avg(d.l_extendedprice), 4) AS avg_price,
+          (avg(d.l_quantity) + round(avg(d.l_extendedprice), 4)) / 2 AS total_avg
+        FROM detail d JOIN popular USING (n_name)
+        GROUP BY d.n_name
+        ORDER BY total_avg DESC, d.n_name""")
+    },
+
+    // Native minhash16() through SQL text: 16 signature minima per document,
+    // exploded to columns; oracle recomputes them from the exploded shingle
+    // set with DuckDB arithmetic.
+    QDef("x_sql_minhash_sig", {
+      val cols = (0 until 16).map(k => s"m$k").mkString(", ")
+      s"""WITH ${StarExt.WordShCte},
+         |${StarExt.MhCte}
+         |SELECT id, $cols FROM mh""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s) // any-session robustness
+      viewed(s, d, "documents")
+      val cols = (0 until 16).map(k => s"mh[$k] AS m$k").mkString(", ") // [] is 0-based in Spark SQL
+      s.sql(s"""
+        SELECT doc_id AS id, $cols
+        FROM (SELECT doc_id, minhash16(text) AS mh FROM documents)
+        WHERE mh IS NOT NULL""")
+    },
+
+    // Native simhash32_words() through SQL text vs the grouped bit-weight
+    // oracle formulation.
+    QDef("x_sql_simhash", {
+      val weights = (0 until 32)
+        .map(j => s"sum(((sh >> $j) & 1) * 2 - 1) AS w$j").mkString(", ")
+      val value = (0 until 32)
+        .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH ${StarExt.WordShCte},
+         |w AS (SELECT id, $weights FROM wsh GROUP BY id)
+         |SELECT id, CAST($value AS BIGINT) AS simhash FROM w""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      viewed(s, d, "documents")
+      // docs with < 3 tokens have no trigrams: no oracle row, null hash here
+      s.sql("""
+        SELECT doc_id AS id, simhash32_words(text) AS simhash
+        FROM documents WHERE size(split(text, ' ')) >= 3""")
+    },
+
+    // GROUP BY ROLLUP through SQL text (subtotal + grand-total rows).
+    QDef("x_sql_rollup",
+      """SELECT r.r_name, n.n_name, count(*) AS cnt
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)""".stripMargin) { (s, d) =>
+      viewed(s, d, "supplier", "nation", "region")
+      s.sql("""
+        SELECT r.r_name, n.n_name, count(*) AS cnt
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)""")
+    },
+
+    // Window top-k through SQL text — in sessions with GraftExtensions the
+    // injected WindowTopKRewrite rule turns this parsed row_number/filter
+    // shape into the bounded-heap TopKByScore aggregate, proving optimizer
+    // injection reaches the SQL interface too.
+    QDef("x_sql_window_topk",
+      """WITH cnt AS (
+        |  SELECT coalesce(c_nationkey, -1) AS nid,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM customer GROUP BY 1),
+        |j AS (
+        |  SELECT c.nid, c.cnt, n.n_regionkey FROM cnt c
+        |  JOIN nation n ON n.n_nationkey = c.nid),
+        |r AS (
+        |  SELECT nid, cnt, n_regionkey,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY n_regionkey ORDER BY cnt DESC, nid) AS INT) AS rk
+        |  FROM j)
+        |SELECT nid, cnt, n_regionkey, rk FROM r WHERE rk <= 2""".stripMargin) { (s, d) =>
+      viewed(s, d, "customer", "nation")
+      s.sql("""
+        WITH cnt AS (
+          SELECT coalesce(c_nationkey, -1L) AS nid,
+            CAST(count(*) AS DOUBLE) AS cnt
+          FROM customer GROUP BY 1),
+        j AS (
+          SELECT c.nid, c.cnt, n.n_regionkey FROM cnt c
+          JOIN nation n ON n.n_nationkey = c.nid),
+        r AS (
+          SELECT nid, cnt, n_regionkey,
+            CAST(row_number() OVER (
+              PARTITION BY n_regionkey ORDER BY cnt DESC, nid) AS INT) AS rk
+          FROM j)
+        SELECT nid, cnt, n_regionkey, rk FROM r WHERE rk <= 2""")
+    }
+  )
+}

@@ -32,7 +32,7 @@ object StarExt {
        | + CAST(length($tok) AS BIGINT)*16777216)""".stripMargin.replace("\n", "")
 
   /** Word-trigram-hash shingle set (matches TextOps.wordTrigramHashes). */
-  private val WordShCte =
+  private[queries] val WordShCte =
     s"""wsh AS (
        |  SELECT DISTINCT doc_id AS id,
        |    ((${whSql("toks[CAST(i AS INT)]")} * 1000003
@@ -41,7 +41,7 @@ object StarExt {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |       unnest(range(1, len(toks)-1)) t(i))""".stripMargin
 
-  private val MhCte = {
+  private[queries] val MhCte = {
     val mins = Dedup.HashAB.zipWithIndex.map { case ((a, b), k) =>
       s"min(($a * sh + $b) % ${Dedup.Prime}) AS m$k"
     }.mkString(",\n    ")

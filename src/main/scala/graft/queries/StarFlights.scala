@@ -33,7 +33,7 @@ object StarFlights {
       .orderBy(col("total_avg").desc, col("n_name"))
   }
 
-  private val MostDelaySql =
+  private[queries] val MostDelaySql =
     """WITH detail AS (
       |  SELECT n.n_name, l.l_quantity, l.l_extendedprice
       |  FROM lineitem l
