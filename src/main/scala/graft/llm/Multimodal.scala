@@ -6,15 +6,23 @@ import org.apache.spark.sql.functions._
 /** One decoded media record (stubbed features — see [[Multimodal.decodeFeatures]]). */
 final case class MediaFeatures(media_id: Long, n_bytes: Long, first_byte: Int, digest: String)
 
+/** One REAL image decode (see [[Multimodal.decodeImageFeatures]]): pixel
+  * dimensions + mean luminance when the payload is a decodable image
+  * (`decoded = true`), byte-level fallback features otherwise. */
+final case class ImageFeatures(media_id: Long, decoded: Boolean,
+    width: Int, height: Int, mean_luma: Double, n_bytes: Long, digest: String)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus the batch decode/feature-extract path.
   *
   * The Spark-side plumbing (schema, partition-preserving mapPartitions,
-  * batch iteration) is real and tested; the DECODE STEP IS A STUB — this
-  * container has no image/audio codecs, so `decodeFeatures` computes
-  * deterministic byte-level features (length / first byte / md5) where a
-  * production build would call the codec. Swap `stubDecode` for the real
-  * decoder; everything around it stays.
+  * batch iteration) is real and tested. IMAGES decode for real:
+  * [[Multimodal.decodeImageFeatures]] / [[Multimodal.resizeImages]] use the
+  * JDK-built-in `javax.imageio` codecs (PNG/BMP/GIF/JPEG) with a byte-level
+  * fallback for undecodable payloads. AUDIO/VIDEO decode remains a
+  * documented stub (`decodeFeatures` computes deterministic byte-level
+  * features; this container has no av codecs) — swap `stubDecode` for the
+  * real decoder; everything around it stays.
   */
 object Multimodal {
 
@@ -50,6 +58,84 @@ object Multimodal {
         // per-partition init site (real codec handle would be created here)
         it.map { case (id, bytes) => stubDecode(id, bytes) }
       }
+  }
+
+  /** REAL image decode via `javax.imageio` (JDK-built-in PNG/BMP/GIF/JPEG
+    * codecs — no external library): pixel dimensions + mean luminance
+    * (ITU-R BT.601 weights). Payloads ImageIO can't decode fall back to the
+    * byte-level features with `decoded = false`, so mixed/corrupt corpora
+    * flow through instead of failing the task — the standard posture for
+    * web-scale media ingestion. Headless-safe: BufferedImage decoding needs
+    * no display. Same partition-preserving mapPartitions shape as
+    * [[decodeFeatures]]; ImageIO's per-JVM registry is the per-partition
+    * "codec init". */
+  def decodeImageFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, bytes) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val digest = md.digest(bytes).map("%02x".format(_)).mkString
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            ImageFeatures(id, decoded = false, -1, -1, -1.0, bytes.length.toLong, digest)
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(id, decoded = true, img.getWidth, img.getHeight,
+              sum / (img.getWidth.toLong * img.getHeight), bytes.length.toLong, digest)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize: ImageIO decode → Graphics2D scale to w×h → PNG
+    * re-encode, with meta width/height updated. Non-decodable payloads fall
+    * back to the byte-truncation stub (flagged by `meta.kind` suffix
+    * `:undecoded`), keeping row count and partitioning intact. */
+  def resizeImages(media: DataFrame, w: Int, h: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val resized = media
+      .select(col("media_id"), col("payload"), col("meta.kind").as("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, bytes, kind) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null)
+            (id, java.util.Arrays.copyOf(bytes, w * h), s"$kind:undecoded")
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, buf.toByteArray, kind)
+          }
+        }
+      }.toDF("media_id", "payload", "kind")
+    resized.select(col("media_id"), col("payload"),
+      struct(col("kind"), octet_length(col("payload")).cast("long").as("size_bytes"),
+        lit(w).as("width"), lit(h).as("height")).as("meta"))
   }
 
   /** STUB resize: a real implementation decodes, scales to w×h, re-encodes.

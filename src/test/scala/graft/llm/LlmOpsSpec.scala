@@ -235,6 +235,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)._2 === 4L && out(1L)._3 === 2)
   }
 
+  def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("ImageIO decode: real PNG dimensions + luminance; garbage falls back") {
+    import spark.implicits._
+    implicit val s = spark
+    val media = Seq(
+      (1L, pngBytes(4, 2, 0xff0000)),             // solid red 4x2
+      (2L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeImageFeatures(
+        Multimodal.toMediaTable(media, "doc_id", "payload", "image"))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded)
+    assert(feats(1L).width === 4 && feats(1L).height === 2)
+    assert(math.abs(feats(1L).mean_luma - 0.299 * 255) < 1e-6) // pure red
+    assert(!feats(2L).decoded)
+    assert(feats(2L).width === -1 && feats(2L).n_bytes === 19L)
+  }
+
+  test("ImageIO resize: re-encoded PNG at target dims, meta updated, fallback flagged") {
+    import spark.implicits._
+    implicit val s = spark
+    val media = Multimodal.toMediaTable(Seq(
+      (1L, pngBytes(8, 8, 0x0000ff)),
+      (2L, "garbage".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+      "doc_id", "payload", "image")
+    val out = Multimodal.resizeImages(media, 2, 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getStruct(2).getString(0),
+          r.getStruct(2).getInt(2), r.getStruct(2).getInt(3))).toMap
+    // decodable payload: actually a 2x3 PNG now
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(back.getWidth === 2 && back.getHeight === 3)
+    assert((back.getRGB(0, 0) & 0xffffff) === 0x0000ff) // still blue
+    assert(out(1L)._2 === "image" && out(1L)._3 === 2 && out(1L)._4 === 3)
+    // garbage payload: stub truncation, flagged kind
+    assert(out(2L)._2 === "image:undecoded")
+    assert(out(2L)._1.length === 6)
+  }
+
   test("sampleFrames: every-nth complete frame as its own row, byte-exact slices") {
     import spark.implicits._
     // 10 bytes, 3-byte frames → 3 complete frames (0,1,2); every 2nd → 0, 2
