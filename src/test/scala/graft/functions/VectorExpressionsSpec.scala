@@ -64,6 +64,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.count(_.isNullAt(0)) === 3)
   }
 
+  test("mismatched-length arrays yield null (matching the HOF zip_with semantics)") {
+    val mixed = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(1f, 2f))).toDF("id", "e")
+    val pairs = mixed.as("a").crossJoin(mixed.as("b"))
+      .select(col("a.id"), col("b.id"),
+        GraftFunctions.cosineSim(col("a.e"), col("b.e")).as("cos"),
+        GraftFunctions.l2Sq(col("a.e"), col("b.e")).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(pairs((1L, 2L)) === ((true, true)))  // 3 vs 2 elements -> null
+    assert(pairs((2L, 1L)) === ((true, true)))
+    assert(pairs((1L, 1L)) === ((false, false))) // equal lengths unaffected
+    assert(pairs((2L, 2L)) === ((false, false)))
+  }
+
   test("SQL registration: cosine_sim callable from spark.sql and codegen'd") {
     GraftFunctions.register(spark)
     vecs.createOrReplaceTempView("vx")
