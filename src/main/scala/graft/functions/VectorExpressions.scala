@@ -196,6 +196,25 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash32Words].getName, "simhash32_words"),
     (children: Seq[Expression]) => SimHash32Words(children.head))
 
+  /** Bloom-filter aggregate over a BIGINT key column (Spark's internal
+    * `BloomFilterAggregate`, the engine behind runtime row-level filters —
+    * not exposed in the public registry, surfaced here for explicit use).
+    * Returns the serialized sketch as binary. */
+  def bloomFilterAgg(key: Column, estItems: Long, numBits: Long): Column =
+    Shim.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Shim.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(estItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Probe a driver-materialized bloom sketch (the same scalar-barrier shape
+    * Spark's InjectRuntimeFilter uses: build once, broadcast as a constant). */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    Shim.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloom,
+        org.apache.spark.sql.types.BinaryType),
+      Shim.expression(key)))
+
   private def allDescriptors = Seq(cosineSimDescriptor, l2SqDescriptor,
     minHash16Descriptor, simHash32WordsDescriptor)
 

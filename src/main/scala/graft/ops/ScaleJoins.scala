@@ -29,11 +29,16 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Write a DataFrame as a bucketed+sorted managed table: co-located,
-    * pre-sorted layout so later equi-joins/aggregations on `key` plan with
-    * NO shuffle exchange (SortMergeJoin reads buckets directly). */
-  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+  /** Write a DataFrame as a bucketed+sorted table: co-located, pre-sorted
+    * layout so later equi-joins/aggregations on `key` plan with NO shuffle
+    * exchange (SortMergeJoin reads buckets directly). With `path` the table
+    * is external (data at the given location); otherwise managed in the
+    * session warehouse. */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(numBuckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

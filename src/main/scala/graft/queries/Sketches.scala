@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleJoins
+
+/** Approximate-sketch operators (HyperLogLog cardinality, quantile sketch,
+  * bloom filter) — the structures that replace exact distinct/percentile/
+  * membership at 100 TB, where the exact forms need unbounded state.
+  *
+  * Sketch ESTIMATES can't be hash-compared across engines (Spark's HLL++ /
+  * KLL / bloom implementations differ from DuckDB's), so each query outputs
+  * the EXACT value (oracle-checkable bit-wise) plus a boolean asserting the
+  * sketch landed within its documented error bound — the oracle expects
+  * `true`, so a sketch drifting out of tolerance fails the round's
+  * correctness gate, not just a unit test.
+  */
+object Sketches {
+
+  val defs: Seq[QDef] = Seq(
+
+    // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
+    QDef("x_sketch_hll",
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+        |  true AS hll_within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("hll"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("hll") - col("exact_nd")) <= col("exact_nd") * 0.05)
+            .as("hll_within_5pct"))
+    },
+
+    // Quantile sketch (percentile_approx, accuracy 1000) within 2 units of
+    // the exact interpolated median (rank error <= n/accuracy).
+    QDef("x_sketch_quantile",
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_p50,
+        |  true AS approx_within_2
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50a"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("p50a") - col("exact_p50")) <= 2.0).as("approx_within_2"))
+    },
+
+    // Bloom filter over the customer keys probed by every order: zero false
+    // negatives (guaranteed by construction — the oracle-checkable half) and
+    // a low false-positive rate on known-absent keys (100 bits/item => ~0).
+    // The sketch is materialized at the driver and probed as a constant —
+    // the same build-once/broadcast shape Spark's InjectRuntimeFilter plans
+    // (a ~25 KB scalar barrier, like the reference's S4 collect-scalar).
+    QDef("x_sketch_bloom",
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  true AS no_false_negatives, true AS fp_rate_low
+        |FROM orders""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.{bloomFilterAgg, mightContain}
+      val t = Tables(s, d)
+      val bf = t.customer
+        .agg(bloomFilterAgg(col("c_custkey"), 2000L, 200000L).as("f"))
+        .first().getAs[Array[Byte]](0)
+      t.orders
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(when(mightContain(bf, col("o_custkey")), 1L).otherwise(0L))
+            === count(lit(1))).as("no_false_negatives"),
+          (avg(when(mightContain(bf, col("o_custkey") + 10000000L), 1.0)
+            .otherwise(0.0)) <= 0.05).as("fp_rate_low"))
+    },
+
+    // Bucketed co-located join, oracle-checked against the plain join: both
+    // sides land as bucketed+sorted tables on the SAME key/bucket count,
+    // then the equi-join plans with NO shuffle exchange (asserted in
+    // ScaleJoinsSpec) — the layout decision that kills the dominant
+    // fact-fact shuffle at 100 TB. This row proves the bucketed path's
+    // RESULTS, not just its plan.
+    QDef("x_bucketed_join",
+      """SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+      ScaleJoins.writeBucketed(
+        t.orders, "graft_b_orders", "o_custkey", 8, Some(s"$base/orders"))
+      ScaleJoins.writeBucketed(
+        t.customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "graft_b_customer", "o_custkey", 8, Some(s"$base/customer"))
+      s.table("graft_b_orders").join(s.table("graft_b_customer"), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+    }
+  )
+}
