@@ -31,6 +31,51 @@ class PropertySpec extends SparkSpec {
     assert(cancelled.count() + delayed.count() + droppedByElapsed === flights.count())
   }
 
+  // small key/ts domains force heavy collisions: duplicate (key, ts) rows,
+  // ties between left and right timestamps, keys on one side only
+  private val asofGen: Gen[(List[(Long, Long, Double)], List[(Long, Long, Double)])] =
+    Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 9L),
+        Gen.choose(0.0, 99.0))),
+      Gen.listOfN(20, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 9L),
+        Gen.choose(0.0, 99.0))))
+
+  test("invariant: custom AsOfJoinExec == window formulation on random data") {
+    check(asofGen, 8) { case (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+        .toDF("event_id", "k", "t", "v")
+      val right = r.toDF("k", "t", "snap")
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(4)) None else Some(row.getDouble(4)))).toMap
+      res(ops.AsOfJoin.asofJoinMerge(left, right, "k", "t", "snap", "a")) ==
+        res(ops.AsOfJoin.asofJoin(left, right, "k", "t", "snap", "a"))
+    }
+  }
+
+  test("invariant: as-of value is max value at the latest right ts <= left ts") {
+    check(asofGen, 5) { case (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+        .toDF("event_id", "k", "t", "v")
+      val right = r.toDF("k", "t", "snap")
+      val got = ops.AsOfJoin.asofJoinMerge(left, right, "k", "t", "snap", "a")
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(4)) None else Some(row.getDouble(4)))).toMap
+      l.zipWithIndex.forall { case ((k, t, _), i) =>
+        val eligible = r.filter { case (rk, rt, _) => rk == k && rt <= t }
+        val expect =
+          if (eligible.isEmpty) None
+          else {
+            val latest = eligible.map(_._2).max
+            Some(eligible.filter(_._2 == latest).map(_._3).max)
+          }
+        got(i.toLong) == expect
+      }
+    }
+  }
+
   test("invariant: sum(inDegree) == edge count, on random multigraphs") {
     check(edgeListGen, 5) { pairs =>
       pairs.isEmpty || {
