@@ -12,17 +12,24 @@ final case class MediaFeatures(media_id: Long, n_bytes: Long, first_byte: Int, d
 final case class ImageFeatures(media_id: Long, decoded: Boolean,
     width: Int, height: Int, mean_luma: Double, n_bytes: Long, digest: String)
 
+/** One REAL audio decode (see [[Multimodal.decodeAudioFeatures]]): format
+  * parameters + RMS amplitude (16-bit PCM) when the payload is a decodable
+  * audio stream, byte-level fallback otherwise. */
+final case class AudioFeatures(media_id: Long, decoded: Boolean,
+    sample_rate: Double, channels: Int, frames: Long, rms: Double, n_bytes: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus the batch decode/feature-extract path.
   *
   * The Spark-side plumbing (schema, partition-preserving mapPartitions,
-  * batch iteration) is real and tested. IMAGES decode for real:
-  * [[Multimodal.decodeImageFeatures]] / [[Multimodal.resizeImages]] use the
-  * JDK-built-in `javax.imageio` codecs (PNG/BMP/GIF/JPEG) with a byte-level
-  * fallback for undecodable payloads. AUDIO/VIDEO decode remains a
-  * documented stub (`decodeFeatures` computes deterministic byte-level
-  * features; this container has no av codecs) — swap `stubDecode` for the
-  * real decoder; everything around it stays.
+  * batch iteration) is real and tested. IMAGES decode for real
+  * ([[Multimodal.decodeImageFeatures]] / [[Multimodal.resizeImages]], JDK
+  * `javax.imageio` — PNG/BMP/GIF/JPEG) and so does AUDIO
+  * ([[Multimodal.decodeAudioFeatures]], JDK `javax.sound.sampled` —
+  * WAV/AU/AIFF), each with a byte-level fallback for undecodable payloads.
+  * Only VIDEO decode remains a documented stub (`decodeFeatures` computes
+  * deterministic byte-level features; no JDK video codec exists) — swap
+  * `stubDecode` for the real decoder; everything around it stays.
   */
 object Multimodal {
 
@@ -97,6 +104,47 @@ object Multimodal {
             }
             ImageFeatures(id, decoded = true, img.getWidth, img.getHeight,
               sum / (img.getWidth.toLong * img.getHeight), bytes.length.toLong, digest)
+          }
+        }
+      }
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-built-in WAV/AU/AIFF
+    * readers — no external library): sample rate, channel count, frame
+    * length, and RMS amplitude (computed for 16-bit signed PCM, the WAV
+    * default; -1 otherwise). Undecodable payloads fall back with
+    * `decoded = false`, same mixed-corpus posture as
+    * [[decodeImageFeatures]]. */
+  def decodeAudioFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val rms =
+              if (fmt.getSampleSizeInBits == 16 &&
+                  fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+                val data = ais.readAllBytes()
+                var sum = 0.0
+                var n = 0
+                var i = 0
+                while (i + 1 < data.length) {
+                  val s =
+                    if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                    else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  val v = s / 32768.0
+                  sum += v * v; n += 1; i += 2
+                }
+                if (n > 0) math.sqrt(sum / n) else -1.0
+              } else -1.0
+            AudioFeatures(id, decoded = true, fmt.getSampleRate.toDouble,
+              fmt.getChannels, ais.getFrameLength, rms, bytes.length.toLong)
+          } catch {
+            case _: Exception =>
+              AudioFeatures(id, decoded = false, -1.0, -1, -1L, -1.0, bytes.length.toLong)
           }
         }
       }

@@ -283,6 +283,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L)._1.length === 6)
   }
 
+  def wavBytes(sampleRate: Float, seconds: Double, amplitude: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amplitude * math.sin(2 * math.Pi * 440 * i / sampleRate) * 32767).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("audio decode: real WAV format + RMS amplitude; garbage falls back") {
+    import spark.implicits._
+    implicit val s = spark
+    val media = Multimodal.toMediaTable(Seq(
+      (1L, wavBytes(8000f, 0.5, 0.5)),
+      (2L, "definitely not audio".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+      "doc_id", "payload", "audio")
+    val feats = Multimodal.decodeAudioFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded)
+    assert(feats(1L).sample_rate === 8000.0)
+    assert(feats(1L).channels === 1)
+    assert(feats(1L).frames === 4000L)
+    // sine RMS = amplitude / sqrt(2)
+    assert(math.abs(feats(1L).rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(!feats(2L).decoded)
+  }
+
   test("sampleFrames: every-nth complete frame as its own row, byte-exact slices") {
     import spark.implicits._
     // 10 bytes, 3-byte frames → 3 complete frames (0,1,2); every 2nd → 0, 2
