@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator Catalyst integration for the as-of join (preference order
   * (c): custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`, registered via
@@ -73,6 +74,10 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
@@ -93,6 +98,8 @@ case class AsOfJoinExec(
     val rKeyExpr = rightKey; val rTsExpr = rightTs; val rValExpr = rightValue
     val outAttrs = output
     val joinedSchema = lOutput :+ outAttr
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOutput)
@@ -146,6 +153,8 @@ case class AsOfJoinExec(
             if (carryVal != null && keyOrd.compare(carryKey, lk) == 0) v = carryVal
           }
         }
+        numOutputRows += 1
+        if (v ne nullValue) numMatched += 1
         resultProj(joined(lRow, v))
       }
     }
