@@ -68,6 +68,38 @@ object Sketches {
             .otherwise(0.0)) <= 0.05).as("fp_rate_low"))
     },
 
+    // Count-min sketch frequency estimation: per-key estimates are
+    // overestimates bounded by eps*N with the configured confidence. The
+    // sketch (a few KB) is driver-materialized and probed for five fixed
+    // keys; the oracle checks the EXACT counts bit-wise and expects the
+    // CMS guarantee booleans to hold.
+    QDef("x_sketch_cms",
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |  true AS cms_lower_ok, true AS cms_upper_ok
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 5
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val totalAndSketch = t.lineitem
+        .agg(count(lit(1)).as("n"),
+          expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("cms"))
+        .first()
+      val n = totalAndSketch.getLong(0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        totalAndSketch.getAs[Array[Byte]](1))
+      val eps = 0.001
+      import s.implicits._
+      val probes = (1L to 5L)
+        .map(k => (k, cms.estimateCount(k)))
+        .toDF("l_suppkey", "cms_est")
+      t.lineitem.filter(col("l_suppkey").between(1, 5))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+        .join(broadcast(probes), "l_suppkey")
+        .select(col("l_suppkey"), col("exact_cnt"),
+          (col("cms_est") >= col("exact_cnt")).as("cms_lower_ok"), // never underestimates
+          (col("cms_est") <= col("exact_cnt") + lit((eps * n).toLong + 1))
+            .as("cms_upper_ok"))
+    },
+
     // Bucketed co-located join, oracle-checked against the plain join: both
     // sides land as bucketed+sorted tables on the SAME key/bucket count,
     // then the equi-join plans with NO shuffle exchange (asserted in
