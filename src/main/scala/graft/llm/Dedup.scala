@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Frames referenced several times by a band/bucket self-join are pinned
+    * with `localCheckpoint()` rather than `cache()`. Tradeoff, explicitly:
+    *
+    *  - `localCheckpoint` truncates lineage and materializes EAGERLY — the
+    *    Spark jobs run when the DataFrame is CONSTRUCTED, and after an
+    *    executor loss the blocks have no recompute path (the job fails
+    *    instead of recomputing). Blocks are GC-cleaned with the DataFrame.
+    *  - `cache()` keeps lineage (recomputes on executor loss) but pins the
+    *    blocks in the CacheManager until an explicit `unpersist()`.
+    *
+    * These builders RETURN lazy frames to callers who consume them exactly
+    * once (query harness → sink), so there is no post-consumption hook to
+    * call `unpersist()` from — cache() here would accumulate pinned blocks
+    * across a 115-query session. On a real cluster with preemptible
+    * executors, prefer `reliable checkpoint()` (HDFS-backed) or cache with
+    * an owned lifecycle: wrap the pipeline in
+    * `try { df.cache(); consume(df) } finally df.unpersist()`. */
+  private[llm] def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** MinHash parameters — shared with the DuckDB oracle generator. */
   val Prime: Long = 2147483647L
   val HashAB: Seq[(Long, Long)] = Seq(
@@ -99,7 +118,7 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("id"),
         graft.functions.MinHash16.minHash16(col(textCol)).as("mh"))
       .filter(col("mh").isNotNull) // < 3 tokens → no shingles → no signature
-      .localCheckpoint() // GC-cleaned, unlike cache() (pinned in CacheManager)
+      .transform(pin) // see [[pin]] for the localCheckpoint-vs-cache tradeoff
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
       sigs.select(col("id"), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
@@ -183,9 +202,8 @@ object Dedup {
 
   /** Near-dup pairs from a precomputed (id, simhash) frame. */
   def simHashNearDupsFromHashes(hashedIn: DataFrame, maxHamming: Int): DataFrame = {
-    // referenced 4× by the band self-join; localCheckpoint (not cache) so
-    // the blocks are GC-cleaned once the query's DataFrame is dropped
-    val hashed = hashedIn.localCheckpoint()
+    // referenced 4× by the band self-join; see [[pin]] for the tradeoff
+    val hashed = pin(hashedIn)
     val bands = Seq(
       hashed.select(col("id"), col("simhash"), lit(0).as("band"), (col("simhash") % 65536).as("sig")),
       hashed.select(col("id"), col("simhash"), lit(1).as("band"), shiftright(col("simhash"), 16).as("sig")))
@@ -221,7 +239,7 @@ object Dedup {
       textCol: String, maxDf: Int): DataFrame = {
     val g = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.wordTrigrams(col(textCol)))).as("g"))
-      .localCheckpoint()
+      .transform(pin) // referenced by both the df-count and the anti-join
     val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("g")
     g.join(broadcast(hot), Seq("g"), "left_anti")
@@ -235,19 +253,20 @@ object Dedup {
     * above the cap are dropped from the shingle universe (index, sizes, and
     * intersections alike — standard df filtering, so the Jaccard stays
     * exact and self-consistent over the filtered universe). Below the cap
-    * the result is bit-identical to the uncapped computation; above it,
-    * only pairs whose ONLY overlap is boilerplate disappear. The cap is
-    * what makes the exact path safe at 100 TB: without it one hot trigram
-    * (df 10⁶) materializes a 10⁶-element array in a single task. */
+    * the result is bit-identical to the uncapped computation. When the cap
+    * engages, dropping hot trigrams shrinks both intersection AND union, so
+    * borderline scores can cross the threshold in EITHER direction — pairs
+    * can newly appear as well as disappear; the scores themselves remain
+    * exact over the filtered universe. The cap is what makes the exact path
+    * safe at 100 TB: without it one hot trigram (df 10⁶) materializes a
+    * 10⁶-element array in a single task. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
     // Per-document trigram SETS in-row (array_distinct before the explode):
     // (id, g) duplicates can only arise within one document, so this equals
     // the exploded global `.distinct()` — minus its corpus-wide shuffle.
-    // localCheckpoint (not cache) so the blocks are GC-cleaned when the
-    // query's DataFrame is dropped, instead of pinned in the CacheManager
-    // for the session's lifetime.
-    val kept = keptShingles(docs, idCol, textCol, maxDf).localCheckpoint()
+    // pinned: referenced by sizes AND the posting lists ([[pin]] tradeoff).
+    val kept = pin(keptShingles(docs, idCol, textCol, maxDf))
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     // Candidate pairs straight off the inverted index: group the posting
     // list per trigram and expand ordered id pairs in-row. One deterministic

@@ -143,8 +143,9 @@ object Similarity {
       threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes, dims).as("bucket"))
-      // both sides of the bucket self-join; localCheckpoint (not cache) so
-      // the blocks are GC-cleaned once the query's DataFrame is dropped
+      // both sides of the bucket self-join; see [[Dedup.pin]] for the
+      // localCheckpoint-vs-cache tradeoff (eager, no recompute on executor
+      // loss, but GC-cleaned instead of CacheManager-pinned)
       .localCheckpoint()
     val l = b.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))

@@ -104,10 +104,22 @@ object AsOfJoin {
       p.output.find(a => left.sparkSession.sessionState.conf.resolver(a.name, n))
         .getOrElse(throw new IllegalArgumentException(s"no column $n"))
     val rv = attr(rPlan, valueCol)
+    val lk = attr(lPlan, key); val lt = attr(lPlan, ts)
+    val rk = attr(rPlan, key); val rt = attr(rPlan, ts)
+    // The merge compares rows across sides with orderings built from the
+    // LEFT types; unlike an equi-join the node performs no implicit cast,
+    // so an int-vs-bigint mismatch would read the right rows with the wrong
+    // accessor. Fail at construction instead.
+    def requireSameType(side: String,
+        l: org.apache.spark.sql.catalyst.expressions.Attribute,
+        r: org.apache.spark.sql.catalyst.expressions.Attribute): Unit =
+      if (l.dataType != r.dataType) throw new IllegalArgumentException(
+        s"asofJoinMerge: $side types must match exactly (no implicit cast): " +
+          s"left ${l.name}: ${l.dataType.sql} vs right ${r.name}: ${r.dataType.sql}")
+    requireSameType("key", lk, rk)
+    requireSameType("timestamp", lt, rt)
     val out = AttributeReference(valueAlias, rv.dataType, nullable = true)()
     Shim.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
-      lPlan, rPlan,
-      attr(lPlan, key), attr(lPlan, ts),
-      attr(rPlan, key), attr(rPlan, ts), rv, out))
+      lPlan, rPlan, lk, lt, rk, rt, rv, out))
   }
 }

@@ -22,6 +22,10 @@ object ScaleJoins {
     * partitioning, never the matches. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0)
+    // monotonically_increasing_id() is NOT stable across task retries — and
+    // that is safe here by construction: the small side is FULLY replicated
+    // over every salt value, so a row's salt only chooses WHICH replica it
+    // matches, never WHETHER it matches. Result membership is retry-invariant.
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",

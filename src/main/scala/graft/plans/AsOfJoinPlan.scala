@@ -101,7 +101,16 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
 
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // EnsureRequirements aligns the two ClusteredDistribution children to
+    // the same partitioning (the SortMergeJoin mechanism); make a future
+    // change to that contract fail LOUD here rather than zip mismatched
+    // key spaces.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec requires co-partitioned children: left has " +
+        s"${lRdd.getNumPartitions} partitions, right has ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr), lOutput)
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOutput)
       val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr), rOutput)

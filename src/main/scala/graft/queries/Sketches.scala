@@ -17,6 +17,22 @@ import graft.ops.ScaleJoins
   */
 object Sketches {
 
+  /** One bucketed-table directory per JVM, reused across invocations (the
+    * `overwrite` saveAsTable rewrites in place) and removed on exit — a
+    * fresh temp dir per run would orphan the previous pair every bench
+    * iteration. Table-write time is intentionally part of the query timing:
+    * the materialization IS the operator being demonstrated. */
+  lazy val bucketDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir.toString
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
@@ -57,14 +73,22 @@ object Sketches {
         |FROM orders""".stripMargin) { (s, d) =>
       import graft.functions.GraftFunctions.{bloomFilterAgg, mightContain}
       val t = Tables(s, d)
+      // Size the sketch from the ACTUAL build-side cardinality and pick the
+      // known-absent probes beyond max(c_custkey), so the query is correct
+      // at every scale factor (a fixed estItems under-sizes at large sf and
+      // a fixed key offset can collide with real keys).
+      val stats = t.customer
+        .agg(count(lit(1)).as("n"), max(col("c_custkey")).as("mx")).first()
+      val nCust = stats.getLong(0)
+      val maxKey = stats.getLong(1)
       val bf = t.customer
-        .agg(bloomFilterAgg(col("c_custkey"), 2000L, 200000L).as("f"))
+        .agg(bloomFilterAgg(col("c_custkey"), nCust, nCust * 100L).as("f"))
         .first().getAs[Array[Byte]](0)
       t.orders
         .agg(count(lit(1)).as("n_orders"),
           (sum(when(mightContain(bf, col("o_custkey")), 1L).otherwise(0L))
             === count(lit(1))).as("no_false_negatives"),
-          (avg(when(mightContain(bf, col("o_custkey") + 10000000L), 1.0)
+          (avg(when(mightContain(bf, col("o_custkey") + lit(maxKey + 1L)), 1.0)
             .otherwise(0.0)) <= 0.05).as("fp_rate_low"))
     },
 
@@ -112,7 +136,7 @@ object Sketches {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1""".stripMargin) { (s, d) =>
       val t = Tables(s, d)
-      val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+      val base = Sketches.bucketDir
       ScaleJoins.writeBucketed(
         t.orders, "graft_b_orders", "o_custkey", 8, Some(s"$base/orders"))
       ScaleJoins.writeBucketed(
