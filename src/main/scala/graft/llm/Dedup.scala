@@ -147,6 +147,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the step that turns "pairs
+    * found" into "documents deduplicated": A~B and B~C place A, B, C in one
+    * component even when A≁C directly (transitive closure).
+    *
+    * Input: a (d1, d2) pair frame from any of the near-dup detectors.
+    * Output: (id, comp) for every document that appears in at least one
+    * pair, with `comp` = the smallest document id reachable through pairs
+    * (the same labeling GraphX `ConnectedComponents` produces — agreement
+    * is property-tested in DedupClustersSpec). Documents in no pair are
+    * absent here and pass through [[survivors]] untouched.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round every node takes the min label among itself and its
+    * neighbors (one join + one aggregate on the edge list), then labels
+    * shortcut through their current representative (`comp ← comp(comp)`),
+    * which collapses chains geometrically: rounds grow as O(log diameter),
+    * not O(diameter). Per round the working set is one (id, comp) row per
+    * clustered doc and the symmetric edge list — both shuffle-partitioned
+    * by id, nothing driver-side except the convergence counter (the same
+    * loop shape as the PageRank iteration in graph.GraphMetrics). Each
+    * round's label frame is pinned ([[pin]]) so iteration N+1 reads
+    * materialized blocks instead of re-executing N rounds of lineage. */
+  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pin(pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .distinct())
+    var lab = pin(edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(lab.select(col("id").as("v"), col("comp").as("vc")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vc")).as("nmin"))
+      val prop = pin(lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
+      // pointer jump: comp values are always ids of clustered docs (mins of
+      // ids), so the rep lookup is an inner self-join that always matches
+      val next = pin(prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("jc")), "comp")
+        .select(col("id"), col("jc").as("comp")))
+      val changed = next.join(lab.withColumnRenamed("comp", "oc"), "id")
+        .filter(col("comp") =!= col("oc")).count()
+      lab = next
+      iter += 1
+      converged = changed == 0
+      if (!converged && iter >= maxIters) throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIters rounds (pointer " +
+          s"jumping bounds rounds by O(log diameter) — this input would " +
+          s"need a component of diameter > 2^$maxIters)")
+    }
+    lab
+  }
+
+  /** Keep ONE document per duplicate cluster: every clustered document
+    * whose id is not its component's representative (the min id) is
+    * dropped; documents in no pair pass through unchanged. The anti-join
+    * shuffles on the id key only — document bodies never move. */
+  def survivors(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("id") =!= col("comp")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** 32-bit SimHash as a pure scalar Column over the text — ONE pass, zero
     * shuffle: the 32 bit-weights accumulate in a struct inside a single
     * `aggregate` HOF over the distinct-shingle array. At 100 TB this is the

@@ -71,6 +71,40 @@ object StarExt {
   private val NormsCte =
     "norms AS (SELECT vec_id, sum(e * e) AS n2 FROM ee GROUP BY vec_id)"
 
+  /** CTE chain producing MinHash-LSH verified near-dup `pairs(d1, d2)` at
+    * the given Jaccard threshold — the shared front half of the clustering
+    * and pipeline oracles (identical logic to the x_dedup_minhash_lsh
+    * oracle, over a parameterized source CTE `docsrc(doc_id, text)`). */
+  private[queries] def minhashPairsCtes(threshold: Double): String =
+    s"""${WordShCte.replace("FROM documents", "FROM docsrc")},
+       |$MhCte,
+       |$BandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS i FROM cand c
+       |  JOIN wsh s1 ON s1.id = c.d1
+       |  JOIN wsh s2 ON s2.id = c.d2 AND s2.sh = s1.sh
+       |  GROUP BY c.d1, c.d2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes n1 ON n1.id = d1
+       |  JOIN sizes n2 ON n2.id = d2
+       |  WHERE round(i / (n1.n + n2.n - i), 6) >= $threshold)""".stripMargin
+
+  /** Recursive transitive closure of `pairs` → `comp(u, component)` with
+    * component = min reachable doc id (requires WITH RECURSIVE). */
+  private[queries] val ClosureCtes =
+    """sym AS (
+      |  SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2 AS u, d1 AS v FROM pairs),
+      |reach AS (
+      |  SELECT u, u AS r FROM sym
+      |  UNION
+      |  SELECT reach.u, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u),
+      |comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u)""".stripMargin
+
   private def occSql(kw: String) =
     s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS INT)"
 
@@ -163,6 +197,37 @@ object StarExt {
         |JOIN sizes n2 ON n2.id = d2
         |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.5""".stripMargin) {
       (s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text", 0.5)
+    },
+
+    // Near-dup pairs → dedup CLUSTERS: connected components over the
+    // MinHash-LSH pairs (transitive closure — A~B~C clusters A,B,C even
+    // when A≁C). Engine: iterative min-label propagation with pointer
+    // jumping; oracle: DuckDB recursive CTE. GraphX agreement is
+    // property-tested in DedupClustersSpec.
+    QDef("x_dedup_clusters",
+      s"""WITH RECURSIVE docsrc AS (SELECT doc_id, text FROM documents),
+         |${minhashPairsCtes(0.7)},
+         |$ClosureCtes
+         |SELECT u AS doc_id, component FROM comp""".stripMargin) { (s, d) =>
+      val pairs = Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
+      Dedup.clusters(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    },
+
+    // Cluster collapse → SURVIVORS: keep the min-id representative of every
+    // near-dup cluster, pass untouched documents through — the "actually
+    // deduplicate" operator a training pipeline runs after pair finding.
+    QDef("x_dedup_survivors",
+      s"""WITH RECURSIVE docsrc AS (SELECT doc_id, text FROM documents),
+         |${minhashPairsCtes(0.7)},
+         |$ClosureCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp c WHERE c.u = d.doc_id AND c.u <> c.component)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.7)
+      Dedup.survivors(docs, "doc_id", Dedup.clusters(pairs))
+        .select("doc_id", "lang")
     },
 
     // Embedding near-dups: sign-LSH buckets (4 hyperplanes), in-bucket cosine.
