@@ -33,6 +33,30 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Semi-join accelerated by a bloom runtime filter — the standard 100 TB
+    * join pattern (what Spark's own InjectRuntimeFilter plans when it
+    * fires): build a KB-sized bloom over the (filtered) dim keys, probe it
+    * as a PRE-FILTER on the fact side so non-matching fact rows die at the
+    * scan instead of travelling through the join's exchange, then run the
+    * exact semi-join to remove the bloom's false positives. Result is
+    * hash-identical to the plain semi-join by construction (a bloom has no
+    * false negatives); the win is the shuffle volume, proven in
+    * ScaleJoinsSpec (survivors ≪ fact rows).
+    *
+    * The two driver actions (count to size the filter, first() to
+    * materialize it) are KB-scalar barriers — the same build-once/broadcast
+    * shape as the reference's collect-scalar S4, not a data collect. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloomFilterAgg, mightContain}
+    import org.apache.spark.sql.functions.col
+    val n = math.max(dim.count(), 1L)
+    val bf = dim.agg(bloomFilterAgg(col(dimKey), n, n * 20L).as("f"))
+      .first().getAs[Array[Byte]](0)
+    fact.filter(mightContain(bf, col(factKey)))
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+  }
+
   /** Write a DataFrame as a bucketed+sorted table: co-located, pre-sorted
     * layout so later equi-joins/aggregations on `key` plan with NO shuffle
     * exchange (SortMergeJoin reads buckets directly). With `path` the table

@@ -124,6 +124,25 @@ object Sketches {
             .as("cms_upper_ok"))
     },
 
+    // Bloom runtime filter APPLIED to a fact scan (not just the sketch
+    // contract): build on the keys of a filtered dim (customers of one
+    // nation), probe as a pre-filter on the orders scan, exact semi-join
+    // removes false positives. The oracle is the PLAIN semi-join — the two
+    // are identical by construction (no false negatives); the pruning win
+    // (bloom survivors ≪ fact rows) is asserted in ScaleJoinsSpec.
+    QDef("x_bloom_semi_filter",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val dim = t.customer.filter(col("c_nationkey") === 1)
+      ScaleJoins.bloomSemiJoin(t.orders, dim, "o_custkey", "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+    },
+
     // Bucketed co-located join, oracle-checked against the plain join: both
     // sides land as bucketed+sorted tables on the SAME key/bucket count,
     // then the equi-join plans with NO shuffle exchange (asserted in

@@ -18,6 +18,28 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("bloomSemiJoin: result-identical to the plain semi-join AND the bloom prunes the scan") {
+    // 10k fact rows, dim selects keys 0..9 of 0..499 → plain semi keeps ~2%
+    val fact = (1 to 10000).map(i => (i.toLong % 500, i)).toDF("fk", "v")
+    val dim = (0L to 9L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val plain = fact.join(dim.select(col("dk")), col("fk") === col("dk"), "left_semi")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val viaBloom = ScaleJoins.bloomSemiJoin(fact, dim, "fk", "dk")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaBloom === plain)
+    assert(plain.nonEmpty)
+    // the pruning win: rows surviving the bloom PRE-filter (before the
+    // exact join) must be a small fraction of the fact table — this is the
+    // shuffle volume the runtime filter saves at scale
+    import graft.functions.GraftFunctions.{bloomFilterAgg, mightContain}
+    val n = dim.count()
+    val bf = dim.agg(bloomFilterAgg(col("dk"), n, n * 20L).as("f"))
+      .first().getAs[Array[Byte]](0)
+    val survivors = fact.filter(mightContain(bf, col("fk"))).count()
+    assert(survivors < fact.count() / 10,
+      s"bloom should prune the fact scan hard: $survivors of 10000 survived")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val a = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "va")
     val b = (1L to 300L).map(i => (i % 50, s"n$i")).toDF("k", "vb")
