@@ -18,18 +18,28 @@ final case class ImageFeatures(media_id: Long, decoded: Boolean,
 final case class AudioFeatures(media_id: Long, decoded: Boolean,
     sample_rate: Double, channels: Int, frames: Long, rms: Double, n_bytes: Long)
 
+/** One REAL decoded video frame (see [[Multimodal.decodeVideoFrames]]):
+  * pixel dimensions + mean luminance per MJPEG frame. A payload with no
+  * decodable frame yields a single `decoded = false` fallback row
+  * (`frame_idx = -1`), same mixed-corpus posture as image/audio. */
+final case class VideoFrameFeatures(media_id: Long, decoded: Boolean,
+    frame_idx: Int, width: Int, height: Int, mean_luma: Double, n_bytes: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus the batch decode/feature-extract path.
   *
   * The Spark-side plumbing (schema, partition-preserving mapPartitions,
   * batch iteration) is real and tested. IMAGES decode for real
   * ([[Multimodal.decodeImageFeatures]] / [[Multimodal.resizeImages]], JDK
-  * `javax.imageio` — PNG/BMP/GIF/JPEG) and so does AUDIO
+  * `javax.imageio` — PNG/BMP/GIF/JPEG), AUDIO decodes for real
   * ([[Multimodal.decodeAudioFeatures]], JDK `javax.sound.sampled` —
-  * WAV/AU/AIFF), each with a byte-level fallback for undecodable payloads.
-  * Only VIDEO decode remains a documented stub (`decodeFeatures` computes
-  * deterministic byte-level features; no JDK video codec exists) — swap
-  * `stubDecode` for the real decoder; everything around it stays.
+  * WAV/AU/AIFF), and VIDEO decodes for real in the MJPEG container
+  * ([[Multimodal.decodeVideoFrames]] — concatenated JPEG frames split on
+  * SOI/EOI markers, each frame through the ImageIO path). Every decoder has
+  * a byte-level fallback for undecodable payloads, so mixed/corrupt corpora
+  * flow through instead of failing the task. Non-MJPEG video containers
+  * (H.264 in MP4 etc.) have no JDK codec — those payloads take the
+  * `decoded = false` fallback rather than a wrong answer.
   */
 object Multimodal {
 
@@ -89,24 +99,120 @@ object Multimodal {
             catch { case _: Exception => null }
           if (img == null)
             ImageFeatures(id, decoded = false, -1, -1, -1.0, bytes.length.toLong, digest)
-          else {
-            var sum = 0.0
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-                  0.114 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
+          else
             ImageFeatures(id, decoded = true, img.getWidth, img.getHeight,
-              sum / (img.getWidth.toLong * img.getHeight), bytes.length.toLong, digest)
-          }
+              meanLuma(img), bytes.length.toLong, digest)
         }
       }
+  }
+
+  /** Mean luminance over all pixels, ITU-R BT.601 weights. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum / (img.getWidth.toLong * img.getHeight)
+  }
+
+  /** Split an MJPEG payload (concatenated JPEG images) into per-frame byte
+    * slices: each frame runs from an SOI marker (FF D8 FF) to the next EOI
+    * (FF D9). Inside a JPEG, 0xFF bytes in entropy-coded data are stuffed
+    * as FF 00 and restart markers are FF D0–D7, so EOI cannot appear before
+    * the frame's true end — the standard naive MJPEG splitter. Truncated
+    * trailing data (SOI with no EOI) is dropped, matching a decoder that
+    * finds no complete frame. */
+  private[llm] def splitMjpeg(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i + 3 < bytes.length) {
+      if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+          bytes(i + 2) == 0xFF.toByte) {
+        var j = i + 2
+        var end = -1
+        while (end < 0 && j + 1 < bytes.length) {
+          if (bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte) end = j + 2
+          j += 1
+        }
+        if (end < 0) i = bytes.length
+        else { out += java.util.Arrays.copyOfRange(bytes, i, end); i = end }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** REAL video decode for the MJPEG container: split the payload into JPEG
+    * frames ([[splitMjpeg]]), decode each through the same JDK ImageIO path
+    * as still images, and emit one row per frame with pixel dimensions and
+    * mean luminance. Payloads yielding no decodable frame produce a single
+    * `decoded = false` fallback row (`frame_idx = -1`) so corrupt or
+    * non-MJPEG media flow through, never fail the task. Row amplification
+    * happens inside the partition (one payload in flight at a time), so
+    * memory is bounded by a single payload's frames, and the output
+    * distributes/prunes like any flatMap. */
+  def decodeVideoFrames(media: DataFrame)(implicit spark: SparkSession): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.flatMap { case (id, bytes) =>
+          val decoded = splitMjpeg(bytes).iterator.map { frame =>
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+            catch { case _: Exception => null }
+          }.filter(_ != null).zipWithIndex.map { case (img, idx) =>
+            VideoFrameFeatures(id, decoded = true, idx, img.getWidth,
+              img.getHeight, meanLuma(img), bytes.length.toLong)
+          }.toSeq
+          if (decoded.nonEmpty) decoded
+          else Seq(VideoFrameFeatures(id, decoded = false, -1, -1, -1, -1.0,
+            bytes.length.toLong))
+        }
+      }
+  }
+
+  /** Deterministic MJPEG fixture corpus for the video-decode oracle: for
+    * each id, either a garbage (non-JPEG) payload — every 5th id — or
+    * `1 + id%3` solid-gray JPEG frames of `(8 + id%3*8) × (8 + id%2*8)`
+    * pixels at gray level `64 + id%4*32`, concatenated. Every parameter is
+    * a pure function of the id, so a SQL oracle can predict frame counts,
+    * dimensions, and (within JPEG quantization error) mean luminance
+    * without decoding anything. */
+  def synthMjpegTable(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { id =>
+          if (id % 5 == 0) (id, s"not an mjpeg payload #$id".getBytes("UTF-8"))
+          else {
+            val n = (1 + id % 3).toInt
+            val w = (8 + (id % 3) * 8).toInt
+            val h = (8 + (id % 2) * 8).toInt
+            val v = (64 + (id % 4) * 32).toInt
+            val buf = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < n) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              g.setColor(new java.awt.Color(v, v, v))
+              g.fillRect(0, 0, w, h)
+              g.dispose()
+              javax.imageio.ImageIO.write(img, "jpg", buf)
+              i += 1
+            }
+            (id, buf.toByteArray)
+          }
+        }
+      }.toDF("media_id", "payload")
   }
 
   /** REAL audio decode via `javax.sound.sampled` (JDK-built-in WAV/AU/AIFF

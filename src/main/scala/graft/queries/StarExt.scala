@@ -453,6 +453,38 @@ object StarExt {
           md5(col("frame")).as("frame_digest"))
     },
 
+    // REAL video decode over an MJPEG corpus synthesized deterministically
+    // from doc ids (every parameter a pure function of the id — see
+    // Multimodal.synthMjpegTable): the engine splits each payload on JPEG
+    // SOI/EOI markers and ImageIO-decodes every frame; the oracle predicts
+    // frame count and pixel dimensions from the id alone, never decoding.
+    // mean_luma is JPEG-lossy, so it ships as a bounded boolean (within 2
+    // luma levels of the encoded gray), the same exact+bounded contract as
+    // the sketch queries. Garbage payloads (every 5th id) must surface as
+    // the decoded=false fallback row.
+    QDef("x_mm_video",
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS garbage,
+        |    1 + doc_id % 3 AS n_frames,
+        |    CAST(8 + (doc_id % 3) * 8 AS INT) AS w,
+        |    CAST(8 + (doc_id % 2) * 8 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, true AS decoded,
+        |  w AS width, h AS height, true AS luma_ok
+        |FROM p, unnest(range(0, n_frames)) t(i)
+        |WHERE NOT garbage
+        |UNION ALL
+        |SELECT doc_id, -1, false, -1, -1, true FROM p WHERE garbage""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      val media = Multimodal.synthMjpegTable(Tables(s, d).documents.select(col("doc_id")))
+      val expectedV = (lit(64) + pmod(col("media_id"), lit(4)) * 32).cast("double")
+      Multimodal.decodeVideoFrames(media).toDF()
+        .select(col("media_id"), col("frame_idx"), col("decoded"),
+          col("width"), col("height"),
+          when(!col("decoded"), lit(true))
+            .otherwise(abs(col("mean_luma") - expectedV) <= 2.0).as("luma_ok"))
+    },
+
     // Batch equivalent of the streaming tumbling-window aggregation
     // (EventStreams.tumblingAgg — same code path; watermark is a no-op in batch).
     QDef("x_stream_tumbling",

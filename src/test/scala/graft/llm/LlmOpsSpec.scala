@@ -318,6 +318,63 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats(2L).decoded)
   }
 
+  def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  test("MJPEG video decode: one row per frame with real dims+luma; garbage falls back") {
+    import spark.implicits._
+    implicit val s = spark
+    val threeFrames = jpegBytes(8, 8, 64) ++ jpegBytes(16, 8, 128) ++ jpegBytes(8, 16, 192)
+    val oneFull = jpegBytes(8, 8, 100)
+    val truncated = oneFull ++ jpegBytes(8, 8, 100).dropRight(10) // second frame loses EOI
+    val media = Seq(
+      (1L, threeFrames),
+      (2L, "not a video".getBytes("UTF-8")),
+      (3L, truncated)).toDF("media_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(media).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    // id 1: three frames, correct per-frame dims, luma within JPEG error
+    assert(rows.keySet.count(_._1 == 1L) === 3)
+    assert(rows((1L, 0)).width === 8 && rows((1L, 0)).height === 8)
+    assert(rows((1L, 1)).width === 16 && rows((1L, 1)).height === 8)
+    assert(rows((1L, 2)).width === 8 && rows((1L, 2)).height === 16)
+    assert(math.abs(rows((1L, 0)).mean_luma - 64) < 2)
+    assert(math.abs(rows((1L, 1)).mean_luma - 128) < 2)
+    assert(math.abs(rows((1L, 2)).mean_luma - 192) < 2)
+    // id 2: garbage → single decoded=false fallback row
+    assert(rows((2L, -1)).decoded === false)
+    assert(rows.keySet.count(_._1 == 2L) === 1)
+    // id 3: truncated trailing frame dropped, the complete one decodes
+    assert(rows.keySet.count(_._1 == 3L) === 1)
+    assert(rows((3L, 0)).decoded && rows((3L, 0)).width === 8)
+  }
+
+  test("synthMjpegTable: frame count/dims/luma are pure functions of the id") {
+    import spark.implicits._
+    implicit val s = spark
+    val ids = Seq(1L, 4L, 5L, 7L).toDF("doc_id") // 5 → garbage branch
+    val rows = Multimodal.decodeVideoFrames(Multimodal.synthMjpegTable(ids))
+      .collect().groupBy(_.media_id)
+    for (id <- Seq(1L, 4L, 7L)) {
+      val fs = rows(id).sortBy(_.frame_idx)
+      assert(fs.length === (1 + id % 3).toInt, s"id=$id frame count")
+      assert(fs.forall(_.decoded))
+      assert(fs.forall(_.width === (8 + (id % 3) * 8).toInt))
+      assert(fs.forall(_.height === (8 + (id % 2) * 8).toInt))
+      assert(fs.forall(f => math.abs(f.mean_luma - (64 + (id % 4) * 32)) < 2))
+    }
+    assert(rows(5L).length === 1 && !rows(5L).head.decoded)
+  }
+
   test("sampleFrames: every-nth complete frame as its own row, byte-exact slices") {
     import spark.implicits._
     // 10 bytes, 3-byte frames → 3 complete frames (0,1,2); every 2nd → 0, 2
