@@ -230,6 +230,56 @@ object StarExt {
         .select("doc_id", "lang")
     },
 
+    // END-TO-END training-data pipeline: langid → quality threshold → exact
+    // dedup → MinHash near-dup pairs → cluster collapse → survivor count
+    // per predicted language. Each stage is the engine operator a user
+    // would call (TextOps.predictedLang/qualityScore, Dedup.exactDedup,
+    // minHashNearDups, clusters, survivors) — this row proves they COMPOSE:
+    // the quality filter and exact-dedup semi-join run before any shingle
+    // work, so the expensive near-dup phase sees only the filtered corpus.
+    QDef("x_pipeline_dedup", {
+      val scores = TextOps.LangMarkers.map { case (l, kws) =>
+        s"(${kws.map(occSql).mkString(" + ")}) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val chain = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, text,
+         |  $scores,
+         |    round(${occSql(" the ")} / len(list_filter(string_split(text, ' '), x -> x <> '')) * 0.5
+         |      + least(CAST(length(text) AS DOUBLE) / 1000, 1.0) * 0.5, 6) AS quality
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text, quality,
+         |    CASE WHEN $best = 0 THEN 'unknown' $chain ELSE 'unknown' END AS predicted
+         |  FROM s),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.1),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |docsrc AS (SELECT k.doc_id, k.text FROM kept k JOIN keepers u ON u.doc_id = k.doc_id),
+         |${minhashPairsCtes(0.7)},
+         |$ClosureCtes,
+         |surv AS (
+         |  SELECT d.doc_id FROM docsrc d
+         |  WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.u = d.doc_id AND c.u <> c.component))
+         |SELECT q.predicted, CAST(count(*) AS BIGINT) AS survivors
+         |FROM surv JOIN q ON q.doc_id = surv.doc_id
+         |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextOps.predictedLang(col("text")).as("predicted"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("quality") >= 0.1)
+      val uniq = kept.join(
+        Dedup.exactDedup(kept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minHashNearDups(uniq, "doc_id", "text", 0.7)
+      Dedup.survivors(uniq, "doc_id", Dedup.clusters(pairs))
+        .groupBy("predicted").agg(count(lit(1)).as("survivors"))
+    },
+
     // Embedding near-dups: sign-LSH buckets (4 hyperplanes), in-bucket cosine.
     QDef("x_dedup_embedding", {
       val projs = (0 until 4).map { i =>
