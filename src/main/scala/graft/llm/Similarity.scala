@@ -125,6 +125,29 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Recall@k of IVF search against the brute-force ground truth — the
+    * first number an ANN user asks for. Per query: |ivfTopK ∩ cosineTopK|/k
+    * as an exact fraction (hits is an integer, k a constant, so the
+    * division is deterministic across engines).
+    *
+    * Cost shape: the ground-truth side IS the brute-force scan, so this is
+    * a measurement query you run on a sample of queries, not the serving
+    * path. Recall here is the nprobe=1 floor (only the query's own cell is
+    * searched); searching the p nearest cells multiplies candidates by
+    * ~p/nlist and recovers the neighbors that fell across a Voronoi
+    * boundary — the recall/nprobe tradeoff documented in SCALE.md. */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val truth = cosineTopK(queries, corpus, k).select(col("qid"), col("cid"))
+    val approx = ivfTopK(queries, corpus, centroids, k)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Sign-LSH bucket id from `nPlanes` deterministic pseudo-random
     * hyperplanes: plane i, dim j has weight ((i·64+j)·2654435761 mod 1000)
     * / 1000 − 0.5 (exact rational — reproducible in SQL). */
