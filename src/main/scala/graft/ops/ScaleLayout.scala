@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical table layout for 100 TB scans: hive-style partitioned
+  * directories.
+  *
+  * Partition pruning and parquet predicate pushdown are DIFFERENT
+  * mechanisms with different costs: a predicate on a partition column is
+  * resolved against the file index (`PartitionFilters` in the scan node) —
+  * directories of non-matching partitions are never even listed into the
+  * scan, so zero bytes of their files are opened. Row-group pushdown
+  * (`PushedFilters`) still opens every file and reads its footer. On a
+  * 100 TB events table partitioned by day, `WHERE day = X` scans one
+  * day's directory instead of footer-checking three years of files — the
+  * single highest-leverage layout decision for append-only fact data.
+  *
+  * The partition column must be low-cardinality and stable (day, region,
+  * event_type): every distinct value is a directory with at least one
+  * file, so a high-cardinality partition key is the small-files
+  * antipattern that overwhelms the metadata layer long before the data
+  * itself is a problem. High-cardinality co-location wants bucketing
+  * ([[ScaleJoins.writeBucketed]]) instead.
+  */
+object ScaleLayout {
+
+  /** Write `df` hive-partitioned by `cols` (one `col=value/` directory
+    * level per column, partition values encoded in paths, not data files). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Read a partitioned table back; Spark discovers the partition columns
+    * from the directory names and a `.filter` on them becomes a
+    * `PartitionFilters` entry (pruned at the file index, asserted in
+    * ScaleLayoutSpec). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.functions._
-import graft.ops.ScaleJoins
+import graft.ops.{ScaleJoins, ScaleLayout}
 
 /** Approximate-sketch operators (HyperLogLog cardinality, quantile sketch,
   * bloom filter) — the structures that replace exact distinct/percentile/
@@ -33,7 +33,39 @@ object Sketches {
     dir.toString
   }
 
+  /** Per-JVM partitioned-table directory, same lifecycle as [[bucketDir]]. */
+  lazy val partDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir.toString
+  }
+
   val defs: Seq[QDef] = Seq(
+
+    // Hive-partitioned layout + partition pruning: events land partitioned
+    // by event_type, then the 'click' aggregate reads back through the
+    // directory index — the predicate becomes a PartitionFilters entry
+    // (files of other event types never open; asserted in ScaleLayoutSpec),
+    // not a row-group PushedFilter. Oracle is the plain aggregate over the
+    // unpartitioned source: layout must never change results. Write time is
+    // intentionally inside the timing — materialization IS the operator.
+    QDef("x_partition_pruned",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS clicks,
+        |  round(sum(value), 4) AS total_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events"
+      ScaleLayout.writePartitioned(Tables(s, d).events, dir, "event_type")
+      ScaleLayout.readPartitioned(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("clicks"), round(sum(col("value")), 4).as("total_value"))
+    },
 
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
     QDef("x_sketch_hll",
