@@ -614,6 +614,24 @@ object StarExt {
       (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
     },
 
+    // Batch twin of the stream-stream interval join (view→click
+    // attribution, 2h bound). Same function body as the streaming form —
+    // watermarks no-op in batch; the time bound is what makes streaming
+    // state evictable (MemoryStream parity + state-bound rationale in
+    // EventStreamsSpec / EventStreams.intervalJoin).
+    QDef("x_stream_join",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events c
+        |  ON c.user_id = v.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        maxDelayMinutes = 120)
+    },
+
     // SQL-TEXT surface end-to-end: the whole query is a spark.sql(...)
     // string over a temp view, with the natively-registered cosine_sim
     // (GraftExtensions) inside — proving the SQL interface carries the

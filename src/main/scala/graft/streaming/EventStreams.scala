@@ -109,6 +109,36 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join (view→click attribution): every click
+    * pairs with the SAME user's views in the preceding `maxDelayMinutes`.
+    *
+    * In streaming, BOTH sides carry a watermark and the join condition
+    * bounds event time in both directions — exactly what lets the engine
+    * expire buffered rows: once the click-side watermark passes
+    * `view_ts + maxDelay`, that view can never match a future click and
+    * its state is evicted. State is O(events inside the delay window per
+    * user), not O(stream) — without the time bound a stream-stream inner
+    * join buffers both sides forever. The same body runs in batch
+    * (watermarks are a no-op there), which is what the `x_stream_join`
+    * oracle row checks; MemoryStream parity is in EventStreamsSpec.
+    *
+    * `delay_us` is exact integer microseconds (hash-safe cross-engine). */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+      maxDelayMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $maxDelayMinutes minutes"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+  }
+
   /** File-source streaming read of an events directory (parquet), schema
     * locked to the batch table. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

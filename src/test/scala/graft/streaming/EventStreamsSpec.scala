@@ -42,6 +42,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(clickWindows.contains("2024-01-01 10:00:00.0"))
   }
 
+  test("stream-stream interval join through MemoryStream equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      EventRow(10L, ts("2024-01-01 10:00:00"), 100L, "view", 0.0),
+      EventRow(11L, ts("2024-01-01 11:00:00"), 101L, "view", 0.0))
+    val clicks = Seq(
+      EventRow(20L, ts("2024-01-01 10:20:00"), 100L, "click", 1.0), // +20m → match
+      EventRow(21L, ts("2024-01-01 12:30:00"), 100L, "click", 1.0), // +2h30 → out of bound
+      EventRow(22L, ts("2024-01-01 10:50:00"), 101L, "click", 1.0), // before the view
+      EventRow(23L, ts("2024-01-01 11:10:00"), 101L, "click", 1.0), // +10m → match
+      EventRow(24L, ts("2024-01-01 11:00:00"), 102L, "click", 1.0)) // user without views
+    val vStream = MemoryStream[EventRow]
+    val cStream = MemoryStream[EventRow]
+    // stream-stream inner join requires Append output (no Complete mode)
+    val query = EventStreams.intervalJoin(vStream.toDF(), cStream.toDF(), 120)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    vStream.addData(views: _*)
+    cStream.addData(clicks: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    query.stop()
+    val batch = EventStreams.intervalJoin(views.toDF(), clicks.toDF(), 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(batch === Set(
+      (100L, 10L, 20L, 20L * 60 * 1000000),
+      (101L, 11L, 23L, 10L * 60 * 1000000)))
+  }
+
   test("file-source stream: readEventStream windows a growing parquet directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
