@@ -178,6 +178,72 @@ object Multimodal {
       }
   }
 
+  /** Deterministic PNG fixture corpus for the image-decode oracle: every
+    * 5th id a garbage payload, the rest a solid-gray PNG whose dimensions
+    * `(4 + id%4*4) × (4 + id%3*4)` and gray level `32 + id%8*24` are pure
+    * functions of the id. PNG is LOSSLESS, so decoded mean luminance is
+    * exactly the BT.601 luma of the gray level — a SQL oracle predicts it
+    * to the rounded-double bit, unlike the JPEG fixtures where
+    * quantization needs a tolerance band. */
+  def synthPngTable(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { id =>
+          if (id % 5 == 0) (id, s"not a png payload #$id".getBytes("UTF-8"))
+          else {
+            val w = (4 + (id % 4) * 4).toInt
+            val h = (4 + (id % 3) * 4).toInt
+            val v = (32 + (id % 8) * 24).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(v, v, v))
+            g.fillRect(0, 0, w, h)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", buf)
+            (id, buf.toByteArray)
+          }
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Deterministic WAV fixture corpus for the audio-decode oracle: every
+    * 5th id garbage, the rest 16-bit mono PCM at 8 kHz with
+    * `1000 + id%4*500` frames of the CONSTANT sample `(id%8+1)·1024` —
+    * dyadic amplitude, so the decoded RMS is exactly `(id%8+1)/32`
+    * (every intermediate is a small integer over a power of two; IEEE
+    * arithmetic is exact end-to-end). */
+  def synthWavTable(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 5 == 0) (id, s"not a wav payload #$id".getBytes("UTF-8"))
+          else {
+            val n = (1000 + (id % 4) * 500).toInt
+            val s = (((id % 8) + 1) * 1024).toShort
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+            (id, buf.toByteArray)
+          }
+        }
+      }.toDF("media_id", "payload")
+  }
+
   /** Deterministic MJPEG fixture corpus for the video-decode oracle: for
     * each id, either a garbage (non-JPEG) payload — every 5th id — or
     * `1 + id%3` solid-gray JPEG frames of `(8 + id%3*8) × (8 + id%2*8)`

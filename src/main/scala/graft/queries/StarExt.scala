@@ -558,6 +558,56 @@ object StarExt {
           md5(col("frame")).as("frame_digest"))
     },
 
+    // REAL image decode (ImageIO) over a deterministic PNG corpus: PNG is
+    // lossless, so width/height AND mean luminance are exactly predictable
+    // from the id — the luma hash-compares as a rounded double, no
+    // tolerance band. Garbage payloads (every 5th id) take the
+    // decoded=false fallback. (x_mm_features covers the byte-level stub
+    // plumbing; this row oracle-checks the actual decoder.)
+    QDef("x_mm_image",
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS garbage,
+        |    CAST(4 + (doc_id % 4) * 4 AS INT) AS w,
+        |    CAST(4 + (doc_id % 3) * 4 AS INT) AS h,
+        |    32 + (doc_id % 8) * 24 AS v
+        |  FROM documents)
+        |SELECT doc_id AS media_id, NOT garbage AS decoded,
+        |  CASE WHEN garbage THEN -1 ELSE w END AS width,
+        |  CASE WHEN garbage THEN -1 ELSE h END AS height,
+        |  CAST(CASE WHEN garbage THEN -1.0
+        |       ELSE round(0.299 * v + 0.587 * v + 0.114 * v, 6) END AS DOUBLE) AS luma
+        |FROM p""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      val media = Multimodal.synthPngTable(Tables(s, d).documents.select(col("doc_id")))
+      Multimodal.decodeImageFeatures(media).toDF()
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("luma"))
+    },
+
+    // REAL audio decode (javax.sound) over a deterministic WAV corpus:
+    // constant dyadic-amplitude 16-bit PCM, so format parameters AND the
+    // RMS are exactly predictable (every intermediate a small integer over
+    // a power of two — IEEE-exact end-to-end, hash-compared unrounded
+    // through round(.,6) on both sides).
+    QDef("x_mm_audio",
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS garbage,
+        |    CAST(1000 + (doc_id % 4) * 500 AS BIGINT) AS n,
+        |    (doc_id % 8) + 1 AS k
+        |  FROM documents)
+        |SELECT doc_id AS media_id, NOT garbage AS decoded,
+        |  CAST(CASE WHEN garbage THEN -1.0 ELSE 8000.0 END AS DOUBLE) AS sample_rate,
+        |  CASE WHEN garbage THEN -1 ELSE 1 END AS channels,
+        |  CASE WHEN garbage THEN CAST(-1 AS BIGINT) ELSE n END AS frames,
+        |  CAST(CASE WHEN garbage THEN -1.0 ELSE round(k / 32.0, 6) END AS DOUBLE) AS rms
+        |FROM p""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      val media = Multimodal.synthWavTable(Tables(s, d).documents.select(col("doc_id")))
+      Multimodal.decodeAudioFeatures(media).toDF()
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("frames"), round(col("rms"), 6).as("rms"))
+    },
+
     // REAL video decode over an MJPEG corpus synthesized deterministically
     // from doc ids (every parameter a pure function of the id — see
     // Multimodal.synthMjpegTable): the engine splits each payload on JPEG
