@@ -682,6 +682,22 @@ object StarExt {
         maxDelayMinutes = 120)
     },
 
+    // Batch twin of the stream-static enrichment join: click events pick up
+    // the (broadcast) customer dimension's nationkey — the stream side
+    // never shuffles. Streaming parity via MemoryStream in EventStreamsSpec.
+    QDef("x_stream_enrich",
+      """SELECT e.event_id, e.user_id, c.c_nationkey, e.value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.event_type = 'click'""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      EventStreams.enrich(
+        t.events.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("value")),
+        t.customer.select(col("c_custkey"), col("c_nationkey")),
+        "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"), col("c_nationkey"), col("value"))
+    },
+
     // SQL-TEXT surface end-to-end: the whole query is a spark.sql(...)
     // string over a temp view, with the natively-registered cosine_sim
     // (GraftExtensions) inside — proving the SQL interface carries the

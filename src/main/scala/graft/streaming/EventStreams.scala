@@ -139,6 +139,17 @@ object EventStreams {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * against a STATIC dimension (no watermark needed — the static side is
+    * not evolving state, it's re-read/broadcast per batch; only the stream
+    * side is unbounded). The standard shape for attaching profile/catalog
+    * attributes to an event stream at scale: broadcast the dim, never
+    * shuffle the stream. Same body runs in batch for the `x_stream_enrich`
+    * oracle row. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** File-source streaming read of an events directory (parquet), schema
     * locked to the batch table. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
@@ -185,4 +196,61 @@ object EventStreams {
   /** Read back everything [[startForeachBatchParquet]] has landed. */
   def readForeachBatchOutput(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch")
+
+  /** Keyed MERGE/upsert through `foreachBatch` — the pattern production
+    * pipelines run against a mutable serving table: each micro-batch of
+    * (key, value) UPDATES holds the latest aggregate per key (Update output
+    * mode), and the batch function merges it into the table as
+    * "new rows win, untouched keys survive".
+    *
+    * Without a transactional table format, the merge is
+    * read-current → anti-join out the updated keys → union the updates →
+    * write to a VERSIONED directory → atomically flip a pointer file.
+    * Re-running a batch after a crash rewrites the same version directory
+    * and re-flips the pointer to the same content — idempotent, so
+    * checkpoint replay keeps exactly-once table state (proven by the
+    * restart test in EventStreamsSpec). Readers resolve the pointer and see
+    * one complete version, never a half-written directory. At scale the
+    * versioned-dir + pointer pair is exactly what table formats (Delta/
+    * Iceberg) industrialize; the anti-join is the MERGE. */
+  def startForeachBatchUpsert(updates: DataFrame, keyCol: String,
+      tableDir: String, checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val current = readUpsertTable(spark, tableDir)
+          val merged = current match {
+            case Some(cur) =>
+              cur.join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+                .unionByName(batch.toDF())
+            case None => batch.toDF()
+          }
+          val versionDir = s"$tableDir/v=$batchId"
+          merged.write.mode("overwrite").parquet(versionDir)
+          // atomic pointer flip: the table IS whatever _CURRENT names
+          val tmp = new java.io.File(tableDir, s"_CURRENT.tmp$batchId")
+          java.nio.file.Files.write(tmp.toPath,
+            s"v=$batchId".getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath,
+            new java.io.File(tableDir, "_CURRENT").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+      .start()
+
+  /** Resolve the `_CURRENT` pointer and read that version of the upsert
+    * table; None before the first committed version. */
+  def readUpsertTable(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    val ptr = new java.io.File(tableDir, "_CURRENT")
+    if (!ptr.exists()) None
+    else {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim
+      Some(spark.read.parquet(s"$tableDir/$v"))
+    }
+  }
 }

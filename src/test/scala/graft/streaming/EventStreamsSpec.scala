@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, round, sum}
 import java.sql.Timestamp
 
 class EventStreamsSpec extends SparkSpec {
@@ -147,6 +147,61 @@ class EventStreamsSpec extends SparkSpec {
     val batch = EventStreams.tumblingAgg(rows.toDF()).collect()
       .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
     assert(sunk.toMap === batch)
+  }
+
+  test("stream-static enrich join equals the batch join (broadcast dim)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "IT"), (101L, "DE")).toDF("cust_id", "country")
+    val stream = MemoryStream[EventRow]
+    val query = EventStreams.enrich(stream.toDF(), dim, "user_id", "cust_id")
+      .select(col("event_id"), col("country"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    stream.addData(rows: _*) // users 100, 101; no 102 in dim
+    query.processAllAvailable()
+    val streamed = spark.table("enrich_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    query.stop()
+    val batch = EventStreams.enrich(rows.toDF(), dim, "user_id", "cust_id")
+      .select(col("event_id"), col("country"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    assert(batch === Set((1L, "IT"), (2L, "IT"), (5L, "IT"), (3L, "DE"), (4L, "DE")))
+  }
+
+  test("foreachBatch upsert: latest per-key state survives restart, untouched keys persist") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_upsert_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val stream = MemoryStream[EventRow]
+    // running (count, sum) per user in Update mode — each batch emits only
+    // the keys it touched; the upsert must keep the rest
+    def agg = stream.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    def start() = EventStreams.startForeachBatchUpsert(agg, "user_id", tableDir, ckpt)
+
+    val q1 = start()
+    stream.addData(rows.take(3): _*) // users 100 (×2), 101
+    q1.processAllAvailable()
+    q1.stop()
+    val afterPhase1 = EventStreams.readUpsertTable(spark, tableDir).get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(afterPhase1 === Map(100L -> ((2L, 4.0)), 101L -> ((1L, 3.0))))
+
+    // RESTART from the same checkpoint: touch user 101 only; 100 must survive
+    val q2 = start()
+    stream.addData(rows.drop(3): _*) // 101 view, 100 view
+    q2.processAllAvailable()
+    q2.stop()
+    val finalTable = EventStreams.readUpsertTable(spark, tableDir).get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // equals the batch aggregate over ALL rows — exactly-once per key
+    val batch = rows.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalTable === batch)
   }
 
   test("built-in parquet file sink lands finalized windows exactly once") {
