@@ -150,6 +150,20 @@ object EventStreams {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  /** Streaming EXACT dedup — the streaming form of `Dedup.exactDedup`:
+    * only the first event per `keyCols` ever reaches the sink; later
+    * duplicates (same batch or any later batch) are suppressed by the
+    * state store. Built on Spark's stateful `dropDuplicates`, with the
+    * watermark bounding state: a key older than the watermark can be
+    * evicted because a duplicate arriving later than `watermark` would be
+    * dropped as late anyway. Without the watermark the state grows with
+    * DISTINCT keys forever — the same unbounded-state trap as an
+    * unbounded stream-stream join. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** File-source streaming read of an events directory (parquet), schema
     * locked to the batch table. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

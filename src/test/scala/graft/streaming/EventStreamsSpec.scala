@@ -204,6 +204,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(finalTable === batch)
   }
 
+  test("streaming dedup suppresses duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val query = EventStreams.dedupStream(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    stream.addData(rows.take(3): _*)
+    query.processAllAvailable()
+    // replay batch 1 (at-least-once source) + new rows, with an in-batch dup
+    stream.addData(rows.take(3): _*)
+    stream.addData(rows.drop(3) ++ rows.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("dedup_stream_test").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    query.stop()
+    // every event exactly once, despite double delivery
+    assert(streamed === rows.map(_.event_id).sorted)
+  }
+
   test("built-in parquet file sink lands finalized windows exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
