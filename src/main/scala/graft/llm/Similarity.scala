@@ -125,6 +125,44 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * TRAINING step that produces real IVF centroids (the `x_sim_ivf_*`
+    * queries take centroids as given; this is where they come from).
+    *
+    * Deterministic by construction, so a SQL oracle can replay it exactly:
+    * init = the k lowest-id vectors, a FIXED iteration count, assignment
+    * by (rounded dist², centroid id) argmin — the same contract as
+    * [[ivfAssign]] — and recomputed centroids rounded to 6 decimals then
+    * cast through float32 (both engines perform the identical IEEE
+    * narrowing, and [[graft.functions.SquaredL2Distance]] wants
+    * `array<float>` anyway).
+    *
+    * Scale shape per iteration: assignment is the map-only broadcast-
+    * centroid fold (corpus never shuffles); the recompute is one
+    * positional explode + (cluster, dim) hash aggregate — dim·n rows into
+    * a k·dim-group aggregate, partial-agg bounded. Nothing driver-side at
+    * all until the caller collects the k·dim centroid table. A cluster
+    * that loses every vector drops out (inner-join recompute) — identical
+    * behavior in the oracle. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("embedding"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus,
+        cents.select(col("cluster_id").as("vec_id"), col("embedding")))
+      cents = assigned.select(col("vec_id"), col("centroid_id"))
+        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("c"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c").cast("float")).as("embedding"))
+        .select(col("centroid_id").as("cluster_id"), col("embedding"))
+    }
+    cents
+  }
+
   /** Recall@k of IVF search against the brute-force ground truth — the
     * first number an ANN user asks for. Per query: |ivfTopK ∩ cosineTopK|/k
     * as an exact fraction (hits is an integer, k a constant, so the

@@ -407,6 +407,41 @@ object StarExt {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, emb.filter(col("vec_id") < 8), 3)
     },
 
+    // Deterministic Lloyd's k-means (k=4, 2 iterations) — the training
+    // step behind the IVF centroids. Init = 4 lowest-id vectors; each
+    // round the oracle replays assignment (rounded-dist² argmin, centroid
+    // id tiebreak — the ivfAssign contract) and the float32-narrowed
+    // centroid recompute. Output = the final k·64 centroid table.
+    QDef("x_sim_kmeans", {
+      val iters = 2
+      def assignCte(n: Int, cent: String) =
+        s"""a$n AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
+           |    FROM ee v JOIN $cent c ON c.j = v.j
+           |    GROUP BY v.vec_id, c.cid) WHERE rn = 1)""".stripMargin
+      def recomputeCte(n: Int) =
+        s"""c$n AS (
+           |  SELECT a$n.cid, ee.j,
+           |    CAST(CAST(round(avg(ee.e), 6) AS REAL) AS DOUBLE) AS c
+           |  FROM a$n JOIN ee ON ee.vec_id = a$n.vec_id
+           |  GROUP BY a$n.cid, ee.j)""".stripMargin
+      val rounds = (1 to iters).map(n =>
+        assignCte(n, s"c${n - 1}") + ",\n" + recomputeCte(n)).mkString(",\n")
+      s"""WITH $EmbExpl,
+         |c0 AS (SELECT vec_id AS cid, j, e AS c FROM ee WHERE vec_id < 4),
+         |$rounds
+         |SELECT cid AS cluster_id, CAST(j AS INT) AS j, c
+         |FROM c$iters""".stripMargin
+    }) { (s, d) =>
+      Similarity.kmeans(Tables(s, d).embeddings, 4, 2)
+        .select(col("cluster_id"), posexplode(col("embedding")))
+        .select(col("cluster_id"), col("pos").as("j"),
+          col("col").cast("double").as("c"))
+    },
+
     // IVF recall@3 vs the brute-force ground truth, per query, as exact
     // fractions (hits INT / constant k). nprobe=1 floor — the recall/nprobe
     // tradeoff is documented in SCALE.md.

@@ -175,6 +175,23 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kmeans converges to the obvious centroids on well-separated clusters") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)), // init = the two lowest ids
+      (2L, Array(0f, 2f)), (3L, Array(10f, 12f)),
+      (4L, Array(2f, 0f)), (5L, Array(12f, 10f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(pts, 2, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    assert(cents.keySet === Set(0L, 1L))
+    // cluster 0 = mean of (0,0),(0,2),(2,0); cluster 1 = mean of the 10s
+    def close(a: List[Float], b: List[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-5 }
+    assert(close(cents(0L), List(2.0 / 3, 2.0 / 3)))
+    assert(close(cents(1L), List(32.0 / 3, 32.0 / 3)))
+  }
+
   test("fingerprint is position-sensitive (permuted tokens differ)") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
