@@ -105,6 +105,31 @@ object StarExt {
       |  SELECT reach.u, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u),
       |comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u)""".stripMargin
 
+  /** CTE chain replaying `Similarity.kmeans(k, iters)` round by round:
+    * `c0` = init (k lowest-id vectors), `aN`/`cN` = assignment and
+    * float32-narrowed recompute of round N. Final centroids in `c<iters>`
+    * as (cid, j, c). Requires the `ee` CTE in scope. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assignCte(n: Int, cent: String) =
+      s"""a$n AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
+         |    FROM ee v JOIN $cent c ON c.j = v.j
+         |    GROUP BY v.vec_id, c.cid) WHERE rn = 1)""".stripMargin
+    def recomputeCte(n: Int) =
+      s"""c$n AS (
+         |  SELECT a$n.cid, ee.j,
+         |    CAST(CAST(round(avg(ee.e), 6) AS REAL) AS DOUBLE) AS c
+         |  FROM a$n JOIN ee ON ee.vec_id = a$n.vec_id
+         |  GROUP BY a$n.cid, ee.j)""".stripMargin
+    val rounds = (1 to iters).map(n =>
+      assignCte(n, s"c${n - 1}") + ",\n" + recomputeCte(n)).mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cid, j, e AS c FROM ee WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
+
   private def occSql(kw: String) =
     s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS INT)"
 
@@ -412,34 +437,57 @@ object StarExt {
     // round the oracle replays assignment (rounded-dist² argmin, centroid
     // id tiebreak — the ivfAssign contract) and the float32-narrowed
     // centroid recompute. Output = the final k·64 centroid table.
-    QDef("x_sim_kmeans", {
-      val iters = 2
-      def assignCte(n: Int, cent: String) =
-        s"""a$n AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT v.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY v.vec_id
-           |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
-           |    FROM ee v JOIN $cent c ON c.j = v.j
-           |    GROUP BY v.vec_id, c.cid) WHERE rn = 1)""".stripMargin
-      def recomputeCte(n: Int) =
-        s"""c$n AS (
-           |  SELECT a$n.cid, ee.j,
-           |    CAST(CAST(round(avg(ee.e), 6) AS REAL) AS DOUBLE) AS c
-           |  FROM a$n JOIN ee ON ee.vec_id = a$n.vec_id
-           |  GROUP BY a$n.cid, ee.j)""".stripMargin
-      val rounds = (1 to iters).map(n =>
-        assignCte(n, s"c${n - 1}") + ",\n" + recomputeCte(n)).mkString(",\n")
+    QDef("x_sim_kmeans",
       s"""WITH $EmbExpl,
-         |c0 AS (SELECT vec_id AS cid, j, e AS c FROM ee WHERE vec_id < 4),
-         |$rounds
+         |${kmeansCtes(4, 2)}
          |SELECT cid AS cluster_id, CAST(j AS INT) AS j, c
-         |FROM c$iters""".stripMargin
-    }) { (s, d) =>
+         |FROM c2""".stripMargin) { (s, d) =>
       Similarity.kmeans(Tables(s, d).embeddings, 4, 2)
         .select(col("cluster_id"), posexplode(col("embedding")))
         .select(col("cluster_id"), col("pos").as("j"),
           col("col").cast("double").as("c"))
+    },
+
+    // COMPOSITION: IVF search over TRAINED centroids — kmeans output feeds
+    // ivfTopK directly (train → assign → search, the full ANN pipeline).
+    // The oracle replays training, then the ivf_topk search chain against
+    // the trained centroid table.
+    QDef("x_sim_ivf_trained",
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |${kmeansCtes(4, 2)},
+         |df AS (
+         |  SELECT v.vec_id, c.cid AS centroid_id,
+         |    round(sum((v.e - c.c) * (v.e - c.c)), 6) AS dist2
+         |  FROM ee v JOIN c2 c ON c.j = v.j
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+         |    FROM df) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, centroid_id FROM assign WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.qid, a.vec_id AS cid FROM q
+         |  JOIN assign a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.qid),
+         |dots AS (
+         |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
+         |  FROM pairs p
+         |  JOIN ee e1 ON e1.vec_id = p.qid
+         |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |ranked AS (
+         |  SELECT qid, cid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val trained = Similarity.kmeans(emb, 4, 2)
+        .select(col("cluster_id").as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, trained, 3)
     },
 
     // IVF recall@3 vs the brute-force ground truth, per query, as exact
