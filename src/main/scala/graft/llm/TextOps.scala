@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
@@ -120,5 +120,62 @@ object TextOps {
     val nTok = tokenCount(text)
     val stopRatio = occurrences(text, " the ") / nTok
     round(stopRatio * 0.5 + least(length(text).cast("double") / 1000, lit(1.0)) * 0.5, 6)
+  }
+
+  /** Overlapping context-window chunks: token windows of `chunkTokens`
+    * starting every `stride` tokens (stride < chunk ⇒ overlap, the
+    * standard training-data windowing). Declarative row amplification —
+    * `explode(sequence)` over in-row slices, so it distributes and prunes
+    * like any lateral view and memory is bounded by one document's
+    * tokens. Output: (id, chunk_idx, n_tokens, chunk_text). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      "stride must be positive and no larger than the chunk")
+    val toks = filter(spaceTokens(col(textCol)), t => t =!= "")
+    docs.select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)).as("chunk"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Redact digit runs to a placeholder — the minimal form of the PII/
+    * number-normalization scrub every corpus pipeline runs. Pure
+    * codegen'd `regexp_replace`; count via `regexp_count` for audit. */
+  val NumberRegex = "[0-9]+"
+  def redactNumbers(text: Column): Column =
+    regexp_replace(text, lit(NumberRegex), lit("<NUM>"))
+  def numberCount(text: Column): Column =
+    regexp_count(text, lit(NumberRegex)).cast("int")
+
+  /** Greedy token-budget shard packing (sequence packing's outer loop):
+    * assign each document to a shard so shards hold ~`targetTokens`
+    * tokens, preserving id order within a packing group.
+    *
+    * SCALE SHAPE: a single global running sum would be one task — instead
+    * documents first hash into `groups` independent packing groups
+    * (partition-parallel), and the running sum runs per group
+    * (`shard_id = group · 2^20 + local shard`). At 100 TB, `groups`
+    * scales with the cluster and each group's window is one ordinary
+    * partitioned window — no global order, no single-task stage.
+    * Deterministic: group and order are pure functions of the id. */
+  def packShards(docs: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int, groups: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("id"),
+        pmod(col(idCol), lit(groups)).as("grp"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("id"), col("n_tokens"),
+        (col("grp") * lit(1048576L) +
+          floor(col("cum_before") / targetTokens)).as("shard_id"))
   }
 }

@@ -595,6 +595,56 @@ object StarExt {
         TextOps.regexTokenCount(col("text")).as("re_tokens"))
     },
 
+    // Overlapping context-window chunking (64-token windows every 32):
+    // the training-data windowing op. Chunk text compared by digest.
+    QDef("x_text_chunks",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, CAST(i AS INT) AS chunk_idx,
+        |    toks[CAST(i AS INT) * 32 + 1 : CAST(i AS INT) * 32 + 64] AS chunk
+        |  FROM t, unnest(range(0, (len(toks) - 1) // 32 + 1)) u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_digest
+        |FROM c""".stripMargin) { (s, d) =>
+      TextOps.chunk(Tables(s, d).documents, "doc_id", "text", 64, 32)
+        .select(col("id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_digest"))
+    },
+
+    // Digit-run redaction (the minimal PII/number scrub) + audit count.
+    QDef("x_text_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_digest
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables(s, d).documents.select(col("doc_id"),
+        TextOps.numberCount(col("text")).as("n_nums"),
+        md5(TextOps.redactNumbers(col("text")).cast("binary")).as("redacted_digest"))
+    },
+
+    // Greedy token-budget shard packing (sequence packing's outer loop),
+    // 2000-token shards over 8 parallel packing groups — no global-order
+    // single-task window (see TextOps.packShards scale note).
+    QDef("x_text_shards",
+      """WITH t AS (
+        |  SELECT doc_id AS id, doc_id % 8 AS grp,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, grp, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY grp ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT id, n_tokens,
+        |  CAST(grp * 1048576 + cum_before // 2000 AS BIGINT) AS shard_id
+        |FROM c""".stripMargin) { (s, d) =>
+      TextOps.packShards(Tables(s, d).documents, "doc_id", "text", 2000, 8)
+    },
+
     // Position-weighted rolling-hash document fingerprint (exact int64).
     QDef("x_text_fingerprint",
       s"""SELECT doc_id, CAST(sum(i * $WordHashSql) AS BIGINT) AS fp

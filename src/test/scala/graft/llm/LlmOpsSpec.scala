@@ -192,6 +192,41 @@ class TextOpsSpec extends SparkSpec {
     assert(close(cents(1L), List(32.0 / 3, 32.0 / 3)))
   }
 
+  test("chunking: overlapping windows, short tail kept, empty doc dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, "doc_id", "text", 4, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    // 10 tokens, stride 2 → starts 0,2,4,6,8 (5 chunks); last two truncated
+    assert(out.keySet === (0 to 4).map((1L, _)).toSet)
+    assert(out((1L, 0)) === ((4, "t1 t2 t3 t4")))
+    assert(out((1L, 1)) === ((4, "t3 t4 t5 t6")))
+    assert(out((1L, 4)) === ((2, "t9 t10"))) // tail shorter than the window
+  }
+
+  test("redaction replaces digit runs and counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "call 555 or 0800 now"), (2L, "no digits here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.numberCount(col("text")).as("n"),
+        TextOps.redactNumbers(col("text")).as("r"))
+    val out = df.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L) === ((2, "call <NUM> or <NUM> now")))
+    assert(out(2L) === ((0, "no digits here")))
+  }
+
+  test("shard packing: shards fill to the token budget, groups independent") {
+    import spark.implicits._
+    // one group (groups=1): docs of 30 tokens each, 100-token target →
+    // cum_before 0,30,60,90 | 120,150 ... → shards 0,0,0,0,1,1,...
+    val docs = (0L to 5L).map(i => (i, (1 to 30).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.packShards(docs, "doc_id", "text", 100, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("fingerprint is position-sensitive (permuted tokens differ)") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
       .toDF("doc_id", "text")
