@@ -35,4 +35,21 @@ object ScaleLayout {
     * ScaleLayoutSpec). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Sort-clustered layout — the third leg of the layout toolkit
+    * (partitioning prunes low-cardinality columns at the FILE INDEX,
+    * bucketing co-locates join keys, sort-clustering makes HIGH-cardinality
+    * range/point predicates skippable INSIDE files): range-repartition then
+    * sort within partitions on `key` before writing, so every parquet row
+    * group covers a narrow, non-overlapping key range and its footer
+    * min/max statistics become tight. A pushed-down range predicate then
+    * skips whole row groups in the reader — the mechanism Z-ordering
+    * generalizes to several columns. ScaleLayoutSpec asserts the footer
+    * stats directly: sorted layout ⇒ disjoint per-row-group ranges;
+    * unsorted ⇒ every row group spans ~the full key domain (nothing
+    * skippable). Results are layout-independent (`x_sorted_scan` oracle). */
+  def writeSorted(df: DataFrame, path: String, key: String, numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
 }

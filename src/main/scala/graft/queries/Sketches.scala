@@ -67,6 +67,25 @@ object Sketches {
         .agg(count(lit(1)).as("clicks"), round(sum(col("value")), 4).as("total_value"))
     },
 
+    // Sort-clustered layout: events land range-partitioned + sorted on
+    // user_id, then a user-range aggregate reads back through tight
+    // row-group footer stats (disjoint ranges asserted in ScaleLayoutSpec
+    // — the skipping precondition for the reader). Oracle is the plain
+    // aggregate: layout never changes results. Write inside the timing,
+    // as with the other layout queries.
+    QDef("x_sorted_scan",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 4) AS total_value
+        |FROM events WHERE user_id BETWEEN 40 AND 60
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_sorted"
+      ScaleLayout.writeSorted(Tables(s, d).events, dir, "user_id", 4)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(40, 60))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
+    },
+
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
     QDef("x_sketch_hll",
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,

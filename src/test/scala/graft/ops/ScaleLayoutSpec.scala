@@ -40,4 +40,57 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(scan.selectedPartitions.toPartitionArray.forall(p =>
       java.net.URLDecoder.decode(p.urlEncodedPath, "UTF-8").contains("etype=click")))
   }
+
+  /** (min, max) of `key`'s statistics for every row group of every parquet
+    * file under `dir`, straight from the footers. */
+  private def rowGroupRanges(dir: String, key: String): Seq[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+      .flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+            val chunk = block.getColumns.asScala
+              .find(_.getPath.toDotString == key).get
+            val st = chunk.getStatistics
+            (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+        } finally reader.close()
+      }
+  }
+
+  test("sort-clustered write produces tight, disjoint row-group key ranges") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sorted_spec").toString
+    // keys deliberately scattered so an unsorted write interleaves them
+    val df = (1 to 20000).map(i => ((i * 7919L) % 20000, s"payload$i"))
+      .toDF("k", "v")
+    // small row groups so each file holds several
+    spark.conf.set("parquet.block.size", 64 * 1024)
+    try {
+      df.coalesce(2).write.mode("overwrite").parquet(s"$base/unsorted")
+      ScaleLayout.writeSorted(df, s"$base/sorted", "k", 4)
+    } finally spark.conf.unset("parquet.block.size")
+
+    val sorted = rowGroupRanges(s"$base/sorted", "k")
+    val unsorted = rowGroupRanges(s"$base/unsorted", "k")
+    assert(sorted.nonEmpty && unsorted.nonEmpty)
+    // sorted: ranges are disjoint (no two row groups overlap), so a point/
+    // range predicate matches few groups' [min,max] — the skipping precondition
+    val s = sorted.sorted
+    assert(s.zip(s.drop(1)).forall { case ((_, max1), (min2, _)) => max1 <= min2 },
+      s"sorted row groups overlap: $s")
+    // unsorted: every row group spans nearly the whole key domain — nothing
+    // is skippable
+    assert(unsorted.forall { case (mn, mx) => mx - mn > 15000L },
+      s"expected full-domain unsorted row groups, got: $unsorted")
+    // a point lookup's candidate row groups: all of them unsorted, one sorted
+    val probe = 12345L
+    assert(unsorted.count { case (mn, mx) => mn <= probe && probe <= mx } === unsorted.size)
+    assert(sorted.count { case (mn, mx) => mn <= probe && probe <= mx } <= 1)
+  }
 }
