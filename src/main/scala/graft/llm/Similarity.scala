@@ -125,6 +125,37 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF search probing the `nprobe` NEAREST cells instead of only the
+    * query's own (the recall lever documented in SCALE.md): the query side
+    * explodes into `nprobe` (qid, centroid) rows — still a broadcast-sized
+    * set — while the corpus keeps its single map-only cell assignment, so
+    * candidates grow ~linearly in nprobe and the corpus still never
+    * shuffles. `nprobe = 1` degenerates to [[ivfTopK]]; `nprobe = nlist`
+    * is brute force. Probe ranking uses the same (rounded dist²,
+    * centroid id) order as assignment, so results stay deterministic. */
+  def ivfTopKProbed(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidArray(centroids)
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("ce"), nearest(col("ce")).getField("centroid_id").as("centroid_id"))
+    val probes = slice(array_sort(transform(col("cents"), cc =>
+      struct(round(graft.functions.GraftFunctions.l2Sq(col("qe"), cc.getField("ce")), 6).as("dist2"),
+        cc.getField("centroid_id").as("centroid_id")))), 1, nprobe)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"),
+        explode(transform(probes, s => s.getField("centroid_id"))).as("centroid_id"))
+    c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topKByScore(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — the
     * TRAINING step that produces real IVF centroids (the `x_sim_ivf_*`
     * queries take centroids as given; this is where they come from).
@@ -175,10 +206,12 @@ object Similarity {
     * ~p/nlist and recovers the neighbors that fell across a Voronoi
     * boundary — the recall/nprobe tradeoff documented in SCALE.md. */
   def ivfRecall(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
     val truth = cosineTopK(queries, corpus, k).select(col("qid"), col("cid"))
-    val approx = ivfTopK(queries, corpus, centroids, k)
-      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    val search =
+      if (nprobe <= 1) ivfTopK(queries, corpus, centroids, k)
+      else ivfTopKProbed(queries, corpus, centroids, k, nprobe)
+    val approx = search.select(col("qid"), col("cid"), lit(1).as("hit"))
     truth.join(approx, Seq("qid", "cid"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))

@@ -545,6 +545,68 @@ object StarExt {
         emb.filter(col("vec_id") < 8), 3)
     },
 
+    // Multi-cell IVF probing: recall@3 at nprobe=4 — the recall lever in
+    // action vs x_sim_ivf_recall's nprobe=1 floor (measured sweep on this
+    // corpus: nprobe 1-3 -> 0.833, 4 -> 0.933, 6 -> 1.0; see SCALE.md).
+    // The corpus keeps its single map-only cell; only the (broadcast)
+    // query side fans out to its 4 nearest cells, so candidates grow
+    // ~linearly in nprobe and the corpus never shuffles.
+    QDef("x_sim_ivf_nprobe",
+      s"""WITH $EmbExpl,
+         |$NormsCte,
+         |bdots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |bscored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |brute AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM bscored) WHERE rn <= 3),
+         |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
+         |d2 AS (
+         |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
+         |  FROM ee v JOIN cent c ON c.j = v.j
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS qid, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+         |    FROM d2) WHERE rn <= 4 AND vec_id < 10),
+         |ipairs AS (
+         |  SELECT q.qid, a.vec_id AS cid FROM q
+         |  JOIN assign a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.qid),
+         |idots AS (
+         |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
+         |  FROM ipairs p
+         |  JOIN ee e1 ON e1.vec_id = p.qid
+         |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
+         |  GROUP BY 1, 2),
+         |iscored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM idots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |ivf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM iscored) WHERE rn <= 3)
+         |SELECT b.qid, CAST(count(i.cid) AS INT) AS hits,
+         |  round(count(i.cid) / 3.0, 6) AS recall
+         |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+         |GROUP BY b.qid""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.ivfRecall(emb.filter(col("vec_id") < 10), emb,
+        emb.filter(col("vec_id") < 8), 3, nprobe = 4)
+    },
+
     // Language-ID heuristic: per-language marker-occurrence scores + argmax.
     QDef("x_text_langid", {
       val scores = TextOps.LangMarkers.map { case (l, kws) =>

@@ -175,6 +175,34 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ivfTopKProbed: nprobe=1 equals ivfTopK; wider probe never loses recall") {
+    import spark.implicits._
+    // 3 clusters along separate axes + a query sitting between two of them,
+    // so its nearest neighbor lives in a NEIGHBORING cell
+    val corpus = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(0f, 0f, 10f, 0f)), // ids 0-2 double as centroids
+      (3L, Array(9f, 1f, 0f, 0f)), (4L, Array(1f, 9f, 0f, 0f)),
+      (5L, Array(6f, 5f, 0f, 0f))) // the boundary sitter
+      .toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 3)
+    val q = corpus.filter(col("vec_id") === 5)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).map(_._1).toList
+    // nprobe=1 degenerates to the single-cell search
+    assert(tops(Similarity.ivfTopKProbed(q, corpus, cents, 2, 1)) ===
+      tops(Similarity.ivfTopK(q, corpus, cents, 2)))
+    // the boundary query's neighbor set improves with the second cell:
+    // cell-0 only sees {0, 3}; probing cell-1 too adds 4 and finds the
+    // true top-2 {3, 4} (both cosines to 5 exceed 0's)
+    val p1 = tops(Similarity.ivfTopKProbed(q, corpus, cents, 2, 1)).toSet
+    val p2 = tops(Similarity.ivfTopKProbed(q, corpus, cents, 2, 2)).toSet
+    val truth = Similarity.cosineTopK(q, corpus, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(p2.intersect(truth).size >= p1.intersect(truth).size)
+    assert(p2 === truth)
+  }
+
   test("kmeans converges to the obvious centroids on well-separated clusters") {
     import spark.implicits._
     val pts = Seq(
