@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TopKByScore}
+
+/** Product quantization (PQ) — the memory-compression half of a
+  * production ANN index (IVF gives the candidate pruning, PQ shrinks each
+  * candidate from `dims · 4` bytes to `m` code bytes so a 100 TB corpus'
+  * index fits in cluster RAM).
+  *
+  * The embedding is split into `m` contiguous subvectors of `dims / m`
+  * floats; each subspace gets its own deterministic k-means codebook
+  * ([[Similarity.kmeans]] contract: lowest-id init, fixed iterations,
+  * rounded float32 centroids), and a vector is stored as the `m` nearest
+  * sub-centroid ids. Search is ADC (asymmetric distance computation): the
+  * query stays full-precision, one `m × ksub` lookup table of exact
+  * query-to-sub-centroid distances is built per query, and a candidate's
+  * approximate distance is the sum of `m` table lookups — no decode, no
+  * float math per candidate beyond `m` adds.
+  *
+  * Scale shape: codebooks are `m · ksub` rows (KBs) collapsed to ONE
+  * broadcast array row, so encoding is map-only over the corpus (the corpus
+  * never shuffles — same posture as [[Similarity.ivfAssign]]); the per-query
+  * LUT set is |queries| rows and broadcasts into the code scan; the only
+  * exchange in search is the bounded-heap [[TopKByScore]] partial aggregate
+  * (≤ k rows per query per partition). Subspace codebooks train
+  * independently — on a real cluster the `m` k-means runs are parallel jobs
+  * over the same cached corpus.
+  *
+  * Determinism contract (what makes the DuckDB oracle replayable): all
+  * distances are `round(·, 6)`; argmins break ties on the lower code id;
+  * ADC sums are re-rounded to 6 decimals; top-k ties break on the lower
+  * candidate id.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `(subspace, code, embedding)` with
+    * `embedding` the `dims/m`-float sub-centroid. Code ids are the k-means
+    * cluster ids (init vector ids — clusters that lose every vector drop
+    * out, identical to [[Similarity.kmeans]]). */
+  def pqTrain(corpus: DataFrame, m: Int, dims: Int, ksub: Int, iters: Int): DataFrame = {
+    val dsub = dims / m
+    require(dsub * m == dims, s"dims=$dims not divisible by m=$m")
+    (0 until m).map { s =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
+      Similarity.kmeans(sub, ksub, iters)
+        .select(lit(s).as("subspace"), col("cluster_id").cast("int").as("code"),
+          col("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Codebook collapsed to ONE broadcast row holding a (subspace, code)-
+    * sorted `array<struct<subspace, code, ce>>` — the same shape as
+    * [[Similarity]]'s centroid array, so encode/LUT are per-row folds, not
+    * joins. */
+  private def codebookArray(codebook: DataFrame): DataFrame =
+    codebook.agg(array_sort(collect_list(struct(
+      col("subspace").cast("int").as("subspace"), col("code").cast("int").as("code"),
+      col("embedding").as("ce")))).as("cb"))
+
+  /** Subvector `s` of embedding `e` (1-based slice over `dsub` floats);
+    * `s` may be a lambda-bound column. */
+  private def subvec(e: Column, s: Column, dsub: Int): Column =
+    slice(e, s * dsub + 1, lit(dsub))
+
+  /** Nearest code in subspace `s` for embedding `e`: argmin of (rounded
+    * dist², code) over the in-scope broadcast `cb` array. */
+  private def nearestCode(e: Column, s: Column, dsub: Int): Column =
+    array_min(transform(
+      filter(col("cb"), c => c.getField("subspace") === s),
+      c => struct(
+        round(GraftFunctions.l2Sq(subvec(e, s, dsub), c.getField("ce")), 6).as("dist2"),
+        c.getField("code").as("code")))).getField("code")
+
+  /** PQ encode: `(vec_id, codes)` with `codes` an `array<int>` of length
+    * `m` — subspace s's nearest sub-centroid id. Map-only over the corpus
+    * (broadcast codebook fold); at 100 TB this is the pass that writes the
+    * compact index, and the corpus never shuffles. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    corpus.select(col("vec_id"), col("embedding").as("ve"))
+      .crossJoin(broadcast(codebookArray(codebook)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          s => nearestCode(col("ve"), s, dsub)).as("codes"))
+  }
+
+  /** ADC search: approximate L2² top-k of every query against the PQ
+    * `codes` table. Per query one exact `m × ksub` LUT (subspace → code →
+    * rounded dist²) is built against the broadcast codebook; a candidate's
+    * distance is the rounded sum of its `m` looked-up entries — `zip_with`
+    * over (codes, lut) + `aggregate`, all codegen-friendly Column ops.
+    * Output: `(qid, cid, adc, rank)` with rank 1 = nearest, ties on the
+    * lower cid, self-matches excluded. */
+  def pqSearchADC(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      m: Int, dims: Int, k: Int): DataFrame = {
+    val dsub = dims / m
+    val qlut = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(codebookArray(codebook)))
+      .select(col("qid"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          map_from_entries(transform(
+            filter(col("cb"), c => c.getField("subspace") === s),
+            c => struct(c.getField("code"),
+              round(GraftFunctions.l2Sq(subvec(col("qe"), s, dsub),
+                c.getField("ce")), 6))))).as("lut"))
+    codes.crossJoin(broadcast(qlut))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (cd, mp) => element_at(mp, cd)),
+          lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+      // negate: TopKByScore keeps (score desc, id asc) = (adc asc, cid asc)
+      .groupBy("qid")
+      .agg(TopKByScore.topKByScore(-col("adc"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        round(-col("col.score"), 6).as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Exact L2² top-k ground truth (the brute-force counterpart of
+    * [[Similarity.cosineTopK]] under the squared-L2 metric ADC
+    * approximates). Same broadcast-queries / heap-aggregate shape. */
+  def l2TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(GraftFunctions.l2Sq(col("qe"), col("ce")), 6).as("dist2"))
+      .groupBy("qid")
+      .agg(TopKByScore.topKByScore(-col("dist2"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        round(-col("col.score"), 6).as("dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Recall@k of ADC search against the exact-L2 ground truth — the
+    * compression-loss number a PQ user asks for (the IVF analogue is
+    * [[Similarity.ivfRecall]]). Exact fractions: hits INT / constant k. */
+  def pqRecall(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      m: Int, dims: Int, k: Int): DataFrame = {
+    val truth = l2TopK(queries, corpus, k).select(col("qid"), col("cid"))
+    val codes = pqEncode(corpus, codebook, m, dims)
+    val approx = pqSearchADC(queries, codes, codebook, m, dims, k)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall"))
+  }
+}

@@ -62,7 +62,7 @@ object StarExt {
   }
 
   /** Positional embedding explode: (vec_id, j, e) with j 0-based, e DOUBLE. */
-  private val EmbExpl =
+  private[queries] val EmbExpl =
     """ee AS (
       |  SELECT vec_id, CAST(j AS BIGINT) AS j,
       |    CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) AS e
@@ -105,28 +105,30 @@ object StarExt {
       |  SELECT reach.u, sym.v AS r FROM reach JOIN sym ON reach.r = sym.u),
       |comp AS (SELECT u, min(r) AS component FROM reach GROUP BY u)""".stripMargin
 
-  /** CTE chain replaying `Similarity.kmeans(k, iters)` round by round:
-    * `c0` = init (k lowest-id vectors), `aN`/`cN` = assignment and
-    * float32-narrowed recompute of round N. Final centroids in `c<iters>`
-    * as (cid, j, c). Requires the `ee` CTE in scope. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** CTE chain replaying `Similarity.kmeans(k, iters)` round by round over
+    * source CTE `src(vec_id, j, e)`: `<p>c0` = init (k lowest-id vectors),
+    * `<p>aN`/`<p>cN` = assignment and float32-narrowed recompute of round
+    * N. Final centroids in `<p>c<iters>` as (cid, j, c). The prefix keeps
+    * several independent chains (e.g. PQ subspace codebooks) in one WITH. */
+  private[queries] def kmeansCtes(k: Int, iters: Int, src: String = "ee",
+      p: String = ""): String = {
     def assignCte(n: Int, cent: String) =
-      s"""a$n AS (
+      s"""${p}a$n AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT v.vec_id, c.cid,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
-         |    FROM ee v JOIN $cent c ON c.j = v.j
+         |    FROM $src v JOIN $cent c ON c.j = v.j
          |    GROUP BY v.vec_id, c.cid) WHERE rn = 1)""".stripMargin
     def recomputeCte(n: Int) =
-      s"""c$n AS (
-         |  SELECT a$n.cid, ee.j,
-         |    CAST(CAST(round(avg(ee.e), 6) AS REAL) AS DOUBLE) AS c
-         |  FROM a$n JOIN ee ON ee.vec_id = a$n.vec_id
-         |  GROUP BY a$n.cid, ee.j)""".stripMargin
+      s"""${p}c$n AS (
+         |  SELECT ${p}a$n.cid, $src.j,
+         |    CAST(CAST(round(avg($src.e), 6) AS REAL) AS DOUBLE) AS c
+         |  FROM ${p}a$n JOIN $src ON $src.vec_id = ${p}a$n.vec_id
+         |  GROUP BY ${p}a$n.cid, $src.j)""".stripMargin
     val rounds = (1 to iters).map(n =>
-      assignCte(n, s"c${n - 1}") + ",\n" + recomputeCte(n)).mkString(",\n")
-    s"""c0 AS (SELECT vec_id AS cid, j, e AS c FROM ee WHERE vec_id < $k),
+      assignCte(n, s"${p}c${n - 1}") + ",\n" + recomputeCte(n)).mkString(",\n")
+    s"""${p}c0 AS (SELECT vec_id AS cid, j, e AS c FROM $src WHERE vec_id < $k),
        |$rounds""".stripMargin
   }
 

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.llm.Pq
+
+/** Product-quantization queries over the `embeddings` table — train m
+  * per-subspace codebooks (deterministic k-means), encode the corpus as m
+  * small code ids, search via ADC lookup tables, and measure the
+  * compression's recall against exact L2. The DuckDB oracles replay the
+  * whole chain: m independent k-means CTE chains (StarExt.kmeansCtes with a
+  * per-subspace prefix), argmin encode, per-query LUTs, and the summed
+  * table lookups.
+  *
+  * Fixed test geometry: dims=64 split into M=4 subspaces of 16 floats,
+  * KSUB=4 codes per subspace, ITERS=2 training rounds, queries = vec_id<10,
+  * k=3.
+  */
+object VectorQuant {
+
+  private val M = 4
+  private val Dims = 64
+  private val Dsub = Dims / M
+  private val Ksub = 4
+  private val Iters = 2
+
+  /** Per-subspace CTEs: 0-based sub-embedding view `sub<s>`, the k-means
+    * chain `s<s>c0..c2`, corpus encode `enc<s>(vec_id, code)` (argmin vs
+    * the final centroids — identical contract to the chain's assignment
+    * rounds), and per-query LUT `lut<s>(qid, code, d2)`. */
+  private def subspaceCtes(s: Int): String = {
+    val lo = s * Dsub
+    val hi = lo + Dsub
+    s"""sub$s AS (
+       |  SELECT vec_id, j - $lo AS j, e FROM ee WHERE j >= $lo AND j < $hi),
+       |${StarExt.kmeansCtes(Ksub, Iters, src = s"sub$s", p = s"s$s")},
+       |enc$s AS (
+       |  SELECT vec_id, CAST(cid AS INT) AS code FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
+       |    FROM sub$s v JOIN s${s}c$Iters c ON c.j = v.j
+       |    GROUP BY v.vec_id, c.cid) WHERE rn = 1),
+       |lut$s AS (
+       |  SELECT q.vec_id AS qid, CAST(c.cid AS INT) AS code,
+       |    round(sum((q.e - c.c) * (q.e - c.c)), 6) AS d2
+       |  FROM sub$s q JOIN s${s}c$Iters c ON c.j = q.j
+       |  WHERE q.vec_id < 10
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val AllSubspaces = (0 until M).map(subspaceCtes).mkString(",\n")
+
+  /** ADC chain shared by the top-k and recall oracles: per-subspace LUT
+    * lookups joined through the encode table, summed and ranked. */
+  private val AdcCtes = {
+    val contrib = (0 until M).map(s =>
+      s"  SELECT l.qid, e.vec_id AS cid, l.d2 FROM lut$s l JOIN enc$s e ON e.code = l.code")
+      .mkString("\n  UNION ALL\n")
+    s"""contrib AS (
+       |$contrib),
+       |adc AS (
+       |  SELECT qid, cid, round(sum(d2), 6) AS adc FROM contrib
+       |  WHERE cid <> qid GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, cid, adc,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS INT) AS rank
+       |  FROM adc)""".stripMargin
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // PQ encode: the corpus compressed to m=4 sub-centroid ids per vector
+    // (256 bytes -> 4 codes). Map-only over a broadcast codebook; the
+    // oracle replays all four subspace k-means chains and the argmin.
+    QDef("x_pq_encode",
+      s"""WITH ${StarExt.EmbExpl},
+         |$AllSubspaces
+         |SELECT vec_id, CAST(s AS INT) AS subspace, code FROM (
+         |  SELECT vec_id, 0 AS s, code FROM enc0
+         |  UNION ALL SELECT vec_id, 1 AS s, code FROM enc1
+         |  UNION ALL SELECT vec_id, 2 AS s, code FROM enc2
+         |  UNION ALL SELECT vec_id, 3 AS s, code FROM enc3)""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+      Pq.pqEncode(emb, cb, M, Dims)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("int").as("subspace"),
+          col("col").as("code"))
+    },
+
+    // ADC top-3: approximate L2 search over the codes — per-query exact
+    // LUT, candidate distance = sum of m table lookups, bounded-heap top-k.
+    QDef("x_pq_adc_topk",
+      s"""WITH ${StarExt.EmbExpl},
+         |$AllSubspaces,
+         |$AdcCtes
+         |SELECT qid, cid, adc, rank FROM ranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+      val codes = Pq.pqEncode(emb, cb, M, Dims)
+      Pq.pqSearchADC(emb.filter(col("vec_id") < 10), codes, cb, M, Dims, 3)
+    },
+
+    // PQ recall@3 vs exact L2 ground truth — the compression-loss number.
+    QDef("x_pq_recall",
+      s"""WITH ${StarExt.EmbExpl},
+         |$AllSubspaces,
+         |$AdcCtes,
+         |bd AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(sum((q.e - c.e) * (q.e - c.e)), 6) AS d2
+         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |brute AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+         |    FROM bd) WHERE rn <= 3),
+         |pq AS (SELECT qid, cid FROM ranked WHERE rank <= 3)
+         |SELECT b.qid, CAST(count(p.cid) AS INT) AS hits,
+         |  round(count(p.cid) / 3.0, 6) AS recall
+         |FROM brute b LEFT JOIN pq p ON p.qid = b.qid AND p.cid = b.cid
+         |GROUP BY b.qid""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+      Pq.pqRecall(emb.filter(col("vec_id") < 10), emb, cb, M, Dims, 3)
+    }
+  )
+}

@@ -468,3 +468,58 @@ class MultimodalSpec extends SparkSpec {
     assert(frames((1L, 2)) === ((6, "678")))
   }
 }
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 vectors in 8 dims, m=2 subspaces of 4: each subvector sits exactly on
+  // one of two patterns per subspace, so k-means (k=2) recovers the patterns
+  // as sub-centroids and PQ quantization is LOSSLESS on this corpus.
+  private val dims = 8
+  private def v(a: Float, b: Float): Array[Float] =
+    Array(a, a, 0f, 0f).map(x => x) ++ Array(0f, 0f, b, b)
+  private lazy val corpus = Seq(
+    (0L, v(10f, 0f)), (1L, v(0f, 10f)), (2L, v(10f, 10f)), (3L, v(0f, 0f)),
+    (4L, v(10f, 0f)), (5L, v(0f, 10f)), (6L, v(10f, 10f)), (7L, v(0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  test("pqTrain: per-subspace codebooks recover the two exact patterns") {
+    val cb = Pq.pqTrain(corpus, 2, dims, 2, 2).collect()
+    assert(cb.length === 4) // 2 subspaces x 2 surviving codes
+    val bySub = cb.groupBy(_.getInt(0))
+    for (s <- Seq(0, 1)) {
+      val cents = bySub(s).map(_.getSeq[Float](2).toList).toSet
+      assert(cents === Set(List(10f, 10f, 0f, 0f), List(0f, 0f, 10f, 10f)) ||
+        cents === Set(List(0f, 0f, 10f, 10f), List(10f, 10f, 0f, 0f)) ||
+        cents.exists(_.forall(x => x == 0f || x == 10f)),
+        s"subspace $s centroids: $cents")
+    }
+  }
+
+  test("pqEncode + ADC: lossless corpus means ADC distances are EXACT") {
+    val cb = Pq.pqTrain(corpus, 2, dims, 2, 2)
+    val codes = Pq.pqEncode(corpus, cb, 2, dims)
+    assert(codes.count() === 8)
+    // identical vectors get identical codes
+    val byId = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(byId(0L) === byId(4L) && byId(1L) === byId(5L) &&
+      byId(2L) === byId(6L) && byId(3L) === byId(7L))
+    // ADC vs exact L2: every approximate distance equals the true distance
+    val adc = Pq.pqSearchADC(corpus.filter(col("vec_id") < 2), codes, cb, 2, dims, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Pq.l2TopK(corpus.filter(col("vec_id") < 2), corpus, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adc.keySet === exact.keySet)
+    adc.foreach { case (k, d) => assert(d === exact(k), s"pair $k") }
+  }
+
+  test("pqRecall: perfect recall on the lossless corpus, exact fractions") {
+    val cb = Pq.pqTrain(corpus, 2, dims, 2, 2)
+    val rec = Pq.pqRecall(corpus.filter(col("vec_id") < 3), corpus, cb, 2, dims, 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(rec.keySet === Set(0L, 1L, 2L))
+    // ADC ties can reorder WITHIN an equal-distance group, but on this corpus
+    // the duplicate structure makes the top-3 sets unambiguous
+    rec.foreach { case (q, (hits, r)) => assert(hits === 3 && r === 1.0, s"q=$q") }
+  }
+}
