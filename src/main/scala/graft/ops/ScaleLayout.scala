@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical table layout for 100 TB scans: hive-style partitioned
   * directories.
@@ -51,5 +52,42 @@ object ScaleLayout {
   def writeSorted(df: DataFrame, path: String, key: String, numFiles: Int): Unit =
     df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+
+  /** Z-value (Morton code): the bit-interleave of k non-negative integer
+    * columns, each truncated to its low `bits` bits — bit i of column c
+    * lands at output position `i·k + (k−1−c)`, so column 0 is the more
+    * significant within every bit group. Sorting by z walks a space-filling
+    * curve: nearby (c0, c1) points get nearby z values in BOTH dimensions,
+    * which single-column sorting can only give for one.
+    *
+    * Pure `shiftright/AND/shiftleft/OR` column arithmetic — codegen'd,
+    * deterministic, and replayable bit-for-bit by the SQL oracle
+    * (`x_zorder_value`). */
+  def zValue(bits: Int, cols: Column*): Column = {
+    val k = cols.size
+    val terms = for {
+      i <- 0 until bits
+      (c, ci) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * k + (k - 1 - ci))
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered layout: [[writeSorted]] generalized to SEVERAL
+    * high-cardinality columns. Range-repartition + sort on the interleaved
+    * [[zValue]] clusters rows so every parquet row group covers a small
+    * RECTANGLE of the (c0, c1, …) space instead of a narrow band in one
+    * column and the full domain in the others — so footer min/max stats are
+    * tight on EVERY z-ordered column and a multi-column box predicate skips
+    * row groups on each of them (coverage ratios asserted in
+    * ScaleLayoutSpec; result parity in `x_zorder_scan`). The z column is
+    * computed for layout only and dropped before the write. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int, bits: Int,
+      cols: String*): Unit =
+    df.withColumn("__z", zValue(bits, cols.map(col): _*))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
 }

@@ -45,6 +45,13 @@ object Sketches {
     dir.toString
   }
 
+  /** DuckDB replay of `ScaleLayout.zValue(16, l_partkey, l_suppkey)` —
+    * the same interleave positions (bit i of partkey → 2i+1, suppkey → 2i);
+    * `+` equals OR because the positions are disjoint. */
+  private val ZExprSql: String = (0 until 16).flatMap(i => Seq(
+    s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})",
+    s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i})")).mkString(" + ")
+
   val defs: Seq[QDef] = Seq(
 
     // Hive-partitioned layout + partition pruning: events land partitioned
@@ -84,6 +91,39 @@ object Sketches {
         .filter(col("user_id").between(40, 60))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
+    },
+
+    // Z-value (Morton code) itself, bit-for-bit: the oracle replays the
+    // identical interleave arithmetic, so the layout key Z-ordering sorts
+    // by is proven exact — not just "results unchanged".
+    QDef("x_zorder_value",
+      s"""SELECT l_orderkey, l_linenumber, CAST($ZExprSql AS BIGINT) AS z
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        ScaleLayout.zValue(16, col("l_partkey"), col("l_suppkey")).as("z"))
+    },
+
+    // Z-ordered layout + two-column box query: lineitem lands clustered on
+    // interleave(l_partkey, l_suppkey), so the box predicate skips row
+    // groups on BOTH columns (coverage ratios asserted in ScaleLayoutSpec —
+    // a single-column sort leaves the other column unskippable). Oracle is
+    // the plain aggregate over the original table: layout never changes
+    // results. Write time inside the timing, as with the other layout
+    // queries.
+    QDef("x_zorder_scan",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/lineitem_z"
+      ScaleLayout.writeZOrdered(Tables(s, d).lineitem, dir, 4, 16,
+        "l_partkey", "l_suppkey")
+      s.read.parquet(dir)
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 30))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     },
 
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).

@@ -93,4 +93,51 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(unsorted.count { case (mn, mx) => mn <= probe && probe <= mx } === unsorted.size)
     assert(sorted.count { case (mn, mx) => mn <= probe && probe <= mx } <= 1)
   }
+
+  test("zValue interleaves bits with column 0 most significant per group") {
+    import spark.implicits._
+    // (x=0b11, y=0b01, bits=2) -> bits: x1 y1 x0 y0 = 1 0 1 1 = 11
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(ScaleLayout.zValue(2, col("x"), col("y"))).head.getLong(0)
+    assert(z === 11L)
+    // adjacent points differ in low z bits only: (2,2)=0b1100, (3,3)=0b1111
+    val z2 = Seq((2L, 2L), (3L, 3L)).toDF("x", "y")
+      .select(ScaleLayout.zValue(2, col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(z2.toSeq === Seq(12L, 15L))
+  }
+
+  test("z-ordered write keeps row-group ranges tight on BOTH columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
+    // a scattered 128x128 grid: both dims uniformly hit
+    val df = (1 to 20000)
+      .map(i => ((i * 7919L) % 128, (i * 104729L) % 128, s"payload$i"))
+      .toDF("x", "y", "v")
+    spark.conf.set("parquet.block.size", 64 * 1024)
+    try {
+      ScaleLayout.writeSorted(df, s"$base/by_x", "x", 4)
+      ScaleLayout.writeZOrdered(df, s"$base/zorder", 4, 7, "x", "y")
+    } finally spark.conf.unset("parquet.block.size")
+
+    def meanSpan(ranges: Seq[(Long, Long)]): Double =
+      ranges.map { case (mn, mx) => (mx - mn).toDouble }.sum / ranges.size
+
+    // single-column sort: x is tight but y spans ~the full domain in every
+    // row group — a y predicate can skip nothing
+    val xSortY = rowGroupRanges(s"$base/by_x", "y")
+    assert(meanSpan(xSortY) > 100.0, s"expected full-domain y spans, got $xSortY")
+
+    // z-order: BOTH columns' spans are a fraction of the domain, so a box
+    // predicate on (x, y) skips row groups via either column's footer stats
+    val zX = rowGroupRanges(s"$base/zorder", "x")
+    val zY = rowGroupRanges(s"$base/zorder", "y")
+    assert(zX.size > 4, s"want several row groups, got ${zX.size}")
+    assert(meanSpan(zX) < 96.0, s"z-order x spans too wide: $zX")
+    assert(meanSpan(zY) < 96.0, s"z-order y spans too wide: $zY")
+
+    // results are layout-independent
+    val back = spark.read.parquet(s"$base/zorder")
+      .filter(col("x").between(32, 63) && col("y").between(32, 63)).count()
+    val direct = df.filter(col("x").between(32, 63) && col("y").between(32, 63)).count()
+    assert(back === direct)
+  }
 }
