@@ -257,6 +257,62 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming SCD Type-2 maintenance: each micro-batch of change rows
+    * `(key, state, ts, tiebreak)` is applied to a versioned history table
+    * via [[graft.ops.Scd.scd2Merge]] — the CDC-ingest shape production
+    * dimensions run (change stream in, full attribute history out).
+    *
+    * Same versioned-dir + atomic `_CURRENT` pointer-flip storage as
+    * [[startForeachBatchUpsert]], with one difference forced by SCD2
+    * semantics: the merge base is the highest version STRICTLY BELOW the
+    * incoming batchId, NOT the pointer. An upsert replayed onto its own
+    * output is a no-op (last-write-wins per key), but an SCD2 batch
+    * re-merged onto a table that already contains it would re-version its
+    * own closed rows; pinning the base to `max{v : v < batchId}` makes a
+    * checkpoint replay read the identical base and rewrite the identical
+    * version — exactly-once table state (restart-parity test in
+    * EventStreamsSpec). */
+  def startForeachBatchScd2(changes: DataFrame, key: String, state: String,
+      ts: String, tiebreak: String, tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val merged = scd2VersionBelow(spark, tableDir, batchId) match {
+            case Some(hist) =>
+              graft.ops.Scd.scd2Merge(hist, batch.toDF(), key, state, ts, tiebreak)
+            case None =>
+              graft.ops.Scd.scd2FromLog(batch.toDF(), key, state, ts, tiebreak)
+          }
+          merged.write.mode("overwrite").parquet(s"$tableDir/v=$batchId")
+          val tmp = new java.io.File(tableDir, s"_CURRENT.tmp$batchId")
+          java.nio.file.Files.write(tmp.toPath, s"v=$batchId".getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath,
+            new java.io.File(tableDir, "_CURRENT").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+      .start()
+
+  /** Highest committed SCD2 version strictly below `below` — the
+    * deterministic replay base (a crashed write of `v=below` itself is
+    * simply overwritten on retry). Versions above can only exist for
+    * checkpoint-committed batches, which are never replayed. */
+  private def scd2VersionBelow(spark: SparkSession, tableDir: String,
+      below: Long): Option[DataFrame] = {
+    val vs = Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < below)
+    if (vs.isEmpty) None else Some(spark.read.parquet(s"$tableDir/v=${vs.max}"))
+  }
+
   /** Resolve the `_CURRENT` pointer and read that version of the upsert
     * table; None before the first committed version. */
   def readUpsertTable(spark: SparkSession, tableDir: String): Option[DataFrame] = {

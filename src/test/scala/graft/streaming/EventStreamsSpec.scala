@@ -317,4 +317,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(out((1L, 2L)) === ((ts(50), ts(50), 1L, 4.0))) // split by the 40-min gap
     assert(out((2L, 1L)) === ((ts(5), ts(5), 1L, 8.0)))
   }
+
+  test("streaming SCD2 sink: restart parity with the batch history rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_scd2_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
+    // an in-order change log: users flip states, with a cross-batch no-op
+    // (user 100 re-sends "click" at the start of phase 2)
+    val phase1 = Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "click", 0.0),
+      EventRow(2L, ts("2024-01-01 10:10:00"), 101L, "view", 0.0),
+      EventRow(3L, ts("2024-01-01 10:20:00"), 100L, "view", 0.0),
+      EventRow(4L, ts("2024-01-01 10:30:00"), 100L, "click", 0.0))
+    val phase2 = Seq(
+      EventRow(5L, ts("2024-01-01 11:00:00"), 100L, "click", 0.0), // no-op
+      EventRow(6L, ts("2024-01-01 11:10:00"), 100L, "error", 0.0),
+      EventRow(7L, ts("2024-01-01 11:20:00"), 102L, "view", 0.0)) // new key
+    val stream = MemoryStream[EventRow]
+    def start() = EventStreams.startForeachBatchScd2(stream.toDF(),
+      "user_id", "event_type", "ts", "event_id", tableDir, ckpt)
+
+    val q1 = start()
+    stream.addData(phase1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // RESTART from the same checkpoint
+    val q2 = start()
+    stream.addData(phase2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4))
+    val streamed = EventStreams.readUpsertTable(spark, tableDir).get
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .collect().map(key).toSet
+    val batch = graft.ops.Scd.scd2FromLog((phase1 ++ phase2).toDF(),
+      "user_id", "event_type", "ts", "event_id")
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    // the phase-2 no-op click did NOT open a new version: user 100 has
+    // click[10:00,10:20) view[10:20,10:30) click[10:30,11:10) error[11:10,inf)
+    assert(streamed.count(_._1 == 100L) === 4)
+  }
 }
