@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 connector — the extension point a user reaches
+  * for when their data lives behind an API/format Spark doesn't ship: a
+  * synthetic `[start, end)` integer table (`id` plus a derived `payload`
+  * string), registered as format `"graft-range"`.
+  *
+  * Small surface, but it exercises every piece of the V2 read contract the
+  * way a 100 TB connector must:
+  *
+  *  - **Split planning**: the range is cut into `slices` input partitions —
+  *    the connector-side analogue of parquet's file/row-group splits — so
+  *    the scan parallelizes across executors.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): range predicates on
+  *    `id` narrow the scanned interval at PLANNING time; slices falling
+  *    entirely outside the residual interval are never emitted — partition
+  *    pruning, the mechanism that lets `WHERE id BETWEEN a AND b` read
+  *    1/1000th of a source instead of filtering it row by row. Handled
+  *    filters are consumed exactly (the source guarantees the predicate),
+  *    so Spark plans no redundant re-filter; unsupported predicates stay
+  *    residual and Spark evaluates them above the scan.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): a projection
+  *    that drops `payload` reaches the reader, which then never
+  *    materializes the string — the `ReadSchema` contract.
+  *
+  * GraftRangeSourceSpec asserts all three through the executed plan
+  * (partition count, pushed filters, read schema); `x_dsv2_pushdown` /
+  * `x_dsv2_scan` hold the results against a DuckDB `range()` oracle.
+  */
+class GraftRangeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-range"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRangeSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftRangeTable(
+      properties.getOrDefault("start", "0").toLong,
+      properties.getOrDefault("end", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object GraftRangeSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+}
+
+final class GraftRangeTable(start: Long, end: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_range[$start,$end)"
+  override def schema(): StructType = GraftRangeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRangeScanBuilder(start, end, slices)
+}
+
+final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  // the residual interval after pushdown, always within [start, end)
+  private var lo = start
+  private var hi = end
+  private var pushed = Array.empty[Filter]
+  private var required = GraftRangeSource.Schema
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  /** Consume id-range predicates into [lo, hi); everything else stays
+    * residual for Spark to evaluate above the scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
+      case GreaterThan("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get + 1); pushed :+= GreaterThan("id", v); false
+      case GreaterThanOrEqual("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); pushed :+= GreaterThanOrEqual("id", v); false
+      case LessThan("id", v) if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get); pushed :+= LessThan("id", v); false
+      case LessThanOrEqual("id", v) if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get + 1); pushed :+= LessThanOrEqual("id", v); false
+      case EqualTo("id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+        pushed :+= EqualTo("id", v); false
+      case _ => true
+    }
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftRangeScan(start, end, slices, lo, hi, required)
+}
+
+/** One fixed slice of the ORIGINAL range, clipped to the pushed interval —
+  * slicing before clipping models how a real source prunes pre-existing
+  * splits (files, blocks, shards) rather than re-splitting the survivors. */
+final case class RangeSlice(lo: Long, hi: Long) extends InputPartition
+
+final class GraftRangeScan(start: Long, end: Long, slices: Int,
+    lo: Long, hi: Long, required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeScan range=[$start,$end) pushed=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val width = math.max(1L, (end - start + slices - 1) / slices)
+    (0 until slices).iterator
+      .map { i =>
+        val sliceLo = start + i * width
+        val sliceHi = math.min(end, sliceLo + width)
+        RangeSlice(math.max(sliceLo, lo), math.min(sliceHi, hi))
+      }
+      .filter(s => s.lo < s.hi) // pruned: slice entirely outside the interval
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required)
+}
+
+final class GraftRangeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val s = p.asInstanceOf[RangeSlice]
+      private var cur = s.lo - 1
+      // resolved once per partition, not per row
+      private val fields: Array[Long => Any] = required.fieldNames.map {
+        case "id" => (id: Long) => id
+        case "payload" => (id: Long) => UTF8String.fromString(s"row-$id")
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      override def next(): Boolean = { cur += 1; cur < s.hi }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toIndexedSeq.map(f => f(cur)))
+      override def close(): Unit = ()
+    }
+}

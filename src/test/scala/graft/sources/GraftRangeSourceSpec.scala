@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class GraftRangeSourceSpec extends SparkSpec {
+
+  private def read(start: Long, end: Long, slices: Int) =
+    spark.read.format("graft-range")
+      .option("start", start.toString).option("end", end.toString)
+      .option("slices", slices.toString)
+      .load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftRangeScan =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[GraftRangeScan]
+    }.get
+
+  test("full scan delivers the range with derived payloads") {
+    val rows = read(5, 9, 3).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sortBy(_._1).toSeq ===
+      Seq((5L, "row-5"), (6L, "row-6"), (7L, "row-7"), (8L, "row-8")))
+  }
+
+  test("range predicates are pushed and prune whole slices at planning") {
+    val df = read(0, 100000, 32).filter(col("id") >= 2500 && col("id") < 7500)
+    val scan = scanOf(df)
+    // 32 slices of 3125: [2500,7500) touches slices 0,1,2 only
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 3, s"expected 3 surviving slices, got ${parts.length}")
+    // every surviving slice is clipped to the pushed interval
+    assert(parts.map(_.asInstanceOf[RangeSlice]).forall(s => s.lo >= 2500 && s.hi <= 7500))
+    assert(scan.description().contains("pushed=[2500,7500)"))
+    // pushdown is exact: no Filter node survives above the scan
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.isEmpty, "pushed filters should not be re-evaluated above the scan")
+    assert(df.count() === 5000)
+  }
+
+  test("non-range predicates stay residual and still evaluate correctly") {
+    val df = read(0, 100, 4).filter(col("id") % 10 === 3 && col("id") < 50)
+    // the modulo is residual; the < 50 prunes slices 2,3
+    assert(scanOf(df).planInputPartitions().length === 2)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 13L, 23L, 33L, 43L))
+  }
+
+  test("column pruning reaches the reader's schema") {
+    val df = read(0, 1000, 4).select("id")
+    assert(scanOf(df).readSchema().fieldNames.toSeq === Seq("id"))
+    assert(df.agg(sum("id")).head.getLong(0) === 499500L)
+  }
+}
