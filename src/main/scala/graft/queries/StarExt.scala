@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
-import graft.streaming.EventStreams
+import graft.streaming.{EventRow, EventStreams}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (the extension surface — builder
@@ -893,6 +893,33 @@ object StarExt {
         t.customer.select(col("c_custkey"), col("c_nationkey")),
         "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"), col("c_nationkey"), col("value"))
+    },
+
+    // Batch twin of the STREAMING as-of join (flatMapGroupsWithState,
+    // watermark-matured emission — EventStreams.asOfStream): every click
+    // picks up the same user's latest view at-or-before it. In batch the
+    // single stateful invocation matures everything at once, so the result
+    // must equal DuckDB's native ASOF LEFT JOIN — equal-ts refs collapse
+    // to max event_id on both sides. Cross-batch/out-of-order streaming
+    // behavior is proven separately in EventStreamsSpec.
+    QDef("x_stream_asof",
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS ref_id,
+        |    max_by(value, event_id) AS ref_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id AS probe_id, p.user_id, p.ts,
+        |  r.ref_id, r.ref_value, epoch_us(p.ts) - epoch_us(r.ts) AS lag_us
+        |FROM p ASOF LEFT JOIN r
+        |  ON p.user_id = r.user_id AND p.ts >= r.ts""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      import sp.implicits._
+      EventStreams.asOfStream(
+        Tables(s, d).events
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[EventRow])
+        .toDF()
     },
 
     // SQL-TEXT surface end-to-end: the whole query is a spark.sql(...)

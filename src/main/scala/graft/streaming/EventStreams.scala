@@ -11,6 +11,18 @@ final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
 final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double,
     session_start: Timestamp, session_end: Timestamp)
 
+/** One streaming as-of match: `probe_id` enriched with the latest ref row
+  * at-or-before its event time (NULL columns when no ref precedes it). */
+final case class AsOfMatch(probe_id: Long, user_id: Long, ts: Timestamp,
+    ref_id: Option[Long], ref_value: Option[Double], lag_us: Option[Long])
+
+/** Per-key state for [[EventStreams.asOfStream]]: probes not yet matured by
+  * the watermark, and the refs still able to match a future probe (all refs
+  * at/after the watermark plus ONE carry ref below it). Timestamps are
+  * epoch micros — exact integers, no Timestamp codec in the state store. */
+final case class AsOfState(probes: List[(Long, Long)],
+    refs: List[(Long, Long, Double)])
+
 /** Structured-Streaming surface over the `events` table shape: windowed
   * aggregations with watermarks and custom sessionization state. The
   * transform bodies are shared with the batch queries (same Column
@@ -163,6 +175,110 @@ object EventStreams {
       watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
+
+  private def toMicros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** STREAMING as-of join — the temporal-join form of
+    * [[graft.ops.AsOfJoin]]: each probe event (`probeType`) is enriched,
+    * per user, with the latest ref event (`refType`) at-or-before its
+    * event time. The batch engines (Spark window form, the custom
+    * AsOfJoinExec, DuckDB `ASOF LEFT JOIN`) answer this over data at rest;
+    * this answers it continuously over a live stream.
+    *
+    * Mechanics (`flatMapGroupsWithState`, event-time timeout):
+    *  - Incoming rows buffer into per-key state, BOTH sides tolerant of
+    *    out-of-order arrival up to the watermark delay.
+    *  - A probe is emitted only once the watermark passes its event time —
+    *    at that point no ref with an earlier timestamp can still arrive
+    *    (later ones would be dropped as late), so the match is final.
+    *    Emission is an O(|probes|+|refs|) two-pointer merge over the
+    *    ts-sorted buffers, the same carry discipline as AsOfJoinExec.
+    *  - State then prunes to: unmatured probes (bounded by the watermark
+    *    delay) + refs at/after the watermark + ONE carry ref below it.
+    *    Per-key state is O(in-flight window) plus a single carry row —
+    *    the temporal-join state bound (one "current version" per key),
+    *    NOT O(stream history).
+    *  - An event-time timeout re-wakes the key when the watermark passes
+    *    its oldest pending probe, so maturation doesn't wait for new data
+    *    on that key.
+    *
+    * Refs sharing one (user, ts) collapse to the max event_id (its value
+    * via the same row) on ingest — the deterministic tie the oracle mirrors
+    * with `max(event_id)` / `max_by(value, event_id)`.
+    *
+    * The same body runs in BATCH (single invocation per key, no watermark →
+    * everything matures immediately), which is what the `x_stream_asof`
+    * oracle row checks against DuckDB's native ASOF LEFT JOIN; MemoryStream
+    * parity incl. cross-batch/out-of-order arrival is in EventStreamsSpec. */
+  def asOfStream(events: Dataset[EventRow], probeType: String = "click",
+      refType: String = "view", watermark: String = "2 hours")(
+      implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+
+    // collapse equal-ts refs to max event_id; keep the list ts-sorted
+    def normRefs(refs: List[(Long, Long, Double)]): List[(Long, Long, Double)] =
+      refs.groupBy(_._1).map { case (_, same) => same.maxBy(_._2) }
+        .toList.sortBy(r => (r._1, r._2))
+
+    // emit matured probes (ts < wm) against the sorted refs; prune state
+    def flush(st: AsOfState, wmMicros: Long): (List[AsOfMatch], AsOfState) = {
+      val (matured, pending) = st.probes.partition(_._1 < wmMicros)
+      val refs = st.refs // kept sorted by normRefs
+      val out = scala.collection.mutable.ListBuffer.empty[AsOfMatch]
+      var i = 0
+      var carry: Option[(Long, Long, Double)] = None
+      matured.sortBy(p => (p._1, p._2)).foreach { case (pTs, pId) =>
+        while (i < refs.length && refs(i)._1 <= pTs) { carry = Some(refs(i)); i += 1 }
+        out += (carry match {
+          case Some((rTs, rId, rVal)) =>
+            AsOfMatch(pId, -1L, fromMicros(pTs), Some(rId), Some(rVal), Some(pTs - rTs))
+          case None => AsOfMatch(pId, -1L, fromMicros(pTs), None, None, None)
+        })
+      }
+      // refs a future probe could still need: everything at/after the
+      // watermark, plus the single latest one below it (the carry)
+      val (live, old) = refs.partition(_._1 >= wmMicros)
+      val kept = (old.lastOption.toList ++ live).sortBy(r => (r._1, r._2))
+      (out.toList, AsOfState(pending, kept))
+    }
+
+    events
+      .filter(e => e.event_type == probeType || e.event_type == refType)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[AsOfState]) =>
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val incoming = rows.toSeq
+          val newProbes = incoming.collect {
+            case e if e.event_type == probeType => (toMicros(e.ts), e.event_id) }
+          val newRefs = incoming.collect {
+            case e if e.event_type == refType => (toMicros(e.ts), e.event_id, e.value) }
+          val merged = AsOfState(prev.probes ++ newProbes,
+            normRefs(prev.refs ++ newRefs))
+          // batch mode has no watermark (getCurrentWatermarkMs throws):
+          // everything matures in the one invocation → exact batch as-of
+          val wmMicros =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val (out, next) = flush(merged, wmMicros)
+          if (next.probes.isEmpty && next.refs.isEmpty) state.remove()
+          else {
+            state.update(next)
+            // re-wake when the watermark passes the oldest pending probe
+            if (wmMicros != Long.MaxValue && next.probes.nonEmpty)
+              state.setTimeoutTimestamp(next.probes.map(_._1).min / 1000L + 1L)
+          }
+          out.map(_.copy(user_id = userId)).iterator
+      }
+  }
 
   /** File-source streaming read of an events directory (parquet), schema
     * locked to the batch table. */

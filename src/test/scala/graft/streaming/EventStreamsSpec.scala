@@ -363,4 +363,47 @@ class EventStreamsSpec extends SparkSpec {
     // click[10:00,10:20) view[10:20,10:30) click[10:30,11:10) error[11:10,inf)
     assert(streamed.count(_._1 == 100L) === 4)
   }
+
+  test("streaming as-of join: watermark-matured emission equals batch, refs carry across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val all = Seq(
+      // batch 1 — user 100: ref then probes; probe 20 has no earlier ref
+      EventRow(20L, ts("2024-01-01 09:50:00"), 100L, "click", 0.0), // → NULL ref
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "view", 10.0),
+      EventRow(21L, ts("2024-01-01 10:30:00"), 100L, "click", 0.0), // → ref 1
+      // batch 2 — OUT-OF-ORDER ref older than probe 22 but inside the
+      // watermark delay: must win over ref 1 for probe 22
+      EventRow(2L, ts("2024-01-01 10:40:00"), 100L, "view", 20.0),
+      EventRow(22L, ts("2024-01-01 10:45:00"), 100L, "click", 0.0), // → ref 2
+      // equal-ts refs collapse to max event_id
+      EventRow(3L, ts("2024-01-01 10:50:00"), 101L, "view", 1.0),
+      EventRow(4L, ts("2024-01-01 10:50:00"), 101L, "view", 2.0),
+      EventRow(23L, ts("2024-01-01 10:55:00"), 101L, "click", 0.0), // → ref 4
+      // batch 3 — far-future event advances the watermark past everything
+      EventRow(99L, ts("2024-01-02 00:00:00"), 999L, "view", 0.0))
+    val batches = Seq(all.slice(0, 3), all.slice(3, 8), all.slice(8, 9))
+
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.asOfStream(stream.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("asof_stream_test")
+      .outputMode("append").start()
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    val streamed = spark.table("asof_stream_test").as[AsOfMatch].collect()
+      .map(m => m.probe_id -> ((m.ref_id, m.ref_value, m.lag_us))).toMap
+    q.stop()
+
+    assert(streamed(20L) === ((None, None, None)))
+    assert(streamed(21L) === ((Some(1L), Some(10.0), Some(30L * 60 * 1000000))))
+    // the out-of-order ref 2 (10:40) beat ref 1 (10:00) for probe 22 (10:45)
+    assert(streamed(22L) === ((Some(2L), Some(20.0), Some(5L * 60 * 1000000))))
+    // equal-ts tie → max event_id (4)
+    assert(streamed(23L) === ((Some(4L), Some(2.0), Some(5L * 60 * 1000000))))
+
+    // parity: streaming output == the same body run in batch
+    val batch = EventStreams.asOfStream(all.toDS(), watermark = "1 hour")
+      .collect().map(m => m.probe_id -> ((m.ref_id, m.ref_value, m.lag_us))).toMap
+    assert(streamed === batch)
+  }
 }
