@@ -13,6 +13,20 @@ import graft.QDef
   */
 object Connectors {
 
+  /** Per-JVM output directory for the V2 write roundtrip, overwritten in
+    * place each invocation and removed on exit (same lifecycle rationale as
+    * Sketches.bucketDir). */
+  lazy val tsvDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_out")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }))
+    dir.toString
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Row-level scan through the connector: projection builds the payload
@@ -38,6 +52,31 @@ object Connectors {
         .load()
         .filter(col("id") >= 2500 && col("id") < 7500)
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("total"))
+    },
+
+    // WRITE path roundtrip through the V2 commit protocol
+    // (graft.sources.GraftTsvSource): land a per-nation aggregate via
+    // task-temp files + driver-side publish, then read it back through the
+    // connector — including an escaping-hostile string column. The oracle
+    // recomputes the aggregate directly; equality proves the sink landed
+    // exactly the query result (no lost/duplicated/garbled rows).
+    QDef("x_dsv2_write",
+      """SELECT n.n_name, n.n_name || CHR(9) || 'x' AS tagged,
+        |  CAST(count(*) AS BIGINT) AS customers,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val t = graft.Tables(s, d)
+      val agg = t.customer.join(broadcast(t.nation),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("customers"),
+          sum(round(col("c_acctbal") * 100, 0).cast("bigint")).as("bal_cents"))
+        .select(col("n_name"), concat(col("n_name"), lit("\tx")).as("tagged"),
+          col("customers"), col("bal_cents"))
+      agg.write.format("graft-tsv").option("path", tsvDir)
+        .mode("overwrite").save()
+      s.read.format("graft-tsv").option("path", tsvDir).load()
     }
   )
 }
