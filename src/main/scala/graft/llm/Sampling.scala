@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data curation.
+  *
+  * Everything here is a PURE FUNCTION of the row's id — never of `rand()`,
+  * partitioning, or row order. That is the production requirement for
+  * corpus work at scale:
+  *
+  *  - **Reproducible**: re-running the pipeline (or re-running after a
+  *    task retry / different partition count / AQE re-plan) yields the
+  *    identical sample. `rand()`-based sampling breaks on every one of
+  *    those; `TABLESAMPLE` isn't even stable across scans.
+  *  - **Stable under growth**: a document keeps its split assignment when
+  *    the corpus around it grows — new docs land in splits without
+  *    reshuffling old ones (critical: train/test contamination is
+  *    forever, a doc must never migrate from test into train).
+  *  - **Join-free and shuffle-free**: assignment is a scan-local
+  *    projection; no sampled-id table to broadcast or join.
+  *
+  * The hash is a Knuth multiplicative mix over the low 31 id bits,
+  * `(id & 0x7FFFFFFF) * 2654435761 mod 2^32` — chosen over xxhash64/crc32
+  * ONLY because the correctness harness needs the exact same arithmetic on
+  * the DuckDB side (no shared hash builtin exists); the operator shape is
+  * hash-agnostic, swap in `xxhash64(id)` when cross-engine parity isn't
+  * required. The product stays under 2^63 (no ANSI overflow), and the
+  * bucket is uniform enough that split sizes land within ~1% of target on
+  * the test corpora.
+  */
+object Sampling {
+
+  /** 32-bit deterministic bucket in [0, 2^32) from an id column. */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id.cast("bigint"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+
+  private val Full = 4294967296L // 2^32
+
+  /** Add a `split` column: 'train'/'val'/'test' with the given percent
+    * cut-points (e.g. 80, 10 → 80/10/10). Assignment is per-id and
+    * threshold-based, so enlarging `trainPct` only MOVES the boundary:
+    * docs promoted into train come exclusively from val — test membership
+    * never changes (the contamination-safety property). */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < lit(Full / 100 * trainPct), "train")
+        .when(b < lit(Full / 100 * (trainPct + valPct)), "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum deterministic downsampling: keep a row iff its hash
+    * bucket clears the stratum's fraction threshold. The scan-local form
+    * of `df.stat.sampleBy`, minus the nondeterminism: same input → same
+    * sample, any cluster, any day. Strata absent from `fractions` are
+    * dropped (fraction 0). */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], idCol: String): DataFrame = {
+    val b = hashBucket(col(idCol))
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit((f * Full).toLong)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+
+  /** Cap each group at `k` rows, chosen uniformly-without-replacement by
+    * hash order (ties broken by id) — "at most k docs per domain/language",
+    * the standard anti-dominance cap before training. Deterministic for
+    * the same reasons as above; the window shuffles once on the group key,
+    * and Spark 4's InferWindowGroupLimit turns the rank filter into a
+    * per-partition group limit (top-k pushed BELOW the exchange), so the
+    * shuffle carries at most k rows per group per input partition — the
+    * same partial-top-k discipline as [[graft.functions.TopKByScore]]. */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** DuckDB rendering of [[hashBucket]] — kept beside the Scala so the two
+    * can only drift in one place. */
+  def hashBucketSql(idExpr: String): String =
+    s"(($idExpr % 2147483648) * 2654435761) % 4294967296"
+}

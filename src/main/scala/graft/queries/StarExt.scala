@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.{EventRow, EventStreams}
 import org.apache.spark.sql.functions._
 
@@ -719,6 +719,51 @@ object StarExt {
          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       Tables(s, d).documents.select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    },
+
+    // Deterministic train/val/test assignment (hash-threshold, scan-local
+    // — graft.llm.Sampling): per-(lang, split) counts prove both the
+    // bucket arithmetic and the 80/10/10 boundaries match bit-for-bit.
+    QDef("x_split_assign", {
+      val b = Sampling.hashBucketSql("doc_id")
+      s"""SELECT lang,
+         |  CASE WHEN $b < ${4294967296L / 100 * 80} THEN 'train'
+         |       WHEN $b < ${4294967296L / 100 * 90} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS docs
+         |FROM documents GROUP BY 1, 2""".stripMargin }) { (s, d) =>
+      Sampling.assignSplit(Tables(s, d).documents, "doc_id")
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("docs"))
+    },
+
+    // Deterministic stratified downsampling: per-language keep fractions
+    // (en thinned hard, the rest kept high) — the anti-dominance rebalance
+    // before training. Row-identical to the oracle because membership is a
+    // pure function of doc_id.
+    QDef("x_sample_stratified", {
+      val b = Sampling.hashBucketSql("doc_id")
+      val cases = Seq("en" -> 0.25, "de" -> 0.9, "fr" -> 0.9, "es" -> 0.9, "zh" -> 0.5)
+        .map { case (l, f) => s"WHEN lang = '$l' THEN ${(f * 4294967296L).toLong}" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $b < CASE $cases ELSE 0 END""".stripMargin }) { (s, d) =>
+      Sampling.stratifiedSample(Tables(s, d).documents,
+        "lang", Map("en" -> 0.25, "de" -> 0.9, "fr" -> 0.9, "es" -> 0.9, "zh" -> 0.5),
+        "doc_id")
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // Per-key cap: at most 30 docs per language, chosen by hash order —
+    // uniform-without-replacement, reproducible, and planned as a
+    // per-partition group limit below the exchange (InferWindowGroupLimit).
+    QDef("x_sample_per_key_cap", {
+      val b = Sampling.hashBucketSql("doc_id")
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $b, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 30""".stripMargin }) { (s, d) =>
+      Sampling.perKeyCap(Tables(s, d).documents, "lang", "doc_id", 30)
+        .select(col("doc_id"), col("lang"))
     },
 
     // Multimodal plumbing: binary payload + metadata + (stubbed) batch decode.
