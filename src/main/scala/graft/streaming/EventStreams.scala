@@ -249,7 +249,9 @@ object EventStreams {
     }
 
     events
-      .filter(e => e.event_type == probeType || e.event_type == refType)
+      // Column (not lambda) predicate: pushes `event_type IN (...)` into
+      // the source scan instead of deserializing every row to check it
+      .filter(col("event_type").isin(probeType, refType))
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
