@@ -87,4 +87,43 @@ object Sampling {
     * can only drift in one place. */
   def hashBucketSql(idExpr: String): String =
     s"(($idExpr % 2147483648) * 2654435761) % 4294967296"
+
+  /** Deterministic NEGATIVE sampling for contrastive training: k pseudo-
+    * random non-matching partners per anchor. The distributed analogue of
+    * in-batch negatives — docs are hashed into `buckets`, ordered
+    * pseudo-randomly (by hash) within each bucket, and each anchor takes
+    * the next k docs around the ring as its negatives.
+    *
+    * Why this shape at scale:
+    *  - A global `ORDER BY rand()` pairing is a single-partition sort AND
+    *    nondeterministic; uniform random pairing via join needs a dense
+    *    global index (another global sort). Here every window is
+    *    PER-BUCKET — parallel, bounded by corpus/buckets — and the ring
+    *    join is an equi-join on (bucket, position).
+    *  - Hash order is pseudo-random with respect to any real attribute,
+    *    so ring neighbors are as good as uniform draws for "random
+    *    non-match" purposes, while staying reproducible run to run.
+    *  - Every anchor gets EXACTLY k negatives (a ring has no edge cases),
+    *    provided bucket sizes exceed k — size buckets ≥ 100·k.
+    *
+    * Output: (anchor_id, slot ∈ [1, k], neg_id), neg_id ≠ anchor_id. */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int, buckets: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("bigint").as("anchor_id"))
+      .withColumn("bkt", pmod(hashBucket(col("anchor_id")), lit(buckets)))
+    val ring = Window.partitionBy("bkt")
+      .orderBy(hashBucket(col("anchor_id")), col("anchor_id"))
+    // pinned: referenced by both sides of the ring self-join below —
+    // without it the scan+window lineage executes twice
+    val pos = Dedup.pin(base
+      .withColumn("pos", row_number().over(ring) - 1)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("bkt"))))
+    val slots = pos
+      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("npos", pmod(col("pos") + col("slot"), col("cnt")))
+    slots.alias("a")
+      .join(pos.alias("n"),
+        col("a.bkt") === col("n.bkt") && col("a.npos") === col("n.pos"))
+      .filter(col("n.anchor_id") =!= col("a.anchor_id")) // tiny buckets only
+      .select(col("a.anchor_id"), col("a.slot"), col("n.anchor_id").as("neg_id"))
+  }
 }

@@ -90,4 +90,68 @@ object ScaleLayout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** File-level min/max MANIFEST: one row per data file with each key's
+    * min/max and the row count — the table-format idea (Iceberg/Delta
+    * manifests) distilled. Row-group skipping (writeSorted/writeZOrdered)
+    * still opens every file to read its footer; at 100 TB "open every
+    * file" is millions of S3 GETs per query. A manifest is the level
+    * above: a KB–MB table consulted BEFORE listing, so non-matching files
+    * are never opened, listed, or scheduled.
+    *
+    * Built as one distributed pass grouped by `input_file_name()` —
+    * map-side combine makes the exchange O(files), and it rides the same
+    * scan that wrote or first audited the data. (A production build reads
+    * footers instead of data — same output, one task per file; the
+    * CONSUMER contract below is identical either way.) */
+  def buildManifest(spark: SparkSession, path: String, keys: String*): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        keys.flatMap(k =>
+          Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))): _*)
+  }
+
+  /** Manifest-driven scan: keep only files whose [min, max] overlaps
+    * [lo, hi] and hand THAT list to the reader — files outside the range
+    * are never opened (vs row-group skipping, which still pays an open +
+    * footer read per file). The manifest is a KB-sized driver-side
+    * collect, the same barrier shape as the bloom sketch. Combined with
+    * [[writeSorted]] the two levels nest: the manifest prunes files, the
+    * footers prune row groups inside the survivors. */
+  def readSkipping(spark: SparkSession, path: String, manifest: DataFrame,
+      key: String, lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(!(col(s"max_$key") < lit(lo) || col(s"min_$key") > lit(hi)))
+      .select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Small-file COMPACTION: rewrite a directory of too-many-small files
+    * into ceil(totalBytes / targetBytes) right-sized ones. The small-file
+    * problem is the silent 100 TB killer — a streaming sink or
+    * over-parallel write leaves 100k× 1 MB files, and every later query
+    * pays 100k opens/tasks for 100 GB of data; compaction is the standing
+    * maintenance job that fixes it. With `sortKey` the rewrite
+    * range-repartitions + sorts (restoring [[writeSorted]] clustering —
+    * compaction and clustering in one pass); without it a round-robin
+    * repartition just right-sizes. Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long, sortKey: Option[String] = None): Int = {
+    val totalBytes = listDataFiles(inPath).map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val shaped = sortKey match {
+      case Some(k) => df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(nOut)
+    }
+    shaped.write.mode("overwrite").parquet(outPath)
+    listDataFiles(outPath).length
+  }
+
+  private[ops] def listDataFiles(path: String): Array[java.io.File] =
+    Option(new java.io.File(path).listFiles((_, n) =>
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")))
+      .getOrElse(Array.empty)
 }

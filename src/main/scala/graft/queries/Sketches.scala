@@ -126,6 +126,46 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     },
 
+    // File-level manifest skipping: build the min/max manifest over a
+    // sorted layout, prune files against the predicate range BEFORE the
+    // read (non-matching files are never opened — the level above
+    // row-group skipping), scan only the survivors. Oracle is the plain
+    // filtered aggregate: skipping files outside [lo, hi] can never change
+    // results because the manifest has no false negatives by construction.
+    // File-count pruning itself is asserted in ScaleLayoutSpec.
+    QDef("x_manifest_skip",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 4) AS total_value
+        |FROM events WHERE user_id BETWEEN 40 AND 60
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_manifest"
+      ScaleLayout.writeSorted(Tables(s, d).events, dir, "user_id", 4)
+      val manifest = ScaleLayout.buildManifest(s, dir, "user_id")
+      ScaleLayout.readSkipping(s, dir, manifest, "user_id", 40L, 60L)
+        .filter(col("user_id").between(40, 60)) // residual: exact semantics
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
+    },
+
+    // Small-file compaction: shatter events into 64 tiny files, compact to
+    // right-sized ones (count asserted in ScaleLayoutSpec), aggregate over
+    // the compacted table. Oracle is the plain aggregate — compaction is
+    // pure layout. Both writes sit inside the timing (materialization IS
+    // the operator, as with the other layout queries).
+    QDef("x_compact",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val small = s"$partDir/events_shattered"
+      val compacted = s"$partDir/events_compacted"
+      Tables(s, d).events.repartition(64).write.mode("overwrite").parquet(small)
+      ScaleLayout.compact(s, small, compacted, targetBytes = 8L * 1024 * 1024,
+        sortKey = Some("user_id"))
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
+    },
+
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
     QDef("x_sketch_hll",
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,

@@ -766,6 +766,26 @@ object StarExt {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Deterministic negative sampling (ring-within-hash-buckets — the
+    // distributed in-batch-negatives shape; per-bucket windows, equi-join
+    // on (bucket, position), no global sort, no rand()). The oracle
+    // replays the identical ring arithmetic.
+    QDef("x_sample_negatives", {
+      val b = Sampling.hashBucketSql("doc_id")
+      s"""WITH pos AS (
+         |  SELECT doc_id, $b % 8 AS bkt,
+         |    row_number() OVER (PARTITION BY $b % 8 ORDER BY $b, doc_id) - 1 AS pos,
+         |    count(*) OVER (PARTITION BY $b % 8) AS cnt
+         |  FROM documents),
+         |slots AS (
+         |  SELECT doc_id AS anchor_id, bkt, pos, cnt, s.slot
+         |  FROM pos, (SELECT unnest(range(1, 3)) AS slot) s)
+         |SELECT a.anchor_id, CAST(a.slot AS INT) AS slot, n.doc_id AS neg_id
+         |FROM slots a JOIN pos n ON n.bkt = a.bkt AND n.pos = (a.pos + a.slot) % a.cnt
+         |WHERE n.doc_id <> a.anchor_id""".stripMargin }) { (s, d) =>
+      Sampling.negativeSamples(Tables(s, d).documents, "doc_id", k = 2, buckets = 8)
+    },
+
     // Multimodal plumbing: binary payload + metadata + (stubbed) batch decode.
     QDef("x_mm_features",
       """SELECT doc_id AS media_id,

@@ -116,12 +116,27 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
 final case class RangeSlice(lo: Long, hi: Long) extends InputPartition
 
 final class GraftRangeScan(start: Long, end: Long, slices: Int,
-    lo: Long, hi: Long, required: StructType) extends Scan with Batch {
+    lo: Long, hi: Long, required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftRangeScan range=[$start,$end) pushed=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** Post-pushdown size estimate. Without this a V2 scan reports
+    * `defaultSizeInBytes` (effectively infinite), so a connector table can
+    * NEVER be auto-chosen as a broadcast side and every join against it
+    * shuffles — statistics are what let Catalyst make the 100 TB-critical
+    * broadcast-vs-shuffle call for external sources. ~24 bytes/row: 8 for
+    * id + payload's "row-NNNN" UTF8. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * 24L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val width = math.max(1L, (end - start + slices - 1) / slices)

@@ -219,11 +219,21 @@ final class GraftTsvScanBuilder(dir: String, full: StructType)
 final case class TsvFileSplit(path: String) extends InputPartition
 
 final class GraftTsvScan(dir: String, full: StructType, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftTsvScan dir=$dir cols=${required.fieldNames.mkString(",")}"
+
+  /** Committed bytes on disk — same role as a parquet footer scan: lets
+    * Catalyst auto-broadcast a small committed table (see
+    * GraftRangeScan.estimateStatistics for why V2 sources must report). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = GraftTsv.committedFiles(dir).map(_.length()).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   /** One split per committed file — the connector's split planning. */
   override def planInputPartitions(): Array[InputPartition] =

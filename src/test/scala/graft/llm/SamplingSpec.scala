@@ -69,4 +69,19 @@ class SamplingSpec extends SparkSpec {
     val plan = capped.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("negative sampling: exactly k distinct non-self partners per anchor, deterministic") {
+    val out = Sampling.negativeSamples(docs(800), "doc_id", k = 3, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size === 800)
+    assert(byAnchor.values.forall(_.length === 3))
+    // a ring step never returns the anchor itself, and slots give distinct partners
+    assert(out.forall { case (a, _, n) => a != n })
+    assert(byAnchor.values.forall(v => v.map(_._3).distinct.length === 3))
+    // pure function of ids: identical under a different partitioning
+    val again = Sampling.negativeSamples(docs(800).repartition(11), "doc_id", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
 }

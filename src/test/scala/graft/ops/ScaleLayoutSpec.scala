@@ -140,4 +140,53 @@ class ScaleLayoutSpec extends SparkSpec {
     val direct = df.filter(col("x").between(32, 63) && col("y").between(32, 63)).count()
     assert(back === direct)
   }
+
+  test("manifest prunes non-overlapping files before the read; no false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val df = (1 to 4000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    ScaleLayout.writeSorted(df, dir, "k", 8) // disjoint k-ranges per file
+
+    val manifest = ScaleLayout.buildManifest(spark, dir, "k")
+    val rows = manifest.collect()
+    assert(rows.length === ScaleLayout.listDataFiles(dir).length)
+    assert(rows.map(_.getAs[Long]("rows")).sum === 4000L)
+
+    // a narrow probe touches 1-2 of the 8 range files
+    val hit = ScaleLayout.readSkipping(spark, dir, manifest, "k", 1000L, 1100L)
+    val hitFiles = hit.select(input_file_name()).distinct().count()
+    assert(hitFiles <= 2, s"expected ≤2 files opened, got $hitFiles")
+    // no false negatives: the skipping read + residual filter == direct
+    assert(hit.filter(col("k").between(1000, 1100)).count() === 101L)
+    // empty overlap → empty result, no files read
+    assert(ScaleLayout.readSkipping(spark, dir, manifest, "k", 100000L, 200000L)
+      .count() === 0L)
+  }
+
+  test("compaction merges shattered files to the target count, data intact and re-clustered") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 20000).map(i => (i.toLong, s"payload-$i-${"x" * 50}")).toDF("k", "s")
+    df.repartition(32).write.parquet(s"$base/small")
+    val nSmall = ScaleLayout.listDataFiles(s"$base/small").length
+    assert(nSmall === 32)
+
+    val totalBytes = ScaleLayout.listDataFiles(s"$base/small").map(_.length()).sum
+    val target = totalBytes / 4 // aim for ~4 right-sized files
+    val nOut = ScaleLayout.compact(spark, s"$base/small", s"$base/big", target,
+      sortKey = Some("k"))
+    assert(nOut <= 6, s"expected ~4-5 output files, got $nOut")
+    assert(nOut < nSmall / 4)
+
+    // same rows, and the rewrite restored sort-clustering: each output
+    // file covers a disjoint k range (manifest spans don't overlap)
+    val back = spark.read.parquet(s"$base/big")
+    assert(back.count() === 20000L)
+    assert(back.agg(sum("k")).head.getLong(0) === df.agg(sum("k")).head.getLong(0))
+    val spans = ScaleLayout.buildManifest(spark, s"$base/big", "k")
+      .select("min_k", "max_k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, spans.mkString(","))
+      case _ => ()
+    }
+  }
 }

@@ -53,4 +53,23 @@ class GraftRangeSourceSpec extends SparkSpec {
     assert(scanOf(df).readSchema().fieldNames.toSeq === Seq("id"))
     assert(df.agg(sum("id")).head.getLong(0) === 499500L)
   }
+
+  test("reported statistics let Catalyst auto-broadcast a small connector table") {
+    // post-pushdown stats: 100 rows * 24B — far under the broadcast threshold
+    val scan = scanOf(read(0, 1000000, 8).filter(col("id") < 100))
+    val st = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === 100L)
+    assert(st.sizeInBytes().getAsLong === 2400L)
+    // un-hinted join against a parquet table: the connector side must be
+    // chosen as the broadcast build side purely from its reported size
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"))
+    val joined = events.join(
+      read(0, 1000000, 8).filter(col("id") < 100), col("user_id") === col("id"))
+    // (string match: the BHJ sits inside an un-finalized AdaptiveSparkPlan)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("BuildRight"), plan.take(1500))
+  }
 }
