@@ -88,6 +88,19 @@ object Sampling {
   def hashBucketSql(idExpr: String): String =
     s"(($idExpr % 2147483648) * 2654435761) % 4294967296"
 
+  /** Per-row WEIGHTED sampling: keep a row with probability equal to its
+    * weight (clamped to [0, 1]) — but deterministically, by comparing the
+    * id's hash bucket against the weight-scaled threshold. The corpus-
+    * curation form: pass a quality score as the weight and low-quality
+    * documents survive in proportion to their score instead of a hard
+    * cutoff (the soft-filter recipe), with the same reproducibility
+    * guarantees as [[assignSplit]]. A row's fate depends only on (id,
+    * weight), so re-runs and retries agree; raising a doc's weight can
+    * only ever ADD it (its hash is fixed, the threshold moves). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(hashBucket(col(idCol)).cast("double") <
+      greatest(least(weight, lit(1.0)), lit(0.0)) * lit(4294967296.0))
+
   /** Deterministic NEGATIVE sampling for contrastive training: k pseudo-
     * random non-matching partners per anchor. The distributed analogue of
     * in-batch negatives — docs are hashed into `buckets`, ordered

@@ -766,6 +766,25 @@ object StarExt {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Quality-WEIGHTED sampling: each doc survives with probability equal
+    // to its quality score — deterministically (hash vs weight-scaled
+    // threshold), so the soft-filter is reproducible and monotone in the
+    // weight. Reuses the oracle-exact quality arithmetic from
+    // x_text_quality; membership is then exactly replayable.
+    QDef("x_sample_weighted", {
+      val b = Sampling.hashBucketSql("doc_id")
+      val nTok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+      val quality = s"round(${occSql(" the ")} / $nTok * 0.5" +
+        s" + least(CAST(length(text) AS DOUBLE) / 1000, 1.0) * 0.5, 6)"
+      s"""SELECT doc_id, lang, $quality AS quality FROM documents
+         |WHERE $b < least(greatest($quality, 0.0), 1.0) * 4294967296""".stripMargin }) {
+      (s, d) =>
+      val q = TextOps.qualityScore(col("text"))
+      Sampling.weightedSample(
+        Tables(s, d).documents.withColumn("quality", q), "doc_id", col("quality"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+    },
+
     // Deterministic negative sampling (ring-within-hash-buckets — the
     // distributed in-batch-negatives shape; per-bucket windows, equi-join
     // on (bucket, position), no global sort, no rand()). The oracle

@@ -70,6 +70,24 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("weighted sampling keeps ~weight fraction, monotone in the weight") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("doc_id")
+    val low = Sampling.weightedSample(df.withColumn("w", lit(0.3)), "doc_id", col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val high = Sampling.weightedSample(df.withColumn("w", lit(0.6)), "doc_id", col("w"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(math.abs(low.size - 1200) < 120, low.size.toString)
+    assert(math.abs(high.size - 2400) < 160, high.size.toString)
+    // raising the weight only ADDS rows — a kept doc is never lost
+    assert(low.subsetOf(high))
+    // weights outside [0,1] clamp instead of misbehaving
+    assert(Sampling.weightedSample(df.withColumn("w", lit(2.0)), "doc_id", col("w"))
+      .count() === 4000L)
+    assert(Sampling.weightedSample(df.withColumn("w", lit(-1.0)), "doc_id", col("w"))
+      .count() === 0L)
+  }
+
   test("negative sampling: exactly k distinct non-self partners per anchor, deterministic") {
     val out = Sampling.negativeSamples(docs(800), "doc_id", k = 3, buckets = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

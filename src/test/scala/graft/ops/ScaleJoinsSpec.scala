@@ -59,4 +59,35 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (the salting alternative)") {
+    // saltedJoin is the MANUAL skew fix; this proves the engine's automatic
+    // one fires on our plans: one hot key holds ~95% of the fact rows, so
+    // one post-shuffle partition dwarfs the median and AQE's skew-join rule
+    // must split it (visible as skew=true on the adaptive SMJ).
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // thresholds low enough that the test-sized hot partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      (1 to 40000).map(i => (if (i % 20 == 0) (i % 7).toLong + 1 else 0L, s"pay-$i-${"x" * 30}"))
+        .toDF("k", "v").write.parquet(s"$dir/fact")
+      (0L to 7L).map(k => (k, s"name-$k")).toDF("k", "name")
+        .write.parquet(s"$dir/dim")
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), "k")
+      // execute THIS query execution (count() would plan a separate one),
+      // then read back the finalized adaptive plan
+      assert(joined.collect().length === 40000) // result correct regardless of splitting
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
