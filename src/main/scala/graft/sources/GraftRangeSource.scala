@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -68,13 +69,23 @@ final class GraftRangeTable(start: Long, end: Long, slices: Int)
 
 final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   // the residual interval after pushdown, always within [start, end)
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
   private var required = GraftRangeSource.Schema
+  private var limit = Long.MaxValue
+
+  /** LIMIT k truncates the residual interval itself — the source generates
+    * k rows TOTAL instead of every executor generating its slice and the
+    * global limit discarding the rest (`LIMIT 10` on a 1000-split source:
+    * 1 surviving split, 10 rows materialized, not 1000 tasks). Sound here
+    * because the slices enumerate [lo, hi) completely and Spark still
+    * applies the exact limit above the scan. */
+  override def pushLimit(l: Int): Boolean = { limit = l.toLong; true }
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -106,8 +117,11 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftRangeScan(start, end, slices, lo, hi, required)
+  override def build(): Scan = {
+    val cappedHi = if (limit == Long.MaxValue) hi
+      else math.min(hi, lo + math.max(0L, limit))
+    new GraftRangeScan(start, end, slices, lo, cappedHi, required)
+  }
 }
 
 /** One fixed slice of the ORIGINAL range, clipped to the pushed interval —
@@ -116,13 +130,44 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
 final case class RangeSlice(lo: Long, hi: Long) extends InputPartition
 
 final class GraftRangeScan(start: Long, end: Long, slices: Int,
-    lo: Long, hi: Long, required: StructType) extends Scan with Batch
-    with SupportsReportStatistics {
+    lo0: Long, hi0: Long, required: StructType) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  // runtime filtering narrows these AFTER planning (see filter below)
+  private var lo = lo0
+  private var hi = hi0
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftRangeScan range=[$start,$end) pushed=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+    s"GraftRangeScan range=[$start,$end) pushed=[$lo0,$hi0) cols=${required.fieldNames.mkString(",")}"
+
+  /** Dynamic "partition" pruning for the connector: Spark collects the
+    * OTHER side of an equi-join on `id` first, hands the observed key set
+    * here, and re-plans this scan's splits — the V2 runtime-filter
+    * contract. We narrow the interval to [min(keys), max(keys)] ∩ the
+    * static interval; pruning is allowed to be conservative (rows that
+    * later fail the join are dropped by the join), so interval narrowing
+    * is sound even though the key set may have holes. At 100 TB this is
+    * the star-join accelerator: the dimension's filter runs FIRST and the
+    * huge fact scan materializes only matching splits. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(predicates: Array[Predicate]): Unit = predicates.foreach { p =>
+    if (p.name() == "IN") {
+      val vals = p.children().collect {
+        case l: Literal[_] => l.value() match {
+          case v: java.lang.Long => v.longValue()
+          case v: java.lang.Integer => v.intValue().toLong
+        }
+      }
+      if (vals.nonEmpty) {
+        lo = math.max(lo, vals.min)
+        hi = math.min(hi, vals.max + 1)
+      }
+    }
+  }
 
   /** Post-pushdown size estimate. Without this a V2 scan reports
     * `defaultSizeInBytes` (effectively infinite), so a connector table can

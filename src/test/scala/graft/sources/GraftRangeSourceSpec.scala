@@ -54,6 +54,43 @@ class GraftRangeSourceSpec extends SparkSpec {
     assert(df.agg(sum("id")).head.getLong(0) === 499500L)
   }
 
+  test("limit pushdown truncates the source interval — rows are never generated") {
+    // LIMIT 10 after a pushed lower bound: the scan's interval collapses
+    // to [5000, 5010) and only the overlapping slice survives planning
+    val df = read(0, 1000000, 32).filter(col("id") >= 5000).limit(10)
+    val scan = scanOf(df)
+    assert(scan.description().contains("pushed=[5000,5010)"), scan.description())
+    assert(scan.planInputPartitions().length === 1)
+    assert(df.collect().map(_.getLong(0)).toSeq === (5000L until 5010L).toSeq)
+  }
+
+  test("runtime V2 filtering: the join's dim side prunes the connector scan at execution") {
+    import spark.implicits._
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    // 1000-key dimension; the selective predicate keeps keys 500..509 only
+    (0L until 1000L).map(k => (k, if (k >= 500 && k < 510) "pick" else "other"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(dimDir)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // inspect the static plan
+      val fact = read(0, 1000000, 64)
+      val dim = spark.read.parquet(dimDir).filter(col("tag") === "pick")
+      val joined = fact.join(dim, col("id") === col("dk")).select("id", "tag")
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftRangeScan] => b
+      }
+      assert(scans.nonEmpty)
+      // a dynamic-pruning runtime filter was attached to the connector scan
+      assert(scans.head.runtimeFilters.exists(_.toString.contains("dynamicpruning")),
+        joined.queryExecution.executedPlan.toString.take(1500))
+      assert(joined.collect().map(_.getLong(0)).sorted.toSeq === (500L until 510L).toSeq)
+      // and the scan MATERIALIZED only the narrowed interval, not 1M rows
+      val produced = scans.head.metrics("numOutputRows").value
+      assert(produced <= 15625L, // one 64th slice; without pruning it'd be 1000000
+        s"runtime filter should narrow the scan, produced $produced rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("reported statistics let Catalyst auto-broadcast a small connector table") {
     // post-pushdown stats: 100 rows * 24B — far under the broadcast threshold
     val scan = scanOf(read(0, 1000000, 8).filter(col("id") < 100))
