@@ -122,6 +122,25 @@ object TextOps {
     round(stopRatio * 0.5 + least(length(text).cast("double") / 1000, lit(1.0)) * 0.5, 6)
   }
 
+  /** Quality gate WITH observability: filter docs below `minQuality` and
+    * report (docs_in, docs_kept, mean_quality) through an `Observation` —
+    * metrics accumulated ON THE SAME PASS as the filter, not a second
+    * scan. This is the production posture for curation pipelines: every
+    * gate in a 100 TB run must account for what it dropped (a silent 40%
+    * language-filter loss is a training-data incident), and a separate
+    * `count()` per stage would double-scan the corpus. The caller reads
+    * the Observation after the FIRST action on the returned frame. */
+  def qualityGate(docs: DataFrame, textCol: String, minQuality: Double):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val scored = docs.withColumn("__q", qualityScore(col(textCol)))
+      .observe(obs,
+        count(lit(1)).as("docs_in"),
+        sum(when(col("__q") >= minQuality, 1L).otherwise(0L)).as("docs_kept"),
+        round(avg(col("__q")), 6).as("mean_quality"))
+    (scored.filter(col("__q") >= minQuality).drop("__q"), obs)
+  }
+
   /** Overlapping context-window chunks: token windows of `chunkTokens`
     * starting every `stride` tokens (stride < chunk ⇒ overlap, the
     * standard training-data windowing). Declarative row amplification —

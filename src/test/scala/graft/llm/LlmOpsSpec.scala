@@ -522,4 +522,23 @@ class PqSpec extends SparkSpec {
     // the duplicate structure makes the top-3 sets unambiguous
     rec.foreach { case (q, (hits, r)) => assert(hits === 3 && r === 1.0, s"q=$q") }
   }
+
+  test("qualityGate filters AND reports drop accounting on the same pass") {
+    import spark.implicits._
+    val corpus = (1 to 100).map { i =>
+      // ~40 docs long enough to clear the gate, the rest short/low-quality
+      val body = if (i <= 40) ("the word " * 120).trim else "tiny text"
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val (kept, obs) = TextOps.qualityGate(corpus, "text", minQuality = 0.5)
+    val n = kept.count() // first action materializes the observation
+    val m = obs.get
+    assert(m("docs_in") === 100L)
+    assert(m("docs_kept") === n)
+    assert(n === 40L)
+    // the metric is consistent with an independent recomputation
+    val meanQ = corpus.agg(round(avg(TextOps.qualityScore(col("text"))), 6))
+      .head.getDouble(0)
+    assert(m("mean_quality") === meanQ)
+  }
 }

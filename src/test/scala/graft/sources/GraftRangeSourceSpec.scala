@@ -64,6 +64,19 @@ class GraftRangeSourceSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === (5000L until 5010L).toSeq)
   }
 
+  test("scan executes COLUMNAR: batches feed the query, values and pushdown intact") {
+    val df = read(0, 10000, 4).filter(col("id") >= 2000 && col("id") < 8000)
+    val scanExec = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scanExec.supportsColumnar, "connector batches should flow columnar")
+    // values identical to the row path's semantics, across batch boundaries
+    assert(df.count() === 6000L)
+    assert(df.agg(sum("id")).head.getLong(0) === (2000L until 8000L).sum)
+    val sample = df.filter(col("id") === 4096).select("payload").head.getString(0)
+    assert(sample === "row-4096")
+  }
+
   test("runtime V2 filtering: the join's dim side prunes the connector scan at execution") {
     import spark.implicits._
     val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
