@@ -154,4 +154,45 @@ object ScaleLayout {
     Option(new java.io.File(path).listFiles((_, n) =>
       n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")))
       .getOrElse(Array.empty)
+
+  /** COPY-ON-WRITE DELETE: remove the rows with `key` ∈ [lo, hi] by
+    * rewriting ONLY the files whose manifest range overlaps the target —
+    * every other file is untouched (same bytes, same path, never read).
+    * This is how a deletion (GDPR erasure, bad-batch rollback) runs
+    * against a 100 TB table: with a clustered layout the affected keys
+    * live in a handful of files, so the rewrite cost scales with the
+    * DELETED data's locality, not the table size. The mechanics every
+    * copy-on-write table format (Delta/Iceberg/Hudi CoW) industrializes:
+    * read affected files, write them back filtered, atomically swap.
+    * Returns (files rewritten, files untouched). */
+  def deleteWhere(spark: SparkSession, path: String, key: String,
+      lo: Long, hi: Long): (Int, Int) = {
+    // materialize the manifest BEFORE mutating the directory — it is a
+    // lazy plan over the very files the swap below deletes
+    val entries = buildManifest(spark, path, key)
+      .select(col("file"), col(s"min_$key"), col(s"max_$key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val affected = entries.collect {
+      case (f, mn, mx) if !(mx < lo || mn > hi) => f
+    }
+    if (affected.nonEmpty) {
+      // rewrite the affected files' survivors into fresh part files...
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cow").toString
+      spark.read.parquet(affected: _*)
+        .filter(col(key) < lit(lo) || col(key) > lit(hi))
+        .repartition(math.max(1, affected.length))
+        .write.mode("overwrite").parquet(tmp)
+      // ...then swap: drop originals, move replacements in (a table format
+      // would flip a manifest pointer instead; the I/O shape is the same)
+      affected.foreach(f => new java.io.File(new java.net.URI(f).getPath).delete())
+      listDataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(path, s"cow-${System.nanoTime()}-$i.parquet"))
+      }
+      // drop the session's cached file listing for the path — readers that
+      // planned against the old population must re-list
+      spark.catalog.refreshByPath(path)
+    }
+    (affected.length, entries.length - affected.length)
+  }
 }

@@ -166,6 +166,23 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
     },
 
+    // Copy-on-write delete: land a sorted copy, erase a user range by
+    // rewriting ONLY the overlapping files (locality + untouched-bytes
+    // asserted in ScaleLayoutSpec), aggregate what remains. Oracle is the
+    // complementary filter — CoW must remove exactly the targeted rows.
+    QDef("x_cow_delete",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 4) AS total_value
+        |FROM events WHERE user_id NOT BETWEEN 40 AND 60
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_cow"
+      ScaleLayout.writeSorted(Tables(s, d).events, dir, "user_id", 4)
+      ScaleLayout.deleteWhere(s, dir, "user_id", 40L, 60L)
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
+    },
+
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
     QDef("x_sketch_hll",
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,

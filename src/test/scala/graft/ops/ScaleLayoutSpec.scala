@@ -162,6 +162,33 @@ class ScaleLayoutSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("copy-on-write delete rewrites only overlapping files; others keep their exact bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cow_spec").toString
+    val df = (1 to 8000).map(i => (i.toLong, s"row-$i")).toDF("k", "v")
+    ScaleLayout.writeSorted(df, dir, "k", 8) // ~disjoint 1k-wide ranges
+
+    val before = ScaleLayout.listDataFiles(dir)
+      .map(f => f.getName -> f.lastModified()).toMap
+    // delete k ∈ [2500, 2600]: lives in 1-2 of the 8 range files
+    val (rewritten, untouched) = ScaleLayout.deleteWhere(spark, dir, "k", 2500L, 2600L)
+    assert(rewritten <= 2, s"locality: expected ≤2 affected files, got $rewritten")
+    assert(rewritten + untouched === 8)
+
+    // untouched files are bit-identical originals (same name, same mtime)
+    val after = ScaleLayout.listDataFiles(dir)
+      .map(f => f.getName -> f.lastModified()).toMap
+    val survivorsOfBefore = before.keySet.intersect(after.keySet)
+    assert(survivorsOfBefore.size === untouched)
+    survivorsOfBefore.foreach(n => assert(before(n) === after(n), s"$n was touched"))
+
+    // semantics: exactly the targeted rows are gone
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 8000L - 101L)
+    assert(back.filter(col("k").between(2500, 2600)).count() === 0L)
+    assert(back.agg(sum("k")).head.getLong(0) ===
+      (1L to 8000L).sum - (2500L to 2600L).sum)
+  }
+
   test("compaction merges shattered files to the target count, data intact and re-clustered") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val df = (1 to 20000).map(i => (i.toLong, s"payload-$i-${"x" * 50}")).toDF("k", "s")
