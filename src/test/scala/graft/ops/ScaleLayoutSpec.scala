@@ -189,6 +189,23 @@ class ScaleLayoutSpec extends SparkSpec {
       (1L to 8000L).sum - (2500L to 2600L).sum)
   }
 
+  test("schema evolution: widened appends coexist; old files read as nulls for new columns") {
+    // a long-lived table WILL gain columns; the layout must absorb that
+    // without rewriting history (100 TB of old files never gets migrated)
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir) // epoch 1: (k, v)
+    (101L to 200L).map(k => (k, s"v$k", k * 10.0)).toDF("k", "v", "score")
+      .write.mode("append").parquet(dir) // epoch 2: + score
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet === Set("k", "v", "score"))
+    assert(merged.count() === 200L)
+    // old rows surface the new column as NULL; new rows carry it
+    assert(merged.filter(col("score").isNull).count() === 100L)
+    assert(merged.filter(col("k") <= 100 && col("score").isNotNull).count() === 0L)
+    assert(merged.agg(sum("score")).head.getDouble(0) === (101L to 200L).map(_ * 10.0).sum)
+  }
+
   test("compaction merges shattered files to the target count, data intact and re-clustered") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val df = (1 to 20000).map(i => (i.toLong, s"payload-$i-${"x" * 50}")).toDF("k", "s")

@@ -364,6 +364,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count(_._1 == 100L) === 4)
   }
 
+  test("file-source backfill is rate-limited: maxFilesPerTrigger bounds per-batch work") {
+    // replaying a large directory through a stream must NOT load it in one
+    // giant batch — per-trigger limits are what keep backfill memory flat
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_backfill_ck").toString
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, i * 1.0)).toDF("event_id", "value")
+        .write.parquet(s"$dir/chunk=$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, value DOUBLE")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$dir/chunk=*")
+    var batches = 0
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) { assert(b.count() <= 2L); batches += 1 }; ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batches >= 3, s"6 files at ≤2/trigger needs ≥3 batches, got $batches")
+  }
+
   test("streaming as-of join: watermark-matured emission equals batch, refs carry across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
