@@ -136,6 +136,29 @@ object SqlSurface {
               PARTITION BY n_regionkey ORDER BY cnt DESC, nid) AS INT) AS rk
           FROM j)
         SELECT nid, cnt, n_regionkey, rk FROM r WHERE rk <= 2""")
+    },
+
+    // The deterministic split assignment as pure SQL text — the sampling
+    // surface is plain arithmetic, so a SQL-first user gets the identical
+    // contamination-safe splits with no Scala API at all. Same hash, same
+    // thresholds, same oracle family as x_split_assign.
+    QDef("x_sql_split", {
+      val b = graft.llm.Sampling.hashBucketSql("doc_id")
+      s"""SELECT lang,
+         |  CASE WHEN $b < ${4294967296L / 100 * 80} THEN 'train'
+         |       WHEN $b < ${4294967296L / 100 * 90} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS docs
+         |FROM documents GROUP BY 1, 2""".stripMargin }) { (s, d) =>
+      viewed(s, d, "documents")
+      val b = graft.llm.Sampling.hashBucketSql("doc_id")
+      s.sql(s"""
+        SELECT lang,
+          CASE WHEN $b < ${4294967296L / 100 * 80} THEN 'train'
+               WHEN $b < ${4294967296L / 100 * 90} THEN 'val'
+               ELSE 'test' END AS split,
+          count(*) AS docs
+        FROM documents GROUP BY 1, 2""")
     }
   )
 }
