@@ -77,6 +77,40 @@ object Connectors {
       agg.write.format("graft-tsv").option("path", tsvDir)
         .mode("overwrite").save()
       s.read.format("graft-tsv").option("path", tsvDir).load()
+    },
+
+    // The full catalog SQL surface (graft.sources.GraftCatalog): CTAS a
+    // per-region customer rollup INTO the catalog, read it back with a
+    // second SQL query over the catalog identifier. DDL → V2 commit →
+    // catalog-resolved scan, end to end; the oracle recomputes the rollup.
+    QDef("x_dsv2_catalog",
+      """SELECT r.r_name,
+        |  CAST(count(*) AS BIGINT) AS nations,
+        |  CAST(sum(cust) AS BIGINT) AS customers
+        |FROM (SELECT n_nationkey, n_regionkey,
+        |        (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS cust
+        |      FROM nation n) x
+        |JOIN region r ON r.r_regionkey = x.n_regionkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = graft.Tables(s, d)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.base", s"$tsvDir-catalog")
+      t.customer.createOrReplaceTempView("customer_v")
+      t.nation.createOrReplaceTempView("nation_v")
+      t.region.createOrReplaceTempView("region_v")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+      s.sql("DROP TABLE IF EXISTS graft.marts.region_rollup")
+      s.sql("""CREATE TABLE graft.marts.region_rollup AS
+        |SELECT r.r_name,
+        |  CAST(count(*) AS BIGINT) AS nations,
+        |  CAST(sum(cust) AS BIGINT) AS customers
+        |FROM (SELECT n.n_nationkey, n.n_regionkey,
+        |        (SELECT count(*) FROM customer_v c
+        |         WHERE c.c_custkey IS NOT NULL AND c.c_nationkey = n.n_nationkey) AS cust
+        |      FROM nation_v n) x
+        |JOIN region_v r ON r.r_regionkey = x.n_regionkey
+        |GROUP BY 1""".stripMargin)
+      s.sql("SELECT r_name, nations, customers FROM graft.marts.region_rollup")
     }
   )
 }

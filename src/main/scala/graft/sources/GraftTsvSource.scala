@@ -157,8 +157,12 @@ final class GraftTsvBatchWrite(dir: String, schema: StructType, truncate: Boolea
       Option(d.listFiles((_, n) => n.startsWith("part-") || n == "_SUCCESS"))
         .getOrElse(Array.empty).foreach(_.delete())
     }
+    // commit-unique part names: a later APPEND's commit must never rename
+    // onto an earlier commit's parts (rename would silently replace them)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
     messages.zipWithIndex.foreach { case (m: TsvCommit, i) =>
-      Files.move(Paths.get(dir, m.tempName), Paths.get(dir, f"part-$i%05d.tsv"),
+      Files.move(Paths.get(dir, m.tempName),
+        Paths.get(dir, f"part-$commitId-$i%05d.tsv"),
         StandardCopyOption.ATOMIC_MOVE)
     }
     GraftTsv.writeSchema(dir, schema)
