@@ -112,6 +112,41 @@ object ScaleLayout {
           Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))): _*)
   }
 
+  /** [[buildManifest]] plus a PER-FILE BLOOM over `bloomKey` — the skip
+    * index for point probes on a column the layout is NOT clustered by.
+    * Min/max ranges only prune what the sort order serves; any other
+    * column's ranges span ~the full domain in every file and prune
+    * nothing. A per-file bloom answers "could this file contain key = v?"
+    * regardless of layout, at ~1.2 KB/file for 1% false positives — the
+    * same trick Parquet bloom filters and Iceberg's bloom-backed
+    * `value_counts` play, lifted to the manifest level where it saves the
+    * file OPEN, not just the row-group read. */
+  def buildManifestWithBloom(spark: SparkSession, path: String, rangeKey: String,
+      bloomKey: String, estPerFile: Long = 10000L): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(rangeKey)).as(s"min_$rangeKey"), max(col(rangeKey)).as(s"max_$rangeKey"),
+        graft.functions.GraftFunctions.bloomFilterAgg(
+          col(bloomKey), estPerFile, estPerFile * 10).as(s"bloom_$bloomKey"))
+  }
+
+  /** Point-probe read through the bloom manifest: only files whose bloom
+    * admits `value` are opened. No false negatives (bloom contract), so a
+    * residual equality filter above the scan gives exact semantics. */
+  def readSkippingBloom(spark: SparkSession, path: String, manifest: DataFrame,
+      bloomKey: String, value: Long): DataFrame = {
+    val files = manifest.select(col("file"), col(s"bloom_$bloomKey")).collect()
+      .filter { r =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          .mightContainLong(value)
+      }
+      .map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Manifest-driven scan: keep only files whose [min, max] overlaps
     * [lo, hi] and hand THAT list to the reader — files outside the range
     * are never opened (vs row-group skipping, which still pays an open +

@@ -166,6 +166,23 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
     },
 
+    // Bloom-manifest point probe on a NON-clustered column: events land
+    // clustered on user_id, the probe hits event_id (scattered — min/max
+    // prunes nothing), and only bloom-admitted files are opened (file-count
+    // assertion in ScaleLayoutSpec). The residual equality filter makes
+    // semantics exact (no false negatives by the bloom contract), so the
+    // oracle is the plain point lookup.
+    QDef("x_manifest_bloom",
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id = 777""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_bloom"
+      ScaleLayout.writeSorted(Tables(s, d).events, dir, "user_id", 4)
+      val manifest = ScaleLayout.buildManifestWithBloom(s, dir, "user_id", "event_id")
+      ScaleLayout.readSkippingBloom(s, dir, manifest, "event_id", 777L)
+        .filter(col("event_id") === 777L)
+        .select("event_id", "user_id", "event_type")
+    },
+
     // Copy-on-write delete: land a sorted copy, erase a user range by
     // rewriting ONLY the overlapping files (locality + untouched-bytes
     // asserted in ScaleLayoutSpec), aggregate what remains. Oracle is the

@@ -189,6 +189,27 @@ class ScaleLayoutSpec extends SparkSpec {
       (1L to 8000L).sum - (2500L to 2600L).sum)
   }
 
+  test("bloom manifest skips files for point probes on a NON-clustered column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_manifest").toString
+    // clustered on k; probe column u is scattered — min/max on u can't prune
+    val df = (1 to 8000).map(i => (i.toLong, (i * 7919L) % 100000, s"v$i"))
+      .toDF("k", "u", "v")
+    ScaleLayout.writeSorted(df, dir, "k", 8)
+
+    val manifest = ScaleLayout.buildManifestWithBloom(spark, dir, "k", "u")
+    // pick a real u value; its k (= row index) lives in exactly one k-file
+    val probe = df.filter(col("k") === 4321).head.getLong(1)
+    val hit = ScaleLayout.readSkippingBloom(spark, dir, manifest, "u", probe)
+    val opened = hit.select(input_file_name()).distinct().count()
+    assert(opened <= 2, s"bloom should prune to ~1 file (1% FP), opened $opened of 8")
+    // no false negatives: the probe row IS found after the residual filter
+    val rows = hit.filter(col("u") === probe).collect()
+    assert(rows.map(_.getLong(0)).contains(4321L))
+    // absent key: typically zero files open, never a wrong row
+    val absent = ScaleLayout.readSkippingBloom(spark, dir, manifest, "u", 999999999L)
+    assert(absent.filter(col("u") === 999999999L).count() === 0L)
+  }
+
   test("schema evolution: widened appends coexist; old files read as nulls for new columns") {
     // a long-lived table WILL gain columns; the layout must absorb that
     // without rewriting history (100 TB of old files never gets migrated)
