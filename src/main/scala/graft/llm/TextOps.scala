@@ -141,6 +141,42 @@ object TextOps {
     (scored.filter(col("__q") >= minQuality).drop("__q"), obs)
   }
 
+  /** SEGMENT-level dedup across documents (the paragraph-dedup pass of a
+    * training-data pipeline, on token windows since this corpus has no
+    * paragraph breaks): split every doc into non-overlapping `segTokens`
+    * windows, keep each distinct segment text ONLY at its first global
+    * occurrence (min (doc_id, segment index) — deterministic), and
+    * reassemble documents from their surviving segments. This is the
+    * sub-document complement to whole-doc dedup: near-dup docs share most
+    * segments but survive whole-doc hashing; repeated boilerplate
+    * (headers, licenses, navigation) repeats across UNRELATED docs and
+    * only a segment-granular pass removes it.
+    *
+    * Scale shape: one shuffle on the segment hash (16-byte md5, never the
+    * segment text) for the argmin, one id shuffle to reassemble. Output:
+    * (id, n_segments, n_kept, text) — drop-accounting included, docs whose
+    * every segment was boilerplate survive with empty text for the caller
+    * to gate on. */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    val segs = chunk(docs, idCol, textCol, segTokens, segTokens)
+      .withColumn("seg_hash", md5(col("chunk_text").cast("binary")))
+    // first global owner per distinct segment: min (id, chunk_idx)
+    val owners = segs.groupBy(col("seg_hash"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("owner"))
+    segs.join(owners, "seg_hash")
+      .withColumn("keep",
+        col("owner.id") === col("id") && col("owner.chunk_idx") === col("chunk_idx"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls → survivors only, then reassemble in order
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s("chunk_text"))).as("text"))
+  }
+
   /** Overlapping context-window chunks: token windows of `chunkTokens`
     * starting every `stride` tokens (stride < chunk ⇒ overlap, the
     * standard training-data windowing). Declarative row amplification —

@@ -104,12 +104,41 @@ object ScaleLayout {
     * scan that wrote or first audited the data. (A production build reads
     * footers instead of data — same output, one task per file; the
     * CONSUMER contract below is identical either way.) */
-  def buildManifest(spark: SparkSession, path: String, keys: String*): DataFrame = {
-    val df = spark.read.parquet(path)
+  def buildManifest(spark: SparkSession, path: String, keys: String*): DataFrame =
+    manifestOf(spark.read.parquet(path), keys)
+
+  private def manifestOf(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         keys.flatMap(k =>
           Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))): _*)
+
+  /** INCREMENTAL manifest maintenance: stat only the files the old
+    * manifest hasn't seen (appended since) and union their rows in —
+    * files already covered are not re-read. This is what makes a manifest
+    * viable as standing metadata on an append-only 100 TB table: each
+    * ingest batch pays for ITS files, never a full-table rescan (the same
+    * incremental contract as a table format's per-commit manifest files).
+    * Immutable files are the load-bearing assumption — rewrites
+    * (compaction, CoW delete) change file NAMES, so their outputs are
+    * "new" here and their victims must be dropped via the name set. */
+  def refreshManifest(spark: SparkSession, path: String, old: DataFrame,
+      keys: String*): DataFrame = {
+    // compare by filesystem path: input_file_name() URIs ("file:///x") and
+    // File.toURI ("file:/x") differ in slashes, never in path
+    def norm(s: String): String =
+      if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+    val live = listDataFiles(path).map(_.getAbsolutePath).toSet
+    // materialize the old manifest NOW — it is a lazy plan over files a
+    // rewrite may have deleted; keep rows whose file still exists
+    val oldRows = old.collect()
+    val keptRows = oldRows.filter(r => live.contains(norm(r.getString(0))))
+    val kept = spark.createDataFrame(
+      java.util.Arrays.asList(keptRows: _*), old.schema)
+    val known = oldRows.map(r => norm(r.getString(0))).toSet
+    val fresh = (live -- known).toSeq.sorted
+    if (fresh.isEmpty) kept
+    else kept.unionByName(manifestOf(spark.read.parquet(fresh: _*), keys.toSeq))
   }
 
   /** [[buildManifest]] plus a PER-FILE BLOOM over `bloomKey` — the skip

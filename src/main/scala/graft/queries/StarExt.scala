@@ -721,6 +721,30 @@ object StarExt {
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
 
+    // Segment-level (paragraph) dedup across documents: every distinct
+    // 8-token window survives only at its first global (id, idx)
+    // occurrence; docs reassemble from surviving segments with drop
+    // accounting. The boilerplate-removal pass whole-doc dedup can't do.
+    QDef("x_text_seg_dedup",
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT id, CAST(i AS INT) AS idx,
+        |    array_to_string(toks[CAST(i AS INT) * 8 + 1 : CAST(i AS INT) * 8 + 8], ' ') AS seg
+        |  FROM t, unnest(range(0, (len(toks) - 1) // 8 + 1)) u(i)
+        |  WHERE len(toks) > 0),
+        |k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY id, idx) AS rn
+        |  FROM c)
+        |SELECT id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), '') AS text
+        |FROM k GROUP BY id""".stripMargin) { (s, d) =>
+      TextOps.dedupSegments(Tables(s, d).documents, "doc_id", "text", 8)
+    },
+
     // Deterministic train/val/test assignment (hash-threshold, scan-local
     // — graft.llm.Sampling): per-(lang, split) counts prove both the
     // bucket arithmetic and the 80/10/10 boundaries match bit-for-bit.

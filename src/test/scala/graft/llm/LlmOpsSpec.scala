@@ -523,6 +523,28 @@ class PqSpec extends SparkSpec {
     rec.foreach { case (q, (hits, r)) => assert(hits === 3 && r === 1.0, s"q=$q") }
   }
 
+  test("segment dedup removes cross-document boilerplate, keeps first occurrence in order") {
+    import spark.implicits._
+    // 3-token boilerplate at window-aligned offsets (segment windows are
+    // positional: repeats dedup when they land on the same 3-token grid)
+    val boiler = "copyright all reserved"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $boiler"),
+      (2L, s"$boiler delta epsilon zeta"),          // boilerplate repeats, body unique
+      (3L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val out = TextOps.dedupSegments(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns every segment it has (first occurrence wins)
+    assert(out(1L)._3 === s"alpha beta gamma $boiler")
+    assert(out(1L)._1 === 2L && out(1L)._2 === 2L)
+    // doc 2 loses its copy of the boilerplate window, keeps its body in order
+    assert(out(2L)._3 === "delta epsilon zeta")
+    assert(out(2L)._1 === 2L && out(2L)._2 === 1L)
+    // untouched doc passes through whole
+    assert(out(3L)._3 === "eta theta iota kappa lambda mu")
+    assert(out(3L)._1 === 2L && out(3L)._2 === 2L)
+  }
+
   test("qualityGate filters AND reports drop accounting on the same pass") {
     import spark.implicits._
     val corpus = (1 to 100).map { i =>

@@ -189,6 +189,33 @@ class ScaleLayoutSpec extends SparkSpec {
       (1L to 8000L).sum - (2500L to 2600L).sum)
   }
 
+  test("incremental manifest refresh stats only appended files, drops rewritten ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_inc").toString
+    (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val m1 = ScaleLayout.buildManifest(spark, dir, "k")
+    val m1Rows = m1.collect() // pin: refresh may outlive these files
+
+    // append a batch → refresh covers it without re-reading old files
+    (1001 to 1500).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(dir)
+    val m2 = ScaleLayout.refreshManifest(spark, dir,
+      spark.createDataFrame(java.util.Arrays.asList(m1Rows: _*), m1.schema), "k")
+    val full = ScaleLayout.buildManifest(spark, dir, "k")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0).split("/").last, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(canon(m2) === canon(full))
+    assert(m2.agg(sum("rows")).head.getLong(0) === 1500L)
+
+    // a rewrite (CoW delete) invalidates victims and introduces new files;
+    // refresh must converge to the rebuilt truth
+    ScaleLayout.deleteWhere(spark, dir, "k", 100L, 200L)
+    val m3 = ScaleLayout.refreshManifest(spark, dir, m2, "k")
+    assert(canon(m3) === canon(ScaleLayout.buildManifest(spark, dir, "k")))
+    assert(m3.agg(sum("rows")).head.getLong(0) === 1500L - 101L)
+  }
+
   test("bloom manifest skips files for point probes on a NON-clustered column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_manifest").toString
     // clustered on k; probe column u is scattered — min/max on u can't prune
