@@ -80,6 +80,47 @@ object AsOfJoin {
       .drop("_pv", "_pvl", "_side")
   }
 
+  /** FORWARD as-of join: every left row picks up the EARLIEST right row
+    * with `rightTs >= leftTs` (inclusive) — the other direction of
+    * pandas `merge_asof(direction=...)`; "what's the next quote/reading
+    * at-or-after this event". Same single-shuffle shape as [[asofJoin]],
+    * mirrored: the carry runs backward (`first` over the FOLLOWING frame)
+    * and right rows sort AFTER left at equal ts so the inclusive bound
+    * holds. NULL left key/ts yield NULL explicitly (a null ts sorts into
+    * the ascending prefix where a following frame WOULD see refs). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCol: String, valueAlias: String): DataFrame = {
+    val vt = right.schema(valueCol).dataType
+    val pvType = StructType(Seq(StructField("_v", vt)))
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .groupBy(col(key), col(ts))
+      .agg(max(col(valueCol)).as("_v"))
+      .withColumn("_pv", struct(col("_v")))
+      .drop("_v")
+      .withColumn("_side", lit(1)) // right AFTER left at equal ts
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_pv", lit(null).cast(pvType))
+      .withColumn("_side", lit(0))
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols :+ "_pv" :+ "_side").map(col): _*)
+    val unioned = l.select((leftCols :+ "_pv" :+ "_side").map(col): _*)
+      .unionByName(rAligned)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_pvf", first(col("_pv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .withColumn(valueAlias,
+        when(col(key).isNull || col(ts).isNull, lit(null).cast(vt))
+          .otherwise(col("_pvf").getField("_v")))
+      .drop("_pv", "_pvf", "_side")
+  }
+
   /** As-of join through the dedicated physical operator
     * ([[graft.plans.AsOfJoinExec]]); result-identical to [[asofJoin]]. */
   def asofJoinMerge(left: DataFrame, right: DataFrame, key: String, ts: String,

@@ -1111,6 +1111,27 @@ object StarExt {
       graft.ops.AsOfJoin.asofJoin(clicks, errors, "user_id", "ts", "value", "err_value")
     },
 
+    // FORWARD as-of: each click picks up the NEXT error at-or-after it —
+    // merge_asof's other direction, against DuckDB's native forward ASOF
+    // (l.ts <= r.ts). Same one-shuffle window shape, carry reversed.
+    QDef("x_asof_forward",
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS err_value FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.err_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.ops.AsOfJoin.asofJoinForward(clicks, errors, "user_id", "ts", "value", "err_value")
+    },
+
     // Same as-of semantics through the dedicated physical operator
     // (AsOfJoinNode → AsOfJoinStrategy → sort-merge AsOfJoinExec); oracle is
     // again DuckDB's native ASOF — three independent implementations agree.

@@ -28,6 +28,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(104L) === None)        // key 2 has no snapshots
   }
 
+  test("forward asof picks the earliest at-or-after right row; inclusive; null after all") {
+    val out = AsOfJoin.asofJoinForward(left, right, "k", "t", "snap", "next_snap")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.size === 5)
+    assert(out(100L) === Some(80.0))  // t=5: next is 8
+    assert(out(101L) === Some(200.0)) // t=10: next is 20
+    assert(out(102L) === Some(200.0)) // t=20: INCLUSIVE — the t=20 snapshot
+    assert(out(103L) === None)        // t=30: nothing after
+    assert(out(104L) === None)        // key 2 has no snapshots
+  }
+
+  test("forward asof: NULL left key/ts yield NULL even with following refs in sort order") {
+    val l = Seq((1L, Option(1L), Option(1L)), (2L, Option(1L), Option.empty[Long]),
+        (3L, Option.empty[Long], Option(5L)))
+      .toDF("event_id", "k", "t")
+    val r = Seq((1L, 10L, 99.0)).toDF("k", "t", "snap")
+    val out = AsOfJoin.asofJoinForward(l, r, "k", "t", "snap", "next_snap")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    assert(out(1L) === Some(99.0)) // real match
+    assert(out(2L) === None)       // null ts sorts first — must NOT see the ref
+    assert(out(3L) === None)       // null key
+  }
+
   test("duplicate right timestamps collapse deterministically to the max value") {
     val dupRight = right.union(Seq((1L, 20L, 150.0)).toDF("k", "t", "snap"))
     val out = AsOfJoin.asofJoin(left, dupRight, "k", "t", "snap", "asof_snap")
