@@ -209,6 +209,27 @@ object TextOps {
   def numberCount(text: Column): Column =
     regexp_count(text, lit(NumberRegex)).cast("int")
 
+  /** PII patterns chosen to behave identically under Java regex and RE2
+    * (the oracle engine): plain character classes, no lookaround. */
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRegex = "https?://[^ ]+"
+
+  /** Structured-PII scrub for training corpora: emails → `<EMAIL>`,
+    * URLs → `<URL>`, then remaining digit runs → `<NUM>`, in that order
+    * (emails/URLs contain digits — scrubbing numbers first would tear
+    * them mid-pattern and leak the rest). Pure codegen'd `regexp_replace`
+    * chain, scan-local; the audit counts ride the same projection. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRegex), lit("<EMAIL>")),
+        lit(UrlRegex), lit("<URL>")),
+      lit(NumberRegex), lit("<NUM>"))
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailRegex)).cast("int")
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit(UrlRegex)).cast("int")
+
   /** Greedy token-budget shard packing (sequence packing's outer loop):
     * assign each document to a shard so shards hold ~`targetTokens`
     * tokens, preserving id order within a packing group.

@@ -690,6 +690,34 @@ object StarExt {
         md5(TextOps.redactNumbers(col("text")).cast("binary")).as("redacted_digest"))
     },
 
+    // Structured-PII scrub (emails → <EMAIL>, URLs → <URL>, digits →
+    // <NUM>, in that order). The corpus has no PII, so the fixture is
+    // synthesized deterministically from doc_id on BOTH engines (the same
+    // synth-fixture pattern as the multimodal decoders) — the oracle then
+    // proves counts and the scrubbed text byte-for-byte.
+    QDef("x_text_redact_pii",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '${TextOps.EmailRegex}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii, '${TextOps.UrlRegex}')) AS INT) AS n_urls,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '${TextOps.EmailRegex}', '<EMAIL>', 'g'),
+         |    '${TextOps.UrlRegex}', '<URL>', 'g'),
+         |    '[0-9]+', '<NUM>', 'g')) AS redacted_digest
+         |FROM (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or visit ' ||
+         |    'https://site' || doc_id || '.org/page ref ' || doc_id AS pii
+         |  FROM documents)""".stripMargin) { (s, d) =>
+      val pii = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or visit https://site"), col("doc_id"),
+        lit(".org/page ref "), col("doc_id"))
+      Tables(s, d).documents.select(col("doc_id"), pii.as("pii"))
+        .select(col("doc_id"),
+          TextOps.emailCount(col("pii")).as("n_emails"),
+          TextOps.urlCount(col("pii")).as("n_urls"),
+          md5(TextOps.redactPii(col("pii")).cast("binary")).as("redacted_digest"))
+    },
+
     // Greedy token-budget shard packing (sequence packing's outer loop),
     // 2000-token shards over 8 parallel packing groups — no global-order
     // single-task window (see TextOps.packShards scale note).

@@ -175,6 +175,19 @@ class SimilaritySpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii scrubs emails/URLs BEFORE digits so patterns aren't torn apart") {
+    val df = Seq((1L, "mail a2b@x7.com then https://h5.io/p9 costs 42 dollars"))
+      .toDF("id", "t")
+    val out = df.select(
+      TextOps.redactPii(col("t")).as("red"),
+      TextOps.emailCount(col("t")).as("ne"),
+      TextOps.urlCount(col("t")).as("nu")).head
+    assert(out.getString(0) === "mail <EMAIL> then <URL> costs <NUM> dollars")
+    assert(out.getInt(1) === 1 && out.getInt(2) === 1)
+    // wrong order would have produced "a<NUM>b@x<NUM>.com" debris
+    assert(!out.getString(0).contains("@"))
+  }
+
   test("ivfTopKProbed: nprobe=1 equals ivfTopK; wider probe never loses recall") {
     import spark.implicits._
     // 3 clusters along separate axes + a query sitting between two of them,
