@@ -230,6 +230,43 @@ object TextOps {
   def urlCount(text: Column): Column =
     regexp_count(text, lit(UrlRegex)).cast("int")
 
+  /** Corpus vocabulary: top-`k` tokens by total occurrence count (count
+    * DESC, token ASC tiebreak) — the tokenizer-training precursor. One
+    * explode + one map-side-combined count; the top-k is
+    * `TakeOrderedAndProject` (bounded heap per partition, k rows to the
+    * driver), so the exchange never carries the full vocabulary. */
+  def vocab(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(filter(spaceTokens(col(textCol)), t => t =!= ""))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** TF-IDF top-`k` terms per document: tf = in-doc occurrences, idf =
+    * ln((N+1)/(df+1)) with df = documents containing the term, score
+    * rounded for cross-engine determinism, rank by (score DESC, term ASC).
+    *
+    * Shapes at scale: tf is one (doc, term) aggregate; df re-aggregates
+    * tf's output (terms, not token instances — the big explode happens
+    * once); N joins in as a broadcast 1-row aggregate, not a collected
+    * driver scalar; the per-doc top-k is a rank-filtered window that
+    * Spark 4 plans as WindowGroupLimit (map-side partial top-k). */
+  def tfIdfTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(filter(spaceTokens(col(textCol)), t => t =!= "")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tfidf"), col("rk"))
+  }
+
   /** Greedy token-budget shard packing (sequence packing's outer loop):
     * assign each document to a shard so shards hold ~`targetTokens`
     * tokens, preserving id order within a packing group.

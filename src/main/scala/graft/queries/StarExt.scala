@@ -690,6 +690,38 @@ object StarExt {
         md5(TextOps.redactNumbers(col("text")).cast("binary")).as("redacted_digest"))
     },
 
+    // Corpus vocabulary: top-50 tokens by count — the tokenizer-training
+    // precursor; TakeOrderedAndProject keeps the exchange at k rows.
+    QDef("x_text_vocab",
+      """SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+      TextOps.vocab(Tables(s, d).documents, "text", 50)
+    },
+
+    // TF-IDF top-3 terms per doc: tf from one explode, df re-aggregated
+    // from tf (terms, not instances), N broadcast — score and rank
+    // replayed exactly by the oracle.
+    QDef("x_text_tfidf",
+      """WITH tf AS (
+        |  SELECT doc_id AS id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.id, tf.term,
+        |    round(tf.tf * ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT id, term, tfidf, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY id ORDER BY tfidf DESC, term) AS INT) AS rk
+        |  FROM scored) WHERE rk <= 3""".stripMargin) { (s, d) =>
+      TextOps.tfIdfTop(Tables(s, d).documents, "doc_id", "text", 3)
+    },
+
     // Structured-PII scrub (emails → <EMAIL>, URLs → <URL>, digits →
     // <NUM>, in that order). The corpus has no PII, so the fixture is
     // synthesized deterministically from doc_id on BOTH engines (the same
