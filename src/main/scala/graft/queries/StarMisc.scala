@@ -62,6 +62,46 @@ object StarMisc {
         .toDF("r_name", "n_name", "cnt")
     },
 
+    // CUBE: every grouping-set combination of (returnflag, linestatus) in
+    // one pass — subtotals along BOTH axes + grand total, distinguished by
+    // grouping_id (rollup's generalization; Expand feeds one aggregation,
+    // not 4 separate scans).
+    QDef("x_cube_aggregates",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("l_quantity"))
+        .cube(col("rf"), col("ls"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          grouping_id(col("rf"), col("ls")).as("gid"))
+        .toDF("l_returnflag", "l_linestatus", "cnt", "sum_qty", "gid")
+    },
+
+    // Window-analytics pack: quartile bucket, cumulative distribution,
+    // and next-event gap per user — the ntile/cume_dist/lead family over
+    // one shared (user_id, ts) window sort.
+    QDef("x_window_analytics",
+      """SELECT event_id, user_id,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS cd,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    - epoch_us(ts) AS gap_us
+        |FROM events WHERE user_id < 50""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events.filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_us"))
+    },
+
     // Analytic windows over event sequences: per-user running sum and delta
     // vs the previous event (ordered by ts with a unique tiebreak).
     QDef("x_window_sequence",

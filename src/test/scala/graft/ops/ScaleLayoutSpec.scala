@@ -122,9 +122,10 @@ class ScaleLayoutSpec extends SparkSpec {
       ranges.map { case (mn, mx) => (mx - mn).toDouble }.sum / ranges.size
 
     // single-column sort: x is tight but y spans ~the full domain in every
-    // row group — a y predicate can skip nothing
+    // row group — a y predicate can skip almost nothing (threshold is
+    // relative below; row-group boundary luck moves the mean a few units)
     val xSortY = rowGroupRanges(s"$base/by_x", "y")
-    assert(meanSpan(xSortY) > 100.0, s"expected full-domain y spans, got $xSortY")
+    assert(meanSpan(xSortY) > 80.0, s"expected near-full-domain y spans, got $xSortY")
 
     // z-order: BOTH columns' spans are a fraction of the domain, so a box
     // predicate on (x, y) skips row groups via either column's footer stats
@@ -133,6 +134,10 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(zX.size > 4, s"want several row groups, got ${zX.size}")
     assert(meanSpan(zX) < 96.0, s"z-order x spans too wide: $zX")
     assert(meanSpan(zY) < 96.0, s"z-order y spans too wide: $zY")
+    // the load-bearing comparison: z-order tightens y RELATIVE to the
+    // single-column sort, which cannot serve y at all
+    assert(meanSpan(zY) * 1.15 < meanSpan(xSortY),
+      s"z-order y (${meanSpan(zY)}) should be tighter than x-sort y (${meanSpan(xSortY)})")
 
     // results are layout-independent
     val back = spark.read.parquet(s"$base/zorder")
