@@ -123,8 +123,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTsvTable(dir.getAbsolutePath, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-tsv tables don't support ALTER")
+  /** `ALTER TABLE ... ADD COLUMN` — schema evolution WITHOUT rewriting
+    * data: only `_schema.json` changes; files written before the ALTER
+    * have fewer fields and their missing trailing columns read as NULL
+    * (reader contract, spec-proven). New columns must be nullable — the
+    * historical rows have no value to give. Other changes are rejected:
+    * drops/renames/type changes would reinterpret existing bytes. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident).getAbsolutePath
+    val evolved = changes.foldLeft(GraftTsv.readSchema(dir).get) { (schema, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1, "graft-tsv has no nested columns")
+          require(add.isNullable,
+            s"new column '${add.fieldNames().head}' must be nullable: " +
+              "pre-ALTER rows have no value for it")
+          val next = schema.add(add.fieldNames().head, add.dataType(), nullable = true)
+          GraftTsv.checkSchema(next)
+          next
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft-tsv supports only ADD COLUMN, got $other")
+      }
+    }
+    GraftTsv.writeSchema(dir, evolved)
+    new GraftTsvTable(dir, evolved)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

@@ -165,7 +165,13 @@ final class GraftTsvBatchWrite(dir: String, schema: StructType, truncate: Boolea
         Paths.get(dir, f"part-$commitId-$i%05d.tsv"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    GraftTsv.writeSchema(dir, schema)
+    // a data commit NEVER changes an existing table's schema (an INSERT of
+    // non-null literals must not flip a column to nullable=false — readers
+    // would then interpret older rows' NULLs as primitive garbage); only
+    // the FIRST write derives one, and then fully nullable: any TSV row
+    // can carry \N, so storage-level nullability is the honest contract
+    if (GraftTsv.readSchema(dir).isEmpty)
+      GraftTsv.writeSchema(dir, StructType(schema.fields.map(_.copy(nullable = true))))
     Files.write(Paths.get(dir, "_SUCCESS"), Array.empty[Byte])
   }
 
@@ -262,8 +268,11 @@ final class GraftTsvReaderFactory(full: StructType, required: StructType)
       override def next(): Boolean = {
         if (!it.hasNext) return false
         val cols = it.next().split("\t", -1)
+        // schema evolution: files written before an ADD COLUMN carry fewer
+        // fields — the missing trailing columns read as NULL (same
+        // contract as parquet mergeSchema), so old data is never rewritten
         row = InternalRow.fromSeq(picks.toIndexedSeq.map { case (i, dt) =>
-          val raw = cols(i)
+          val raw = if (i < cols.length) cols(i) else "\\N"
           if (raw == "\\N") null
           else dt match {
             case LongType => raw.toLong

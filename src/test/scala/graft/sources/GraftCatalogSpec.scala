@@ -64,6 +64,30 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.lake2.squares")
   }
 
+  test("ALTER TABLE ADD COLUMN evolves the schema; pre-ALTER rows read the new column as NULL") {
+    registered
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake3")
+    spark.sql("CREATE TABLE graft.lake3.ev (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.lake3.ev VALUES (1, 'old')")
+
+    spark.sql("ALTER TABLE graft.lake3.ev ADD COLUMN score DOUBLE")
+    // new writes carry the column; the old file was NOT rewritten
+    spark.sql("INSERT INTO graft.lake3.ev VALUES (2, 'new', 9.5)")
+    val rows = spark.sql("SELECT id, name, score FROM graft.lake3.ev")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(rows(1L) === (("old", None)))   // pre-ALTER row: NULL for the new column
+    assert(rows(2L) === (("new", Some(9.5))))
+
+    // non-nullable adds and non-ADD changes are rejected
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.lake3.ev ADD COLUMN strict BIGINT NOT NULL")
+    }
+    assert(e1.getMessage.contains("must be nullable"), e1.getMessage)
+    intercept[Exception] { spark.sql("ALTER TABLE graft.lake3.ev DROP COLUMN name") }
+    spark.sql("DROP TABLE graft.lake3.ev")
+  }
+
   test("unsupported column types are rejected at CREATE") {
     registered
     val err = intercept[Exception] {
