@@ -160,6 +160,23 @@ object ScaleLayout {
           col(bloomKey), estPerFile, estPerFile * 10).as(s"bloom_$bloomKey"))
   }
 
+  /** Multi-predicate manifest scan: a file survives only if EVERY
+    * predicate's [lo, hi] overlaps that column's file range — the
+    * file-level half of the Z-order story. A single-column clustering
+    * leaves every other column's per-file range full-width (nothing to
+    * AND against); over [[writeZOrdered]] output each file covers a small
+    * RECTANGLE, so a box predicate prunes on both columns at the manifest
+    * BEFORE any file opens, then again per row group from the footers. */
+  def readSkippingAll(spark: SparkSession, path: String, manifest: DataFrame,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    val keep = preds
+      .map { case (k, lo, hi) => !(col(s"max_$k") < lit(lo) || col(s"min_$k") > lit(hi)) }
+      .reduce(_ && _)
+    val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Point-probe read through the bloom manifest: only files whose bloom
     * admits `value` are opened. No false negatives (bloom contract), so a
     * residual equality filter above the scan gives exact semantics. */

@@ -166,6 +166,28 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
     },
 
+    // Multi-column manifest skipping over the z-ordered layout: the box
+    // predicate prunes FILES on both columns at the manifest, then row
+    // groups from the footers — the two skip levels composed (file-count
+    // evidence in ScaleLayoutSpec). Oracle is the plain box aggregate.
+    QDef("x_manifest_zorder",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/lineitem_z_manifest"
+      ScaleLayout.writeZOrdered(Tables(s, d).lineitem, dir, 8, 16,
+        "l_partkey", "l_suppkey")
+      val m = ScaleLayout.buildManifest(s, dir, "l_partkey", "l_suppkey")
+      ScaleLayout.readSkippingAll(s, dir, m,
+        Seq(("l_partkey", 100L, 300L), ("l_suppkey", 10L, 30L)))
+        .filter(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 30))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).cast("double").as("sum_qty"))
+    },
+
     // Bloom-manifest point probe on a NON-clustered column: events land
     // clustered on user_id, the probe hits event_id (scattered — min/max
     // prunes nothing), and only bloom-admitted files are opened (file-count

@@ -221,6 +221,32 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(m3.agg(sum("rows")).head.getLong(0) === 1500L - 101L)
   }
 
+  test("multi-column manifest skipping: z-ordered files prune on BOTH box predicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mc_manifest").toString
+    val df = (1 to 20000)
+      .map(i => ((i * 7919L) % 128, (i * 104729L) % 128, s"p$i"))
+      .toDF("x", "y", "v")
+    ScaleLayout.writeSorted(df, s"$base/by_x", "x", 16)
+    ScaleLayout.writeZOrdered(df, s"$base/z", 16, 7, "x", "y")
+    val box = Seq(("x", 0L, 31L), ("y", 0L, 31L))
+
+    val mX = ScaleLayout.buildManifest(spark, s"$base/by_x", "x", "y")
+    val mZ = ScaleLayout.buildManifest(spark, s"$base/z", "x", "y")
+    def opened(p: String, m: org.apache.spark.sql.DataFrame): Long =
+      ScaleLayout.readSkippingAll(spark, p, m, box)
+        .select(input_file_name()).distinct().count()
+    val xOnly = opened(s"$base/by_x", mX)
+    val z = opened(s"$base/z", mZ)
+    // x-sort: the x range prunes to ~4 of 16 files, y prunes nothing more;
+    // z-order: both predicates bite → strictly fewer files open
+    assert(z < xOnly, s"z-ordered box scan opened $z vs x-sorted $xOnly")
+    assert(z <= 6, s"expected the box to land in few z-files, opened $z of 16")
+    // semantics identical either way (residual filter = exact)
+    val exact = df.filter(col("x") <= 31 && col("y") <= 31).count()
+    assert(ScaleLayout.readSkippingAll(spark, s"$base/z", mZ, box)
+      .filter(col("x") <= 31 && col("y") <= 31).count() === exact)
+  }
+
   test("bloom manifest skips files for point probes on a NON-clustered column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_manifest").toString
     // clustered on k; probe column u is scattered — min/max on u can't prune
