@@ -111,6 +111,36 @@ object Connectors {
         |JOIN region_v r ON r.r_regionkey = x.n_regionkey
         |GROUP BY 1""".stripMargin)
       s.sql("SELECT r_name, nations, customers FROM graft.marts.region_rollup")
+    },
+
+    // PARTITIONED catalog table: events land `PARTITIONED BY (event_type)`
+    // through the connector's dynamic-partition write (tasks route rows to
+    // hive-style `event_type=…/` dirs), then the read-back predicate is
+    // consumed by the scan as a partition filter — non-matching dirs never
+    // become splits (directory-index pruning, asserted plan-level in
+    // GraftTsvPartitionSpec). Oracle recomputes from the parquet source:
+    // layout + connector roundtrip must never change results.
+    QDef("x_dsv2_partitioned",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS views,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'view'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = graft.Tables(s, d)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.base", s"$tsvDir-catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+      s.sql("DROP TABLE IF EXISTS graft.marts.events_p")
+      s.sql(
+        """CREATE TABLE graft.marts.events_p
+          |  (user_id BIGINT, event_type STRING, cents BIGINT)
+          |PARTITIONED BY (event_type)""".stripMargin)
+      t.events.select(col("user_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("bigint").as("cents"))
+        .writeTo("graft.marts.events_p").append()
+      s.table("graft.marts.events_p")
+        .filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("views"), sum(col("cents")).as("value_cents"))
     }
   )
 }

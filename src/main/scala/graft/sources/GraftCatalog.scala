@@ -113,12 +113,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "graft-tsv tables are unpartitioned")
+    // `PARTITIONED BY (col, …)` arrives as identity Transforms; the layout
+    // is hive-style `col=value/` directories (see GraftTsvSource). Bucket/
+    // days/etc. transforms are rejected — this connector prunes by VALUE.
+    val partCols = partitions.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"graft-tsv supports only identity partitioning, got $t")
+      val c = t.references.head.fieldNames.mkString(".")
+      require(schema.fieldNames.contains(c), s"partition column '$c' not in schema")
+      c
+    }
     GraftTsv.checkSchema(schema)
     val dir = tableDir(ident)
     dir.mkdirs()
-    // schema lands at CREATE: an empty table is fully typed, and a crash
-    // between CREATE and first INSERT leaves a valid (empty) table
+    // schema + partition spec land at CREATE: an empty table is fully
+    // typed, and a crash between CREATE and first INSERT leaves a valid
+    // (empty) table
+    if (partCols.nonEmpty) GraftTsv.writePartCols(dir.getAbsolutePath, partCols.toSeq)
     GraftTsv.writeSchema(dir.getAbsolutePath, schema)
     new GraftTsvTable(dir.getAbsolutePath, schema)
   }
@@ -155,8 +166,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     if (!d.isDirectory) false
     else {
-      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      d.delete()
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(d); !d.exists()
     }
   }
 

@@ -57,7 +57,7 @@ class GraftTsvSourceSpec extends SparkSpec {
   test("writer abort removes its temp file") {
     val dir = tmpDir()
     Files.createDirectories(new File(dir).toPath)
-    val w = new GraftTsvWriterFactory(dir, StructType(Seq(StructField("id", LongType))))
+    val w = new GraftTsvWriterFactory(dir, StructType(Seq(StructField("id", LongType))), Nil)
       .createWriter(0, 42L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(7L))
     w.abort()
