@@ -276,4 +276,57 @@ object ScaleLayout {
     }
     (affected.length, entries.length - affected.length)
   }
+
+  /** COPY-ON-WRITE MERGE (upsert): apply a batch of `updates` to the table
+    * at `path` — rows whose `key` matches an update are REPLACED by it,
+    * updates with no match are INSERTED — by rewriting ONLY the files whose
+    * manifest key range contains some update key. This is MERGE INTO
+    * distilled to the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core a
+    * CDC upsert runs: with a clustered layout, a batch touching k keys
+    * rewrites O(k / keys-per-file) files regardless of table size — the
+    * write cost follows the BATCH, not the 100 TB table (the same shape as
+    * [[deleteWhere]]; Delta/Iceberg/Hudi CoW merge industrializes it).
+    *
+    * `updates` must carry the target schema with one row per key (dedupe
+    * upstream — last-writer-wins is the CALLER's ordering decision, not
+    * guessable here). The update batch is CDC-sized by posture: its
+    * distinct keys land at the driver to target files (KB-scale, the same
+    * barrier as the manifest itself); the data path stays distributed —
+    * survivors anti-join the (broadcast) update keys, then union the batch.
+    * Returns (files rewritten, files untouched). */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+      key: String): (Int, Int) = {
+    // materialize the manifest BEFORE mutating the directory (lazy-plan
+    // hazard, see deleteWhere)
+    val entries = buildManifest(spark, path, key)
+      .select(col("file"), col(s"min_$key"), col(s"max_$key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val updKeys = updates.select(col(key).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // a file is affected iff SOME update key falls inside its [min, max]
+    def hitsRange(lo: Long, hi: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(updKeys, lo)
+      val from = if (i >= 0) i else -i - 1
+      from < updKeys.length && updKeys(from) <= hi
+    }
+    val affected = entries.collect { case (f, mn, mx) if hitsRange(mn, mx) => f }
+    val survivors =
+      if (affected.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(affected.toIndexedSeq: _*)
+        .join(org.apache.spark.sql.functions.broadcast(
+          updates.select(col(key))), Seq(key), "left_anti")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    survivors.unionByName(updates.select(survivors.columns.map(col): _*))
+      .repartition(math.max(1, affected.length))
+      .write.mode("overwrite").parquet(tmp)
+    // swap: drop rewritten originals, move replacements in (a table format
+    // flips a manifest pointer; the I/O shape is the same)
+    affected.foreach(f => new java.io.File(new java.net.URI(f).getPath).delete())
+    listDataFiles(tmp).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(path, s"merge-${System.nanoTime()}-$i.parquet"))
+    }
+    spark.catalog.refreshByPath(path)
+    (affected.length, entries.length - affected.length)
+  }
 }

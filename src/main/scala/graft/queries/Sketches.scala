@@ -222,6 +222,43 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
     },
 
+    // Copy-on-write MERGE (upsert): orders land clustered on o_orderkey,
+    // then one CDC-style batch zeroes every 97th key's price (WHEN MATCHED
+    // UPDATE) and re-inserts every 101st key shifted past max(o_orderkey)
+    // (WHEN NOT MATCHED INSERT) — only manifest-overlapping files rewrite
+    // (locality asserted in ScaleLayoutSpec). The oracle replays the merge
+    // relationally: target rows not in the update key set, union the batch.
+    // Price totals compare in exact integer cents.
+    QDef("x_cow_merge",
+      """WITH upd AS (
+        |  SELECT o_orderkey, 0.0 AS price FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders), o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM merged""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val dir = s"$partDir/orders_merge"
+      ScaleLayout.writeSorted(t.orders, dir, "o_orderkey", 8)
+      // scalar barrier (reference S4 shape): the insert keys start past max
+      val maxKey = t.orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val mods = t.orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", lit(0.0))
+      val ins = t.orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey))
+      ScaleLayout.mergeInto(s, dir, mods.unionByName(ins), "o_orderkey")
+      s.read.parquet(dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("price_cents"))
+    },
+
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
     QDef("x_sketch_hll",
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,

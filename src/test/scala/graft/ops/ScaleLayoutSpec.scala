@@ -194,6 +194,44 @@ class ScaleLayoutSpec extends SparkSpec {
       (1L to 8000L).sum - (2500L to 2600L).sum)
   }
 
+  test("copy-on-write merge rewrites only files containing update keys; upsert semantics exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec").toString
+    val df = (1 to 8000).map(i => (i.toLong, s"row-$i")).toDF("k", "v")
+    ScaleLayout.writeSorted(df, dir, "k", 8) // ~disjoint 1k-wide ranges
+
+    val before = ScaleLayout.listDataFiles(dir)
+      .map(f => f.getName -> f.lastModified()).toMap
+    // batch: update 3 keys inside one range file, insert 2 brand-new keys
+    val batch = Seq((3100L, "UPD"), (3200L, "UPD"), (3300L, "UPD"),
+      (9001L, "NEW"), (9002L, "NEW")).toDF("k", "v")
+    val (rewritten, untouched) = ScaleLayout.mergeInto(spark, dir, batch, "k")
+    assert(rewritten <= 2, s"locality: expected ≤2 affected files, got $rewritten")
+    assert(rewritten + untouched === 8)
+
+    // untouched files are bit-identical originals (same name, same mtime)
+    val after = ScaleLayout.listDataFiles(dir)
+      .map(f => f.getName -> f.lastModified()).toMap
+    val survivorsOfBefore = before.keySet.intersect(after.keySet)
+    assert(survivorsOfBefore.size === untouched)
+    survivorsOfBefore.foreach(n => assert(before(n) === after(n), s"$n was touched"))
+
+    // semantics: matched keys replaced (no duplicates), new keys inserted
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 8002L)
+    assert(back.filter(col("v") === "UPD").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(3100L, 3200L, 3300L))
+    assert(back.filter(col("k") === 3100L).count() === 1L)
+    assert(back.filter(col("v") === "NEW").count() === 2L)
+    assert(back.filter(col("k") === 1234L).head.getString(1) === "row-1234")
+
+    // an insert-only batch (keys past every range) rewrites nothing
+    val insOnly = Seq((9100L, "NEW2")).toDF("k", "v")
+    val (rw2, _) = ScaleLayout.mergeInto(spark, dir, insOnly, "k")
+    assert(rw2 === 0)
+    assert(spark.read.parquet(dir).filter(col("v") === "NEW2").count() === 1L)
+    assert(spark.read.parquet(dir).count() === 8003L)
+  }
+
   test("incremental manifest refresh stats only appended files, drops rewritten ones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manifest_inc").toString
     (1 to 1000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
