@@ -222,6 +222,54 @@ object Sketches {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
     },
 
+    // SNAPSHOT LOG + TIME TRAVEL: events land as version 0, a derived
+    // backfill batch appends as version 1, a user range is (logically)
+    // CoW-deleted as version 2 — then ALL THREE versions are read back
+    // from the same directory and aggregated side by side. Deletes never
+    // destroy files (the new version just omits them), which is the whole
+    // mechanism behind table-format time travel; SnapshotsSpec proves
+    // file sharing across versions + vacuum retention. The oracle replays
+    // each version relationally.
+    QDef("x_time_travel",
+      """WITH base AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_type FROM events),
+        |v1 AS (
+        |  SELECT user_id, cents FROM base
+        |  UNION ALL
+        |  SELECT user_id + 1000, cents FROM base WHERE event_type = 'click'),
+        |v2 AS (SELECT * FROM v1 WHERE user_id NOT BETWEEN 40 AND 60)
+        |SELECT * FROM (
+        |  SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+        |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+        |    CAST(sum(cents) AS BIGINT) FROM v1
+        |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+        |    CAST(sum(cents) AS BIGINT) FROM v2)
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_snap"
+      // fresh log each invocation: the table dir is rebuilt from scratch
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+      val base = Tables(s, d).events.select(col("user_id"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"),
+        col("event_type"))
+      ScaleLayout.writeSorted(base, dir, "user_id", 4)
+      graft.ops.Snapshots.init(dir)
+      graft.ops.Snapshots.append(s, dir,
+        base.filter(col("event_type") === "click")
+          .withColumn("user_id", col("user_id") + 1000))
+      graft.ops.Snapshots.deleteWhere(s, dir, "user_id", 40L, 60L)
+      val per = (0 to 2).map { v =>
+        graft.ops.Snapshots.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_cents"))
+      }
+      per.reduce(_ unionByName _).orderBy("version")
+    },
+
     // Copy-on-write MERGE (upsert): orders land clustered on o_orderkey,
     // then one CDC-style batch zeroes every 97th key's price (WHEN MATCHED
     // UPDATE) and re-inserts every 101st key shifted past max(o_orderkey)
