@@ -350,4 +350,53 @@ object Dedup {
         round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT SUBSTRING dedup (the suffix-array method of "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed for Spark):
+    * find, per document, the maximal spans whose every `minLen`-char
+    * window also appears in ANOTHER document — i.e. verbatim text shared
+    * across documents, the kind MinHash's whole-doc granularity cannot
+    * see. A substring of length ≥ minLen is duplicated iff all its
+    * length-minLen windows are, so position windows + run merging find
+    * exactly the spans a suffix array would, with only distributed
+    * primitives:
+    *
+    *  1. every start position's `minLen`-window (in-row `transform` over
+    *     `sequence` — the array feeds the HOF once; O(chars·minLen) work,
+    *     no shuffle);
+    *  2. windows seen in >1 distinct doc (one hash-aggregate; the window
+    *     string itself is the key, so membership is EXACT — at extreme
+    *     scale you'd key on xxhash64(win) and accept 2^-64 collisions,
+    *     halving shuffle bytes);
+    *  3. mark those positions, merge consecutive runs per doc
+    *     (gaps-and-islands over a per-doc window — the only per-doc
+    *     state is a row_number).
+    *
+    * Returns (id, span_start, span_end) with span_end exclusive; spans
+    * shorter than minLen cannot exist by construction. The windows frame
+    * feeds BOTH the duplicate-window aggregate and the mark join (pinned —
+    * self-join lineage re-execution, see [[pin]]). */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val wins = pin(docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        posexplode(expr(
+          s"transform(sequence(0, length($textCol) - $minLen), " +
+            s"i -> substring($textCol, i + 1, $minLen))"))))
+      .toDF("id", "pos", "win")
+    val dupWins = wins.groupBy("win")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("win")
+    val marked = wins.join(dupWins, "win").select("id", "pos")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minLen).as("span_end"))
+      .drop("grp")
+  }
 }

@@ -152,6 +152,36 @@ object StarExt {
       (s, d) => Dedup.exactDedup(Tables(s, d).documents, "doc_id", "text")
     },
 
+    // EXACT SUBSTRING dedup (suffix-array semantics, position-window
+    // formulation — Dedup.substringSpans): per document, the maximal spans
+    // of VERBATIM text shared with another document (every 40-char window
+    // duplicated cross-doc), summarized as span count + duplicated chars.
+    // This is the operator that catches quote/boilerplate overlap inside
+    // otherwise-unique documents — whole-doc MinHash granularity misses
+    // it. Oracle replays windows → cross-doc windows → gaps-and-islands
+    // run merge relationally.
+    QDef("x_dedup_substring",
+      """WITH pe AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, length(text) - 40)) AS pos
+        |  FROM documents WHERE length(text) >= 40),
+        |w AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS win FROM pe),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        |m AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+        |  CAST(sum(e - s) AS BIGINT) AS dup_chars
+        |FROM sp GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.substringSpans(Tables(s, d).documents, "doc_id", "text", 40)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("dup_spans"),
+          sum(col("span_end") - col("span_start")).as("dup_chars"))
+    },
+
     // MinHash + LSH near-dup detection: shingle → 16 minhashes → 4 bands ×
     // 4 rows → candidate pairs → exact Jaccard ≥ 0.7. Banded, not all-pairs.
     QDef("x_dedup_minhash_lsh",

@@ -122,6 +122,42 @@ class DedupSpec extends SparkSpec {
     assert(!capped.contains((12L, 13L)))
     assert(ngramPairs(maxDf = Int.MaxValue).contains((12L, 13L)))
   }
+
+  test("substring spans: maximal cross-doc verbatim runs at unaligned offsets") {
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val a = "AAAA " + shared + " tail-a-unique-material-here-xxxxxxxxxxxx"
+    val b = "BB-prefix-different-length " + shared + " other-unique-tail-yyyyyy"
+    val c = "completely unrelated document with no overlap at all zzzzzzzzzzzzzzzz"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+
+    // one maximal span per sharing doc, none for the unique doc
+    assert(spans.count(_._1 == 1L) === 1)
+    assert(spans.count(_._1 == 2L) === 1)
+    assert(!spans.exists(_._1 == 3L))
+    // the span covers exactly the shared run (windows of len 20: every
+    // start position whose window lies inside " shared "-padded region);
+    // start = index of the first duplicated 20-window, end exclusive
+    val (s1, e1) = spans.collectFirst { case (1L, s, e) => (s, e) }.get
+    val (s2, e2) = spans.collectFirst { case (2L, s, e) => (s, e) }.get
+    // both spans have the same LENGTH (same shared text) at different offsets
+    assert(e1 - s1 === e2 - s2)
+    assert(a.substring(s1, e1) === b.substring(s2, e2))
+    assert(a.substring(s1, e1).contains(shared))
+    // a span never extends into text that differs
+    assert(e1 - s1 <= shared.length + 2 * 1) // at most the joining spaces
+  }
+
+  test("substring spans: doc shorter than the window yields nothing; " +
+      "within-doc repeats alone do not count") {
+    val docs = Seq(
+      (1L, "short"),
+      (2L, "abcabcabcabcabcabcabcabcabcabcabcabc"), // self-repeat only
+      (3L, "totally-distinct-content-without-any-repeat")).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs, "doc_id", "text", 12).count() === 0L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
