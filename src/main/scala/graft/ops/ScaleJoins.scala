@@ -69,4 +69,36 @@ object ScaleJoins {
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** FUZZY (edit-distance ≤ 1) equi-blocked join — entity resolution
+    * without a cross join. Blocking is the DELETION NEIGHBORHOOD (the
+    * FastSS family): each string's block keys are itself plus every
+    * one-character deletion, so any two strings within edit distance 1
+    * PROVABLY share a key (equal → the string itself; substitution at i →
+    * both sides' deletion at i; insert/delete → the longer side's deletion
+    * equals the shorter string). Sharing a key does NOT imply distance ≤ 1
+    * (deletion at i meeting deletion at j ≠ i can be distance 2), so a
+    * `levenshtein` verify runs on CANDIDATES only — the block-join +
+    * verify shape every dedup operator here uses.
+    *
+    * Cost: O(rows · (len+1)) block keys per side, one equi-shuffle on the
+    * keys, exact DP only on collisions. The all-pairs formulation this
+    * replaces is O(|L|·|R|) distance computations — the thing that cannot
+    * exist at 100 TB. Returns left ⋈ right with both columns, distinct
+    * pairs. For k > 1, the same construction iterates deletions (key count
+    * O(len^k)) — out of scope here. */
+  def fuzzyJoinLev1(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String): DataFrame = {
+    def keyed(df: DataFrame, c: String, out: String) =
+      df.select(col(c).as(out),
+        explode(array_union(
+          array(col(c)),
+          expr(s"transform(sequence(0, length($c) - 1), " +
+            s"i -> concat(substring($c, 1, i), substring($c, i + 2, length($c))))")))
+          .as("__block"))
+    keyed(left, leftCol, "__l").join(keyed(right, rightCol, "__r"), "__block")
+      .select(col("__l").as(leftCol), col("__r").as(rightCol))
+      .distinct()
+      .filter(levenshtein(col(leftCol), col(rightCol)) <= 1)
+  }
 }

@@ -203,6 +203,25 @@ object StarMisc {
         .agg(count(lit(1)).as("cnt"),
           sum(col("o_orderkey")).as("key_sum"),
           round(avg(col("o_totalprice")), 4).as("avg_price"))
+    },
+
+    // FUZZY JOIN (entity resolution): the clean part-name catalog joins a
+    // deterministically corrupted feed (3rd character dropped) at edit
+    // distance ≤ 1 — deletion-neighborhood blocking + levenshtein verify
+    // on candidates only (ScaleJoins.fuzzyJoinLev1; blocked, never
+    // all-pairs). The oracle brute-forces the same distance predicate —
+    // identical pairs prove the blocking loses nothing.
+    QDef("x_fuzzy_join",
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |noisy AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4)
+        |  AS q FROM names)
+        |SELECT q, p_name AS matched FROM noisy JOIN names
+        |ON levenshtein(q, p_name) <= 1""".stripMargin) { (s, d) =>
+      val names = Tables(s, d).part.select(col("p_name")).distinct()
+      val noisy = names.select(concat(substring(col("p_name"), 1, 2),
+        expr("substring(p_name, 4, length(p_name))")).as("q")).distinct()
+      graft.ops.ScaleJoins.fuzzyJoinLev1(noisy, "q", names, "p_name")
+        .select(col("q"), col("p_name").as("matched"))
     }
   )
 }

@@ -60,6 +60,43 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoinLev1 equals the brute-force distance join; plan has no cross join") {
+    val left = Seq("kitten", "flaw", "gear", "table", "zzz")
+      .toDF("a").distinct()
+    val right = Seq("sitten", "flaws", "law", "gear", "fable", "cable", "qqq")
+      .toDF("b").distinct()
+
+    val fuzzy = ScaleJoins.fuzzyJoinLev1(left, "a", right, "b")
+    val got = fuzzy.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // brute force over the tiny fixture: the ground truth
+    val expected = (for {
+      a <- Seq("kitten", "flaw", "gear", "table", "zzz")
+      b <- Seq("sitten", "flaws", "law", "gear", "fable", "cable", "qqq")
+      if levDist(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(got.contains(("kitten", "sitten"))) // substitution
+    assert(got.contains(("flaw", "flaws")))    // insertion
+    assert(got.contains(("flaw", "law")))      // deletion
+    assert(got.contains(("gear", "gear")))     // exact
+    assert(!got.exists(_._1 == "zzz"))         // no match
+    assert(!got.contains(("table", "cable")) || levDist("table", "cable") <= 1)
+
+    // blocking, not all-pairs: no cartesian/nested-loop join in the plan
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("AQE splits a skewed join partition at runtime (the salting alternative)") {
     // saltedJoin is the MANUAL skew fix; this proves the engine's automatic
     // one fires on our plans: one hot key holds ~95% of the fact rows, so
