@@ -140,6 +140,38 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** TWO-STAGE SEARCH: ADC shortlist → EXACT re-rank — the production ANN
+    * retrieval shape (compressed first pass over everything, full-precision
+    * refinement over almost nothing). Stage 1 takes the top-`shortlist`
+    * candidates per query by ADC (m table-lookup adds per candidate);
+    * stage 2 computes exact L2² ONLY for those `|queries| · shortlist`
+    * rows — the corpus' full-precision vectors are touched for shortlist
+    * members alone, which is what makes re-ranking affordable when the
+    * corpus itself no longer fits in RAM uncompressed. Recall approaches
+    * the shortlist's COVERAGE (a true neighbor missing from the shortlist
+    * is unrecoverable; one inside it is always re-ranked into place), so
+    * shortlist size is the recall/cost knob. Output: exact-distance top-k,
+    * same shape/tiebreaks as [[l2TopK]]. */
+  def pqRerank(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      m: Int, dims: Int, shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val codes = pqEncode(corpus, codebook, m, dims)
+    val cand = pqSearchADC(queries, codes, codebook, m, dims, shortlist)
+      .select(col("qid"), col("cid"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        round(GraftFunctions.l2Sq(col("qe"), col("ce")), 6).as("dist2"))
+      .groupBy("qid")
+      .agg(TopKByScore.topKByScore(-col("dist2"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        round(-col("col.score"), 6).as("dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Recall@k of ADC search against the exact-L2 ground truth — the
     * compression-loss number a PQ user asks for (the IVF analogue is
     * [[Similarity.ivfRecall]]). Exact fractions: hits INT / constant k. */

@@ -126,6 +126,35 @@ object VectorQuant {
       val emb = Tables(s, d).embeddings
       val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
       Pq.pqRecall(emb.filter(col("vec_id") < 10), emb, cb, M, Dims, 3)
+    },
+
+    // Two-stage search: ADC top-8 shortlist, EXACT re-rank to top-3 — the
+    // production retrieval shape (compressed scan over everything, full
+    // precision over shortlist members only). Distances in the result are
+    // exact L2², so the oracle re-ranks the same shortlist relationally.
+    QDef("x_pq_rerank",
+      s"""WITH ${StarExt.EmbExpl},
+         |$AllSubspaces,
+         |$AdcCtes,
+         |short AS (SELECT qid, cid FROM ranked WHERE rank <= 8),
+         |ex AS (
+         |  SELECT s.qid, s.cid,
+         |    round(sum((q.e - c.e) * (q.e - c.e)), 6) AS d2
+         |  FROM short s
+         |  JOIN ee q ON q.vec_id = s.qid
+         |  JOIN ee c ON c.vec_id = s.cid AND c.j = q.j
+         |  GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT qid, cid, d2,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS INT)
+         |      AS rank
+         |  FROM ex)
+         |SELECT qid, cid, d2 AS dist2, rank FROM rr WHERE rank <= 3""".stripMargin) {
+      (s, d) =>
+        val emb = Tables(s, d).embeddings
+        val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+        Pq.pqRerank(emb.filter(col("vec_id") < 10), emb, cb, M, Dims,
+          shortlist = 8, k = 3)
     }
   )
 }
