@@ -222,6 +222,50 @@ object StarMisc {
         expr("substring(p_name, 4, length(p_name))")).as("q")).distinct()
       graft.ops.ScaleJoins.fuzzyJoinLev1(noisy, "q", names, "p_name")
         .select(col("q"), col("p_name").as("matched"))
+    },
+
+    // DATA-QUALITY EXPECTATIONS (ops.Expectations): a declarative rule set
+    // — not-null, range, unique, referential integrity — audited against a
+    // deterministically corrupted orders feed (every o_orderkey ≡ 7 mod
+    // 1000 re-appended with negative price and dangling custkey). All
+    // scan-local + uniqueness rules run in ONE aggregate pass; only the FK
+    // rule adds a broadcast anti-join. The oracle recomputes each rule's
+    // violation count relationally; nonzero counts prove detection, the
+    // not-null zero proves no false alarms.
+    QDef("x_quality_expect",
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |bad AS (SELECT o_orderkey, CAST(-999 AS BIGINT) AS o_custkey,
+        |  -1.0 AS o_totalprice FROM base WHERE o_orderkey % 1000 = 7),
+        |data AS (SELECT * FROM base UNION ALL SELECT * FROM bad)
+        |SELECT rule, violations, violations = 0 AS passed FROM (
+        |  SELECT 'o_custkey_not_null' AS rule,
+        |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+        |      AS violations FROM data
+        |  UNION ALL
+        |  SELECT 'o_totalprice_range',
+        |    CAST(count(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 1000000000) THEN 1 END)
+        |      AS BIGINT) FROM data
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM data
+        |  UNION ALL
+        |  SELECT 'o_custkey_ref',
+        |    CAST((SELECT count(*) FROM data dd
+        |      LEFT JOIN customer c ON c.c_custkey = dd.o_custkey
+        |      WHERE c.c_custkey IS NULL) AS BIGINT))""".stripMargin) { (s, d) =>
+      import graft.ops.Expectations._
+      val t = Tables(s, d)
+      val base = t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      val bad = base.filter(col("o_orderkey") % 1000 === 7)
+        .select(col("o_orderkey"), lit(-999L).as("o_custkey"),
+          lit(-1.0).as("o_totalprice"))
+      check(base.unionByName(bad), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1e9),
+        Unique("o_orderkey"),
+        RefIntegrity("o_custkey", t.customer, "c_custkey")))
     }
   )
 }
