@@ -176,6 +176,20 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Bounded-state dedup for redeliveries whose event time JITTERS between
+    * attempts (a retried producer re-stamps the payload): dedup on the
+    * BUSINESS key alone via `dropDuplicatesWithinWatermark`, which
+    * [[dedupStream]]'s (key, ts) identity cannot catch — the jittered copy
+    * has a different ts and sails through. State holds each key only until
+    * the watermark passes its first-seen event time plus the delay, so
+    * memory is bounded by keys ACTIVE within one watermark window, not by
+    * all distinct keys ever — the difference between a dedup that survives
+    * a month of uptime at 100 TB/day and one that OOMs. */
+  def dedupStreamJittered(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   private def toMicros(t: Timestamp): Long = {
     val i = t.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000L

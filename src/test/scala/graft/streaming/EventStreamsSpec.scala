@@ -224,6 +224,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === rows.map(_.event_id).sorted)
   }
 
+  test("dropDuplicatesWithinWatermark dedups JITTERED redeliveries on the business key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val query = EventStreams.dedupStreamJittered(stream.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_jitter_test")
+      .outputMode("append").start()
+    stream.addData(rows.take(3): _*)
+    query.processAllAvailable()
+    // redelivery with re-stamped timestamps (+1s): a (key, ts) dedup would
+    // pass these through as "new" events; the business-key dedup must not
+    val jittered = rows.take(3).map(r =>
+      r.copy(ts = new Timestamp(r.ts.getTime + 1000)))
+    stream.addData(jittered: _*)
+    stream.addData(rows.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.table("dedup_jitter_test").collect()
+      .map(_.getAs[Long]("event_id")).sorted
+    query.stop()
+    // every business key exactly once, despite jittered double delivery
+    assert(streamed === rows.map(_.event_id).sorted)
+  }
+
   test("built-in parquet file sink lands finalized windows exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
