@@ -42,6 +42,20 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand = 4
 
+  /** Documents typically arrive in O(1) input splits (a handful of parquet
+    * files); an operator whose per-row work is HEAVY enough serializes on
+    * the split count unless the cheap doc rows are repartitioned first.
+    * Applied selectively, by measurement: [[substringSpans]]' window
+    * expansion (~|text| rows × substring each) gains 2.5× from running
+    * wide; the hash/shingle one-pass operators (MinHash16, SimHash32,
+    * trigram explode) were measured NET SLOWER with it at bench scale —
+    * their per-row work is too cheap to amortize the extra shuffle and
+    * 16× task count, so they keep the scan's own partitioning. Row order
+    * never matters downstream (sets, minima, aggregates), so where
+    * applied this is result-invariant. */
+  private[llm] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: group identical texts (md5 key), keep the smallest id.
     * One hash aggregate — at scale, pre-hash to a 128-bit key so the
     * shuffle carries 16 bytes per row, not the document body. */
@@ -378,18 +392,25 @@ object Dedup {
     * self-join lineage re-execution, see [[pin]]). */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val wins = pin(docs
-      .filter(length(col(textCol)) >= minLen)
+    val docsWide = spread(docs.filter(length(col(textCol)) >= minLen))
+    def wins = docsWide
       .select(col(idCol).as("id"),
         posexplode(expr(
           s"transform(sequence(0, length($textCol) - $minLen), " +
-            s"i -> substring($textCol, i + 1, $minLen))"))))
+            s"i -> substring($textCol, i + 1, $minLen))")))
       .toDF("id", "pos", "win")
+    // "seen in >1 doc" is min(id) ≠ max(id) — two cheap partial aggregates
+    // with full map-side combine, NOT countDistinct (whose distinct
+    // pre-shuffle doubles the exchange). dupWins is the CROSS-DOC
+    // boilerplate vocabulary — orders of magnitude smaller than the window
+    // universe — so it broadcasts and the big windows frame never
+    // shuffles for the mark join (recomputing wins on the probe side is
+    // two codegen'd scans, cheaper than checkpointing 10M-row windows).
     val dupWins = wins.groupBy("win")
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select("win")
-    val marked = wins.join(dupWins, "win").select("id", "pos")
+    val marked = wins.join(broadcast(dupWins), "win").select("id", "pos")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     marked
