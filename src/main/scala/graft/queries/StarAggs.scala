@@ -371,6 +371,53 @@ object StarAggs {
         .unpivot(Array(col("n_name")), Array(col("avg_qty"), col("avg_price")), "metric", "value")
     },
 
+    // PIVOT — c14's inverse (long→wide): per-user event counts spread into
+    // one column per event type. Pivot values are given EXPLICITLY, which
+    // both fixes the output schema at plan time (no extra distinct-values
+    // pass over a 100 TB table) and makes the column set deterministic for
+    // the oracle, which replays the pivot as conditional aggregation —
+    // exactly the rewrite Spark's own pivot lowers to.
+    QDef("x_pivot",
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS click,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |    AS "view",
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS purchase
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).events
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+    },
+
+    // SET OPERATIONS — INTERSECT and EXCEPT as first-class operators (both
+    // lower to aggregate/anti-join shuffles on the full row, so they scale
+    // like any distinct): customers who ordered in BOTH halves of the year
+    // vs only the first half, tagged and unioned into one result.
+    QDef("x_set_ops",
+      """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE month(o_orderdate) <= 6),
+        |h2 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE month(o_orderdate) > 6)
+        |SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+        |UNION ALL
+        |SELECT 'h1_only', o_custkey FROM (
+        |  SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)""".stripMargin) {
+      (s, d) =>
+        val o = Tables(s, d).orders
+        val h1 = o.filter(month(col("o_orderdate")) <= 6)
+          .select("o_custkey").distinct()
+        val h2 = o.filter(month(col("o_orderdate")) > 6)
+          .select("o_custkey").distinct()
+        h1.intersect(h2).select(lit("both").as("tag"), col("o_custkey"))
+          .unionByName(
+            h1.except(h2).select(lit("h1_only").as("tag"), col("o_custkey")))
+    },
+
     // T1 — full orderBy desc (ref: src/delayed_flights.py:44,51). The engine
     // exposes ordered output; downstream top-k callers should use T2's
     // orderBy.limit instead of sorting everything.
