@@ -129,6 +129,25 @@ object Snapshots {
   def readLatest(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, latest(path))
 
+  /** Files version `vTo` has that `vFrom` lacks — the DELTA an incremental
+    * consumer reads. On an append-only history this is exactly the
+    * appended data; after a rewrite it is the rewritten files (whose rows
+    * a consumer must reconcile — CoW rewrites are not pure appends). */
+  def deltaFiles(path: String, vFrom: Int, vTo: Int): Seq[String] =
+    files(path, vTo).filterNot(files(path, vFrom).toSet)
+
+  /** Read just the delta between two versions. The INCREMENTAL-refresh
+    * primitive: any decomposable aggregate (count/sum/min/max, sketches)
+    * over version vTo equals merge(agg over vFrom, agg over delta) — so a
+    * standing rollup re-reads only what a commit added, never the table
+    * ([[ScaleLayout.refreshManifest]] plays the same trick for file
+    * stats). */
+  def readDelta(spark: SparkSession, path: String, vFrom: Int, vTo: Int): DataFrame = {
+    val fs = deltaFiles(path, vFrom, vTo).map(n => new File(path, n).getAbsolutePath)
+    if (fs.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(fs: _*)
+  }
+
   /** VACUUM: physically delete data files referenced by NO version ≥
     * `keepFrom`, then drop the older version manifests. The one place
     * bytes die; everything ≥ keepFrom stays time-travelable. Returns the

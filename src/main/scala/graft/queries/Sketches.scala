@@ -270,6 +270,44 @@ object Sketches {
       per.reduce(_ unionByName _).orderBy("version")
     },
 
+    // INCREMENTAL AGGREGATE MAINTENANCE over the snapshot log: the rollup
+    // at version 1 is computed as merge(agg(version 0), agg(DELTA files
+    // only)) — the standing-materialized-view refresh pattern, where each
+    // commit's refresh cost follows the delta, never the table. Correct
+    // for any decomposable aggregate (count/sum here; min/max/sketches
+    // likewise); the oracle aggregates the full v1 content directly, so
+    // equality proves merge(partials) == full recompute.
+    QDef("x_incremental_agg",
+      """WITH base AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |delta AS (
+        |  SELECT event_type, cents FROM base WHERE event_type = 'click'),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM v1 GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_incr"
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+      val base = Tables(s, d).events.select(col("event_type"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+      ScaleLayout.writeSorted(base, dir, "cents", 4)
+      graft.ops.Snapshots.init(dir)
+      graft.ops.Snapshots.append(s, dir, base.filter(col("event_type") === "click"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      // v0 rollup once, then refresh touching ONLY the delta files
+      partial(graft.ops.Snapshots.readVersion(s, dir, 0))
+        .unionByName(partial(graft.ops.Snapshots.readDelta(s, dir, 0, 1)))
+        .groupBy("event_type")
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("total_cents")).as("total_cents"))
+    },
+
     // Copy-on-write MERGE (upsert): orders land clustered on o_orderkey,
     // then one CDC-style batch zeroes every 97th key's price (WHEN MATCHED
     // UPDATE) and re-inserts every 101st key shifted past max(o_orderkey)
