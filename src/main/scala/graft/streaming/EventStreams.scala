@@ -343,6 +343,42 @@ object EventStreams {
   def readForeachBatchOutput(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch")
 
+  /** Streaming APPEND into a catalog (DSv2) table through `foreachBatch` —
+    * the "stream lands in a governed table" shape: each micro-batch runs
+    * the connector's two-phase-commit write via `writeTo(table).append()`,
+    * so readers of the catalog identifier see whole batches or nothing.
+    *
+    * Replay protection: appends are not idempotent, so the table directory
+    * carries a `_last_batch` marker (written by atomic rename AFTER the
+    * data commit); a replayed batch with id ≤ marker is SKIPPED. The
+    * remaining window — a crash between data commit and marker rename
+    * re-appends that one batch on recovery — is exactly the gap a
+    * transactional catalog closes by recording the batch id inside the
+    * table commit itself; documented rather than hidden. */
+  def startCatalogAppend(events: DataFrame, table: String, tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marker = new java.io.File(tableDir, "_last_batch")
+        val last =
+          if (marker.exists())
+            new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+              .trim.toLong
+          else -1L
+        if (batchId > last && !batch.isEmpty) {
+          batch.toDF().writeTo(table).append()
+          val tmp = new java.io.File(tableDir, s"_last_batch.tmp$batchId")
+          java.nio.file.Files.write(tmp.toPath, batchId.toString.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath, marker.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+      .start()
+
   /** Keyed MERGE/upsert through `foreachBatch` — the pattern production
     * pipelines run against a mutable serving table: each micro-batch of
     * (key, value) UPDATES holds the latest aggregate per key (Update output
