@@ -345,6 +345,51 @@ object Sketches {
         sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("price_cents"))
     },
 
+    // INCREMENTAL DISTINCT COUNT via mergeable HLL sketches (Apache
+    // DataSketches through hll_sketch_agg/hll_union): version 0's sketch
+    // unions with a sketch built over ONLY the delta files, so a standing
+    // distinct-count rollup never re-reads the table — the property
+    // count(DISTINCT) fundamentally lacks (it is not decomposable; the
+    // sketch is). The contract row proves the merged estimate lands within
+    // 5% of exact AND equals the monolithic sketch over all data —
+    // register-wise, union(sketch(A), sketch(B)) == sketch(A ∪ B).
+    QDef("x_sketch_hll_merge",
+      """WITH v1 AS (
+        |  SELECT user_id FROM events
+        |  UNION ALL
+        |  SELECT user_id + 1000 FROM events WHERE event_type = 'click')
+        |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_nd,
+        |  true AS merged_within_5pct,
+        |  true AS merge_equals_monolithic
+        |FROM v1""".stripMargin) { (s, d) =>
+      val dir = s"$partDir/events_hll"
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+      val base = Tables(s, d).events.select(col("user_id"), col("event_type"))
+      ScaleLayout.writeSorted(base, dir, "user_id", 4)
+      graft.ops.Snapshots.init(dir)
+      graft.ops.Snapshots.append(s, dir,
+        base.filter(col("event_type") === "click")
+          .withColumn("user_id", col("user_id") + 1000))
+      val sk0 = graft.ops.Snapshots.readVersion(s, dir, 0)
+        .agg(expr("hll_sketch_agg(user_id)").as("sk0"))
+      val skD = graft.ops.Snapshots.readDelta(s, dir, 0, 1)
+        .agg(expr("hll_sketch_agg(user_id)").as("skd"))
+      val full = graft.ops.Snapshots.readVersion(s, dir, 1)
+        .agg(countDistinct(col("user_id")).as("exact_nd"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("mono"))
+      full.crossJoin(sk0).crossJoin(skD)
+        .select(col("exact_nd"),
+          expr("hll_sketch_estimate(hll_union(sk0, skd))").as("merged"),
+          col("mono"))
+        .select(col("exact_nd"),
+          (abs(col("merged") - col("exact_nd")) <= col("exact_nd") * 0.05)
+            .as("merged_within_5pct"),
+          (col("merged") === col("mono")).as("merge_equals_monolithic"))
+    },
+
     // HyperLogLog++ distinct-count estimate within 5% of exact (rsd 0.02).
     QDef("x_sketch_hll",
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
