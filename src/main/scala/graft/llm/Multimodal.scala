@@ -178,6 +178,74 @@ object Multimodal {
       }
   }
 
+  /** Structured-PNG fixture for the PERCEPTUAL-HASH oracle: a 32×16 image
+    * of 8×4 constant-color 4-pixel blocks. Block i's gray level is the
+    * pure function `40 + (id%7)·20 + ((i·37 + (id%7)·11) % 64) + (id/7)%3`
+    * — images sharing `id % 7` have the SAME block pattern shifted by a
+    * small UNIFORM brightness offset (the id/7 term), i.e. perceptual
+    * near-duplicates whose bytes (and md5) differ. Max value 225, so no
+    * clamping; PNG is lossless, so every decoded pixel is the formula's
+    * integer exactly. */
+  def synthPatternPngTable(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { id =>
+          val g = (id % 7).toInt
+          val off = ((id / 7) % 3).toInt
+          val img = new java.awt.image.BufferedImage(32, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gr = img.createGraphics()
+          for (by <- 0 until 4; bx <- 0 until 8) {
+            val i = by * 8 + bx
+            val v = 40 + g * 20 + ((i * 37 + g * 11) % 64) + off
+            gr.setColor(new java.awt.Color(v, v, v))
+            gr.fillRect(bx * 4, by * 4, 4, 4)
+          }
+          gr.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** 32-bit AVERAGE HASH (aHash) from REAL decoded pixels: partition the
+    * image into an 8×4 block grid, bit i set iff block i's gray level
+    * exceeds the image mean. The perceptual-dedup property under test:
+    * a uniform brightness shift moves every block AND the mean by the
+    * same amount, so the hash is EXACTLY invariant — brightness-shifted
+    * re-encodes (different bytes, different md5) collapse to one hash,
+    * which is what byte-level dedup can never do. Block gray is read as
+    * the raw blue channel integer and the mean is Σv/32 (exact dyadic),
+    * so the strict `>` resolves identically in the SQL oracle.
+    * Undecodable payloads yield `decoded=false, phash=-1`. */
+  def imageAHash(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth < 32 || img.getHeight < 16)
+            (id, false, -1L)
+          else {
+            val vs = Array.tabulate(32) { i =>
+              img.getRGB((i % 8) * 4, (i / 8) * 4) & 0xff
+            }
+            val mean = vs.sum / 32.0
+            val hash = vs.zipWithIndex.collect {
+              case (v, i) if v > mean => 1L << i
+            }.sum
+            (id, true, hash)
+          }
+        }
+      }.toDF("media_id", "decoded", "phash")
+  }
+
   /** Deterministic PNG fixture corpus for the image-decode oracle: every
     * 5th id a garbage payload, the rest a solid-gray PNG whose dimensions
     * `(4 + id%4*4) × (4 + id%3*4)` and gray level `32 + id%8*24` are pure

@@ -979,6 +979,40 @@ object StarExt {
           round(col("mean_luma"), 6).as("luma"))
     },
 
+    // PERCEPTUAL image dedup: 32-bit average-hash over REAL decoded pixels
+    // (Multimodal.imageAHash) of a structured-PNG corpus where ids sharing
+    // id%7 are the same pattern under a uniform brightness shift —
+    // different bytes, different md5, SAME aHash (the shift moves every
+    // block and the mean together, so the threshold bits are invariant).
+    // Grouping by the hash is the dedup byte-level hashing cannot do; the
+    // oracle replays block values, mean, and threshold bits from the
+    // fixture formula — no image decode needed on the SQL side because
+    // PNG is lossless.
+    QDef("x_mm_phash",
+      """WITH pe AS (
+        |  SELECT doc_id, unnest(generate_series(0, 31)) AS i FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |    40 + (doc_id % 7) * 20 + ((i * 37 + (doc_id % 7) * 11) % 64)
+        |      + (doc_id // 7) % 3 AS v
+        |  FROM pe),
+        |m AS (SELECT doc_id, sum(v) / 32.0 AS mv FROM b GROUP BY 1),
+        |h AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum(CASE WHEN v > mv THEN CAST(1 AS BIGINT) << i
+        |      ELSE 0 END) AS BIGINT) AS phash
+        |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |  min(doc_id) AS keep_id
+        |FROM h GROUP BY 1""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      val media = Multimodal.synthPatternPngTable(
+        Tables(s, d).documents.select(col("doc_id")))
+      Multimodal.imageAHash(media)
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keep_id"))
+    },
+
     // REAL audio decode (javax.sound) over a deterministic WAV corpus:
     // constant dyadic-amplitude 16-bit PCM, so format parameters AND the
     // RMS are exactly predictable (every intermediate a small integer over
@@ -1075,6 +1109,26 @@ object StarExt {
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"),
         maxDelayMinutes = 120)
+    },
+
+    // Batch twin of the stream-stream LEFT OUTER interval join: views with
+    // no same-user click in the window keep a row with null click columns.
+    // In streaming the null row surfaces once the click watermark passes
+    // the window end — state eviction and null-emission are the same
+    // deadline (late-null parity proven in EventStreamsSpec).
+    QDef("x_stream_outer",
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 120 MINUTE""".stripMargin) {
+      (s, d) =>
+        val ev = Tables(s, d).events
+        EventStreams.intervalJoinOuter(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          maxDelayMinutes = 120)
     },
 
     // Batch twin of the stream-static enrichment join: click events pick up

@@ -151,6 +151,33 @@ object EventStreams {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoin]] plus the
+    * unmatched side: a view with NO same-user click inside the delay
+    * window emits exactly once with null click columns. In streaming that
+    * null row may only surface after the click-side watermark passes
+    * `view_ts + maxDelay` (earlier, a matching click could still arrive) —
+    * so the SAME time bound that evicts join state also supplies the
+    * null-emission deadline; outer correctness and bounded state are one
+    * mechanism. The batch twin (watermarks no-op) is the `x_stream_outer`
+    * oracle row; MemoryStream parity incl. the late-null case is in
+    * EventStreamsSpec. */
+  def intervalJoinOuter(views: DataFrame, clicks: DataFrame,
+      maxDelayMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $maxDelayMinutes minutes"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * against a STATIC dimension (no watermark needed — the static side is
     * not evolving state, it's re-read/broadcast per batch; only the stream

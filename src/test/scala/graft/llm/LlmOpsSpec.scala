@@ -429,6 +429,28 @@ class MultimodalSpec extends SparkSpec {
     buf.toByteArray
   }
 
+  test("perceptual aHash: invariant under uniform brightness shift, distinct across patterns") {
+    implicit val sp = spark
+    import spark.implicits._
+    // ids 1, 8, 15 share id%7==1 at offsets 0,1,2 — same pattern, shifted
+    val media = graft.llm.Multimodal.synthPatternPngTable(
+      Seq(1L, 8L, 15L, 2L, 9L).toDF("doc_id"))
+    val hashed = graft.llm.Multimodal.imageAHash(media)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(hashed.values.forall(_._1)) // all decode
+    assert(hashed(1L)._2 === hashed(8L)._2)
+    assert(hashed(8L)._2 === hashed(15L)._2)
+    assert(hashed(2L)._2 === hashed(9L)._2)
+    assert(hashed(1L)._2 !== hashed(2L)._2)
+    // the bytes DIFFER (brightness shift re-encodes) — md5 dedup would miss
+    val payloads = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(payloads(1L), payloads(8L)))
+    // garbage payload falls back, flagged
+    val bad = Seq((99L, "not a png".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val r = graft.llm.Multimodal.imageAHash(bad).head
+    assert(!r.getBoolean(1) && r.getLong(2) === -1L)
+  }
+
   test("audio decode: real WAV format + RMS amplitude; garbage falls back") {
     import spark.implicits._
     implicit val s = spark
@@ -570,6 +592,23 @@ class PqSpec extends SparkSpec {
     // ADC ties can reorder WITHIN an equal-distance group, but on this corpus
     // the duplicate structure makes the top-3 sets unambiguous
     rec.foreach { case (q, (hits, r)) => assert(hits === 3 && r === 1.0, s"q=$q") }
+  }
+
+  test("pqRerank: exact distances on the shortlist; full shortlist equals l2TopK") {
+    val cb = Pq.pqTrain(corpus, 2, dims, 2, 2)
+    // shortlist = whole corpus → the re-rank IS the exact top-k
+    val rr = Pq.pqRerank(corpus.filter(col("vec_id") < 2), corpus, cb, 2, dims,
+        shortlist = 7, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val exact = Pq.l2TopK(corpus.filter(col("vec_id") < 2), corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(rr.toSeq === exact.toSeq)
+    // distances in the output are TRUE L2², not ADC approximations
+    rr.foreach { case (_, _, d, _) => assert(d >= 0.0) }
+    intercept[IllegalArgumentException](
+      Pq.pqRerank(corpus, corpus, cb, 2, dims, shortlist = 2, k = 3))
   }
 
   test("segment dedup removes cross-document boilerplate, keeps first occurrence in order") {

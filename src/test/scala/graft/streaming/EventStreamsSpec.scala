@@ -74,6 +74,46 @@ class EventStreamsSpec extends SparkSpec {
       (101L, 11L, 23L, 10L * 60 * 1000000)))
   }
 
+  test("stream-stream LEFT OUTER interval join: null row only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      EventRow(10L, ts("2024-01-01 10:00:00"), 100L, "view", 0.0), // will match
+      EventRow(11L, ts("2024-01-01 10:00:00"), 101L, "view", 0.0)) // never matches
+    val click = EventRow(20L, ts("2024-01-01 10:20:00"), 100L, "click", 1.0)
+    val vStream = MemoryStream[EventRow]
+    val cStream = MemoryStream[EventRow]
+    val query = EventStreams.intervalJoinOuter(vStream.toDF(), cStream.toDF(),
+        maxDelayMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ssouter_test")
+      .outputMode("append").start()
+    vStream.addData(views: _*)
+    cStream.addData(click)
+    query.processAllAvailable()
+    // matched row is out; the unmatched view CANNOT emit yet — a click
+    // inside its window could still arrive
+    val early = spark.table("ssouter_test").collect()
+    assert(early.map(_.getLong(1)).toSet === Set(10L), early.mkString(","))
+
+    // advance the click watermark past view_ts + 30m (+10m delay):
+    // the unmatched view's null row must now surface
+    cStream.addData(EventRow(99L, ts("2024-01-01 12:00:00"), 999L, "click", 1.0))
+    vStream.addData(EventRow(98L, ts("2024-01-01 12:00:00"), 998L, "view", 0.0))
+    query.processAllAvailable()
+    val late = spark.table("ssouter_test").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    query.stop()
+    assert(late.contains((11L, -1L)), late.mkString(","))
+    assert(late.contains((10L, 20L)))
+
+    // batch twin: same body, watermarks no-op, nulls immediate
+    val batch = EventStreams.intervalJoinOuter(views.toDF(), Seq(click).toDF(), 30)
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(batch === Set((10L, 20L), (11L, -1L)))
+  }
+
   test("file-source stream: readEventStream windows a growing parquet directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
