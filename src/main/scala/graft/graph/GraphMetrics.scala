@@ -91,6 +91,39 @@ object GraphMetrics {
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Single-source BFS: minimum hop count from `source` to every reachable
+    * vertex over the directed edge set (unreachable vertices absent; the
+    * source itself at 0 hops).
+    *
+    * Frontier iteration — the textbook distributed BFS: each round joins
+    * ONLY the newly-discovered frontier against the edge list, anti-joins
+    * the visited set, and stops when the frontier empties. Iterations =
+    * graph diameter (not vertex count); per-round shuffle is frontier-sized,
+    * the visited set is vertex-sized, and `localCheckpoint` per round keeps
+    * the plan flat (same cadence rationale as [[staticPageRank]]). Parallel
+    * edges are collapsed first — multiplicity adds nothing to reachability.
+    */
+  def bfsHops(edges: DataFrame, source: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    var visited = Seq((source, 0L)).toDF("id", "hops").localCheckpoint()
+    var frontier = visited.select("id")
+    var hop = 0L
+    while (!frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      visited = visited.union(next.withColumn("hops", lit(hop))).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
   // ---- GraphX cross-check implementations (integer vertex ids) ----
 
   private def toGraphX(spark: SparkSession, edges: DataFrame): Graph[Int, Int] = {
@@ -112,5 +145,17 @@ object GraphMetrics {
     val g = toGraphX(spark, edges)
     org.apache.spark.graphx.lib.TriangleCount.run(g)
       .vertices.map { case (id, n) => (id, n.toLong) }.toDF("id", "triangles")
+  }
+
+  /** GraphX cross-check for [[bfsHops]]. ShortestPaths computes each
+    * vertex's distance TO the landmark along out-edges, so the graph is
+    * reversed to get distance FROM the source. */
+  def bfsGraphX(spark: SparkSession, edges: DataFrame, source: Long): DataFrame = {
+    import spark.implicits._
+    val g = toGraphX(spark,
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    org.apache.spark.graphx.lib.ShortestPaths.run(g, Seq(source))
+      .vertices.flatMap { case (id, m) => m.get(source).map(d => (id, d.toLong)) }
+      .toDF("id", "hops")
   }
 }

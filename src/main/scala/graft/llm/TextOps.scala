@@ -79,6 +79,15 @@ object TextOps {
     zip_with(h12, t3, (ab, c) => (ab * 1000033L + wordHash(c)) % p)
   }
 
+  /** Word bigrams as space-joined strings — same shifted-slice shape as
+    * [[wordTrigrams]] (lambdas never re-evaluate the split). */
+  def wordBigrams(text: Column): Column = {
+    val toks = spaceTokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Occurrence count of `kw` in `text` via length arithmetic — exact. */
   def occurrences(text: Column, kw: String): Column =
     ((length(text) - length(replace(text, lit(kw), lit("")))) / kw.length).cast("int")

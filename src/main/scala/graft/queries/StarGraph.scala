@@ -106,6 +106,25 @@ object StarGraph {
          |SELECT verts.id, coalesce(pv.triangles, 0) AS triangles
          |FROM verts LEFT JOIN pv ON verts.id = pv.id""".stripMargin) { (s, d) =>
       GraphMetrics.triangleCounts(edges(s, d, Some(col("l_extendedprice") > 100000)))
+    },
+
+    // G5 — single-source BFS hop distances over the sparse subgraph:
+    // frontier iteration in the engine (iterations = diameter, per-round
+    // shuffle = frontier size) vs a bounded recursive CTE in the oracle
+    // (UNION-distinct on (id, depth), min depth per vertex = BFS distance).
+    // GraphX ShortestPaths agreement is property-tested in GraphMetricsSpec.
+    QDef("x_graph_bfs",
+      s"""WITH RECURSIVE ${SparseEdgesCte},
+         |walk(id, d) AS (
+         |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+         |  UNION
+         |  SELECT CAST(e.dst AS BIGINT), w.d + 1
+         |  FROM walk w JOIN edges e ON e.src = w.id
+         |  WHERE w.d < 30)
+         |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY id""".stripMargin) {
+      (s, d) =>
+        GraphMetrics.bfsHops(
+          edges(s, d, Some(col("l_extendedprice") > 100000)), source = 0L)
     }
   )
 }

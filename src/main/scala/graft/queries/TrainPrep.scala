@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.llm.{Curation, Packing, TextOps}
+import graft.streaming.TwsUserStats
+
+/** Training-data preparation operators: sequence packing, eval-set
+  * decontamination, repetition profiling, weighted source mixing, rolling
+  * time windows, and the transformWithState batch twin. Engine bodies in
+  * [[graft.llm.Packing]] / [[graft.llm.Curation]] /
+  * [[graft.streaming.TwsUserStats]]; every row here is oracle-checked
+  * against a DuckDB replay of the same arithmetic.
+  */
+object TrainPrep {
+
+  /** Context-window size for both packing layouts (tokens). */
+  private val WindowSize = 128
+
+  /** Shared greedy-packing oracle: DuckDB recursive CTE walking each shard
+    * in id order with (bin, fill) state — the sequential semantics the
+    * engine reproduces with one clustered shuffle + O(1)-state iterators. */
+  private val GreedyPackCte =
+    s"""d AS (
+       |  SELECT source AS shard, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT shard, doc_id, toks, rn, CAST(0 AS BIGINT) AS bin_id,
+       |    toks AS bin_fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.doc_id, d.toks, d.rn,
+       |    CASE WHEN p.bin_fill + d.toks <= $WindowSize
+       |      THEN p.bin_id ELSE p.bin_id + 1 END,
+       |    CASE WHEN p.bin_fill + d.toks <= $WindowSize
+       |      THEN p.bin_fill + d.toks ELSE d.toks END
+       |  FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1)""".stripMargin
+
+  /** Token-budget mixing: binary-exact weights (0.5 / 0.125 — exact in both
+    * engines' doubles, so floor(weight·budget) can never straddle an ulp)
+    * and a fixed total budget. */
+  private val MixBudget = 10000L
+  private val MixWeights = Map(
+    "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.125)
+  private val MixCte =
+    s"""d AS (SELECT lang AS grp, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+       |w(grp, weight) AS (VALUES
+       |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+       |  ('es', CAST(0.125 AS DOUBLE)), ('fr', CAST(0.125 AS DOUBLE)),
+       |  ('zh', CAST(0.125 AS DOUBLE))),
+       |j AS (SELECT d.grp, d.doc_id, d.toks,
+       |    CAST(floor(w.weight * $MixBudget) AS BIGINT) AS grp_budget,
+       |    sum(d.toks) OVER (PARTITION BY d.grp ORDER BY d.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+       |  FROM d JOIN w ON d.grp = w.grp)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // Concat-and-chunk (GPT-style) packing: per-shard prefix sums place
+    // every document in the concatenated token stream; window indices and
+    // the boundary-spanning flag are pure arithmetic on the offsets. One
+    // window function per shard — no state, no iteration.
+    QDef("x_pack_chunks",
+      s"""WITH d AS (
+         |  SELECT source AS shard, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, toks,
+         |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+         |  FROM d)
+         |SELECT shard, doc_id, toks, end_off - toks AS start_off,
+         |  (end_off - toks) // $WindowSize AS first_window,
+         |  (end_off - 1) // $WindowSize AS last_window,
+         |  (end_off - 1) // $WindowSize > (end_off - toks) // $WindowSize
+         |    AS spans_boundary
+         |FROM c""".stripMargin) { (s, d) =>
+      Packing.packChunks(Tables(s, d).documents, "source", "doc_id",
+        size(TextOps.spaceTokens(col("text"))), WindowSize)
+    },
+
+    // Greedy whole-document packing: documents never split, a doc that
+    // would overflow the current window opens a new one. The oracle is a
+    // row-at-a-time recursive CTE; the engine is one repartition(shard) +
+    // sortWithinPartitions + O(1)-state mapPartitions walk.
+    QDef("x_pack_greedy",
+      s"""WITH RECURSIVE $GreedyPackCte
+         |SELECT shard, doc_id, toks, bin_id, bin_fill FROM pack""".stripMargin) { (s, d) =>
+      Packing.packGreedy(Tables(s, d).documents, "source", "doc_id",
+        size(TextOps.spaceTokens(col("text"))), WindowSize)
+    },
+
+    // Packing audit: windows, tokens, and utilization per shard — the
+    // number that sizes the context-window cap in production.
+    QDef("x_pack_stats",
+      s"""WITH RECURSIVE $GreedyPackCte
+         |SELECT shard, max(bin_id) + 1 AS n_windows,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(toks) AS DOUBLE) / ((max(bin_id) + 1) * $WindowSize)
+         |    AS utilization
+         |FROM pack GROUP BY shard""".stripMargin) { (s, d) =>
+      Packing.packStats(
+        Packing.packGreedy(Tables(s, d).documents, "source", "doc_id",
+          size(TextOps.spaceTokens(col("text"))), WindowSize), WindowSize)
+    },
+
+    // Eval-set decontamination: train docs sharing >=1 word trigram with
+    // the held-out split (doc_id % 97 — a fixed pseudo-benchmark), with
+    // the distinct shared-ngram count. Eval n-grams broadcast; the corpus
+    // is probed map-side and never shuffles to find candidates.
+    QDef("x_contamination",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+        |ev AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, count(*) AS shared_ngrams
+        |FROM tri t JOIN ev USING (g)
+        |WHERE t.doc_id % 97 <> 0
+        |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
+      Curation.contamination(Tables(s, d).documents, "doc_id", "text",
+        col("doc_id") % 97 === 0)
+    },
+
+    // Gopher-style repetition profile: distinct-token ratio and top
+    // word/bigram shares per document, exact int/int divisions.
+    QDef("x_text_repetition",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct, max(c) AS top_c FROM wc GROUP BY 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |  FROM toks, unnest(range(1, len(w))) t(i)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, max(c) AS top_bc,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT ws.doc_id, ws.n_words,
+        |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+        |  CAST(top_c AS DOUBLE) / n_words AS top_word_share,
+        |  CAST(top_bc AS DOUBLE) / n_bigrams AS top_bigram_share
+        |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin) { (s, d) =>
+      Curation.repetitionProfile(Tables(s, d).documents, "doc_id", "text")
+    },
+
+    // Weighted source mixing: per-language token budgets filled in
+    // deterministic id order, cap never exceeded. The kept-document list.
+    QDef("x_mix_sources",
+      s"""WITH $MixCte
+         |SELECT grp, doc_id, toks, grp_budget FROM j
+         |WHERE end_off <= grp_budget""".stripMargin) { (s, d) =>
+      Curation.mixToBudget(Tables(s, d).documents, "lang", "doc_id",
+        size(TextOps.spaceTokens(col("text"))), MixWeights, MixBudget)
+    },
+
+    // Post-mix audit: docs/tokens kept per group vs the group budget.
+    QDef("x_mix_stats",
+      s"""WITH $MixCte
+         |SELECT grp, grp_budget, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens
+         |FROM j WHERE end_off <= grp_budget GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Curation.mixStats(
+        Curation.mixToBudget(Tables(s, d).documents, "lang", "doc_id",
+          size(TextOps.spaceTokens(col("text"))), MixWeights, MixBudget))
+    },
+
+    // Event-time rolling window: per-customer 7-day trailing order count
+    // and total, RANGE frame on the timestamp (micros — exact). Money in
+    // integer cents so the windowed sums are order-insensitive and
+    // hash-identical cross-engine.
+    QDef("x_rolling_time",
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  count(*) OVER w AS roll_cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+        |    AS BIGINT) AS roll_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // o_orderdate arrives TIMESTAMP_NTZ; the session runs UTC, so the
+      // cast to TIMESTAMP is a pure reinterpretation and unix_micros is
+      // the exact integer frame key
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+        .withColumn("roll_cnt", count(lit(1)).over(w))
+        .withColumn("roll_cents", sum("cents").over(w))
+        .drop("cents")
+    },
+
+    // Batch twin of the transformWithState running per-user aggregate
+    // (TwsUserStats — same integer-cents arithmetic the processor carries
+    // across micro-batches; MemoryStream parity in EventStreamsSpec).
+    QDef("x_stream_tws",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+      TwsUserStats.userStatsBatch(Tables(s, d).events)
+    }
+  )
+}

@@ -77,4 +77,30 @@ class GraphMetricsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     df.foreach { case (k, v) => assert(v === gx.getOrElse(k, 0L), s"vertex $k") }
   }
+
+  test("bfsHops: shortest path wins, unreachable vertices absent, parallel edges collapse") {
+    // 1→2→3→4 chain with a 1→3 shortcut (duplicated), plus a disconnected
+    // component {8→9} the walk must never reach; 5 points AT the source
+    // (wrong direction — also unreachable).
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (1L, 3L), (8L, 9L), (5L, 1L))
+    val d = GraphMetrics.bfsHops(e, source = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsHops: isolated source yields just itself at 0") {
+    val d = GraphMetrics.bfsHops(edges((2L, 3L)), source = 7L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(7L -> 0L))
+  }
+
+  test("bfsHops agrees with GraphX ShortestPaths on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val e = edges(Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)): _*)
+    val df = GraphMetrics.bfsHops(e, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = GraphMetrics.bfsGraphX(spark, e, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df === gx)
+  }
 }

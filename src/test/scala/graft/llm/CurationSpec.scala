@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("contamination: only train docs sharing a trigram with eval; counts distinct") {
+    val docs = Seq(
+      (0L, "a b c d"),          // eval (id 0)
+      (1L, "x a b c y"),        // shares "a b c" → 1
+      (2L, "a b c d e"),        // shares "a b c" + "b c d" → 2
+      (3L, "p q r s"),          // clean → absent
+      (4L, "a b c a b c z")     // "a b c" twice → still 1 (distinct grams)
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(docs, "doc_id", "text", col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("repetitionProfile: exact ratios; single-token doc keeps null bigram share") {
+    val docs = Seq(
+      (1L, "a a a b"),  // 4 words, 2 distinct, top word 3; bigrams: "a a"×2, "a b" → top 2/3
+      (2L, "solo")      // 1 word → no bigrams → null share
+    ).toDF("doc_id", "text")
+    val rows = Curation.repetitionProfile(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getLong(1) === 4L)
+    assert(r1.getDouble(2) === 0.5)       // 2/4
+    assert(r1.getDouble(3) === 0.75)      // 3/4
+    assert(r1.getDouble(4) === 2.0 / 3.0)
+    val r2 = rows(2L)
+    assert(r2.getLong(1) === 1L)
+    assert(r2.getDouble(3) === 1.0)
+    assert(r2.isNullAt(4))
+  }
+
+  test("mixToBudget: cap never exceeded, id-order deterministic, unweighted groups dropped") {
+    val docs = Seq(
+      ("en", 1L, 40L), ("en", 2L, 40L), ("en", 3L, 40L), // budget 100: docs 1,2 (80) — 3 would hit 120
+      ("de", 1L, 30L), ("de", 2L, 10L),                  // budget 50: both (40)
+      ("xx", 1L, 5L)                                     // no weight → dropped
+    ).toDF("lang", "id", "n")
+    val out = Curation.mixToBudget(docs, "lang", "id", col("n"),
+      Map("en" -> 0.5, "de" -> 0.25), budget = 200L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("en", 1L), ("en", 2L), ("de", 1L), ("de", 2L)))
+    val stats = Curation.mixStats(Curation.mixToBudget(docs, "lang", "id",
+      col("n"), Map("en" -> 0.5, "de" -> 0.25), budget = 200L)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats("en") === ((100L, 2L, 80L)))
+    assert(stats("de") === ((50L, 2L, 40L)))
+  }
+}

@@ -546,4 +546,40 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(m => m.probe_id -> ((m.ref_id, m.ref_value, m.lag_us))).toMap
     assert(streamed === batch)
   }
+
+  test("transformWithState running user stats: final streamed row equals batch aggregate") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this query and restore after (shared session).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventRow]
+      val q = TwsUserStats.userStatsStream(stream.toDS())
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").start()
+      // three micro-batches — the ValueState must carry across all of them
+      stream.addData(rows.take(2): _*); q.processAllAvailable()
+      stream.addData(rows.slice(2, 4): _*); q.processAllAvailable()
+      stream.addData(rows.drop(4): _*); q.processAllAvailable()
+      val streamed = spark.table("tws_test").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      q.stop()
+      val batch = TwsUserStats.userStatsBatch(rows.toDF()).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed === batch)
+      // user 100: events 1, 2, 5 → 150 + 250 + 500 cents, max 5.0
+      assert(batch(100L) === ((3L, 900L, 5.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
