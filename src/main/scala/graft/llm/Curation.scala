@@ -101,6 +101,29 @@ object Curation {
       .select("grp", "doc_id", "toks", "grp_budget")
   }
 
+  /** Strided curriculum interleave: a deterministic global training order
+    * that cycles the groups round-robin — document k of group g lands at
+    * `position = (k-1) · n_groups + index(g)`. The position is pure
+    * arithmetic on a per-group rank, so there is NO global sort or
+    * single-partition window anywhere: one clustered shuffle per group for
+    * the rank, then map-side math. (The naive formulation — a global
+    * `row_number() over (order by rn, grp)` — funnels the corpus through
+    * one partition; this shape is how the same order scales.)
+    */
+  def strideInterleave(docs: DataFrame, groupCol: String, idCol: String,
+      groupIndex: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = groupIndex.size
+    val gi = broadcast(groupIndex.toSeq.toDF("grp", "gi"))
+    val w = Window.partitionBy("grp").orderBy("doc_id")
+    docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"))
+      .join(gi, "grp") // inner: unindexed groups are excluded from the epoch
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("position", (col("rn") - 1) * n + col("gi"))
+      .select("doc_id", "grp", "rn", "position")
+  }
+
   /** Post-mix audit: per-group kept-document and token totals vs budget. */
   def mixStats(mixed: DataFrame): DataFrame =
     mixed.groupBy("grp", "grp_budget")

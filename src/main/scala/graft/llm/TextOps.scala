@@ -88,6 +88,17 @@ object TextOps {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Hashing-trick token-count features: element j counts the tokens with
+    * `wordHash(t) % dim == j` — the fixed-width bag-of-words a downstream
+    * linear scorer consumes, with no vocabulary to build or broadcast.
+    * In-row transform+filter over the split (O(dim·tokens) per row, zero
+    * shuffle, whole-stage codegen); callers `posexplode` to long form. */
+  def featureHash(text: Column, dim: Int): Column = {
+    val toks = spaceTokens(text)
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => size(filter(toks, t => wordHash(t) % dim === j.cast("bigint"))))
+  }
+
   /** Occurrence count of `kw` in `text` via length arithmetic — exact. */
   def occurrences(text: Column, kw: String): Column =
     ((length(text) - length(replace(text, lit(kw), lit("")))) / kw.length).cast("int")

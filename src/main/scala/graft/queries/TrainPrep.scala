@@ -197,6 +197,45 @@ object TrainPrep {
         .drop("cents")
     },
 
+    // Strided curriculum interleave: the global round-robin training order
+    // as pure per-group-rank arithmetic — no global sort, no
+    // single-partition window (the scale trap the naive row_number-over-
+    // everything formulation falls into).
+    QDef("x_interleave",
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |m(grp, gi) AS (VALUES ('en', 0), ('de', 1), ('es', 2), ('fr', 3),
+        |  ('zh', 4))
+        |SELECT r.doc_id, m.grp, r.rn, (r.rn - 1) * 5 + m.gi AS position
+        |FROM r JOIN m ON r.lang = m.grp""".stripMargin) { (s, d) =>
+      Curation.strideInterleave(Tables(s, d).documents, "lang", "doc_id",
+        Map("en" -> 0, "de" -> 1, "es" -> 2, "fr" -> 3, "zh" -> 4))
+    },
+
+    // Hashing-trick features: 16-bucket token-count vector per document,
+    // computed in-row on the scan (no vocabulary, no shuffle) and emitted
+    // long-form. The oracle replays the exact wordHash arithmetic.
+    QDef("x_feature_hash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  ascii(substr(t || '___', 1, 1)) * 65536
+        |    + ascii(substr(t || '___', 2, 1)) * 256
+        |    + ascii(substr(t || '___', 3, 1)) + length(t) * 16777216 AS wh
+        |  FROM tok),
+        |c AS (SELECT doc_id, wh % 16 AS j, count(*) AS cnt FROM h GROUP BY 1, 2)
+        |SELECT d.doc_id, j.j, coalesce(c.cnt, 0) AS cnt
+        |FROM (SELECT doc_id FROM documents) d
+        |CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+        |LEFT JOIN c ON c.doc_id = d.doc_id AND c.j = j.j""".stripMargin) { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          posexplode(TextOps.featureHash(col("text"), 16)).as(Seq("j", "cnt")))
+        .select(col("doc_id"), col("j").cast("bigint").as("j"),
+          col("cnt").cast("bigint").as("cnt"))
+    },
+
     // Batch twin of the transformWithState running per-user aggregate
     // (TwsUserStats — same integer-cents arithmetic the processor carries
     // across micro-batches; MemoryStream parity in EventStreamsSpec).

@@ -54,4 +54,34 @@ class CurationSpec extends SparkSpec {
     assert(stats("en") === ((100L, 2L, 80L)))
     assert(stats("de") === ((50L, 2L, 40L)))
   }
+
+  test("strideInterleave: round-robin positions, dense per prefix, unindexed groups out") {
+    val docs = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 5L), ("b", 6L),
+      ("zz", 1L) // no index → excluded
+    ).toDF("grp", "id")
+    val out = Curation.strideInterleave(docs, "grp", "id", Map("a" -> 0, "b" -> 1))
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(3)).toMap
+    assert(out === Map(
+      ("a", 10L) -> 0L, ("b", 5L) -> 1L,
+      ("a", 20L) -> 2L, ("b", 6L) -> 3L,
+      ("a", 30L) -> 4L))
+    // positions 0..3 are a full round-robin prefix; no duplicates anywhere
+    assert(out.values.toSeq.distinct.size === out.size)
+  }
+
+  test("featureHash: bucket counts sum to token count; deterministic buckets") {
+    val docs = Seq((1L, "the cat the dog"), (2L, "x")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.posexplode(
+        TextOps.featureHash(col("text"), 16)).as(Seq("j", "cnt")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // 16 buckets per doc; totals = token counts
+    assert(out.keys.count(_._1 == 1L) === 16)
+    assert(out.collect { case ((1L, _), c) => c }.sum === 4)
+    assert(out.collect { case ((2L, _), c) => c }.sum === 1)
+    // "the" appears twice → its bucket holds at least 2 for doc 1
+    assert(out.values.max >= 2)
+  }
 }
