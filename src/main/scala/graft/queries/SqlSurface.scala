@@ -159,6 +159,29 @@ object SqlSurface {
                ELSE 'test' END AS split,
           count(*) AS docs
         FROM documents GROUP BY 1, 2""")
+    },
+
+    // Concat-and-chunk sequence packing as ONE SQL string through Spark's
+    // parser/optimizer (same prefix-sum window the Dataset API plans);
+    // shares the DuckDB oracle with x_pack_chunks, so both interfaces are
+    // held to the same ground truth.
+    QDef("x_sql_pack_chunks", TrainPrep.PackChunksOracle) { (s, d) =>
+      viewed(s, d, "documents")
+      s.sql("""
+        WITH d AS (
+          SELECT source AS shard, doc_id,
+            CAST(size(split(text, ' ', -1)) AS BIGINT) AS toks
+          FROM documents),
+        c AS (
+          SELECT shard, doc_id, toks,
+            sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+          FROM d)
+        SELECT shard, doc_id, toks, end_off - toks AS start_off,
+          (end_off - toks) div 128 AS first_window,
+          (end_off - 1) div 128 AS last_window,
+          (end_off - 1) div 128 > (end_off - toks) div 128 AS spans_boundary
+        FROM c""")
     }
   )
 }

@@ -266,6 +266,49 @@ object StarMisc {
         InRange("o_totalprice", 0.0, 1e9),
         Unique("o_orderkey"),
         RefIntegrity("o_custkey", t.customer, "c_custkey")))
+    },
+
+    // Interval-overlap join (incident correlation): 10-minute error windows
+    // that intersect ACROSS users. The engine grid-buckets time and
+    // equi-joins on the cell (cost = per-cell density, not corpus²); the
+    // oracle states the overlap predicate directly as a theta join. Pairs
+    // deduped (an overlap spanning several cells meets more than once) and
+    // canonicalized a < b.
+    QDef("x_interval_overlap",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 600000000 AS t
+        |  FROM events WHERE event_type = 'error')
+        |SELECT l.event_id AS a, r.event_id AS b
+        |FROM e l JOIN e r ON l.event_id < r.event_id AND l.user_id <> r.user_id
+        |  AND l.s <= r.t AND r.s <= l.t""".stripMargin) { (s, d) =>
+      import graft.ops.IntervalJoin
+      val iv = Tables(s, d).events
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 600000000L).as("t"))
+      IntervalJoin.overlapPairs(iv, iv, "event_id", "s", "t",
+        cellMicros = 600000000L,
+        extraPred = col("l.event_id") < col("r.event_id") &&
+          col("l.user_id") =!= col("r.user_id"))
+    },
+
+    // Per-group z-score normalization: the standard feature-prep pass —
+    // group stats via one partial/final aggregate, broadcast back onto the
+    // scan (the stats frame is |groups| rows). round(6) on BOTH sides: the
+    // mean/stddev partial-merge order differs across engines.
+    QDef("x_normalize",
+      """WITH st AS (SELECT event_type, avg(value) AS m,
+        |    stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round((e.value - st.m) / st.sd, 6) AS z
+        |FROM events e JOIN st USING (event_type)""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("m")) / col("sd"), 6).as("z"))
     }
   )
 }

@@ -18,6 +18,25 @@ object TrainPrep {
   /** Context-window size for both packing layouts (tokens). */
   private val WindowSize = 128
 
+  /** DuckDB oracle for concat-and-chunk packing — shared with the SQL-text
+    * twin `x_sql_pack_chunks` (SqlSurface). */
+  private[queries] val PackChunksOracle: String =
+    s"""WITH d AS (
+       |  SELECT source AS shard, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, doc_id, toks,
+       |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+       |  FROM d)
+       |SELECT shard, doc_id, toks, end_off - toks AS start_off,
+       |  (end_off - toks) // $WindowSize AS first_window,
+       |  (end_off - 1) // $WindowSize AS last_window,
+       |  (end_off - 1) // $WindowSize > (end_off - toks) // $WindowSize
+       |    AS spans_boundary
+       |FROM c""".stripMargin
+
   /** Shared greedy-packing oracle: DuckDB recursive CTE walking each shard
     * in id order with (bin, fill) state — the sequential semantics the
     * engine reproduces with one clustered shuffle + O(1)-state iterators. */
@@ -64,22 +83,7 @@ object TrainPrep {
     // every document in the concatenated token stream; window indices and
     // the boundary-spanning flag are pure arithmetic on the offsets. One
     // window function per shard — no state, no iteration.
-    QDef("x_pack_chunks",
-      s"""WITH d AS (
-         |  SELECT source AS shard, doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-         |  FROM documents),
-         |c AS (
-         |  SELECT shard, doc_id, toks,
-         |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
-         |  FROM d)
-         |SELECT shard, doc_id, toks, end_off - toks AS start_off,
-         |  (end_off - toks) // $WindowSize AS first_window,
-         |  (end_off - 1) // $WindowSize AS last_window,
-         |  (end_off - 1) // $WindowSize > (end_off - toks) // $WindowSize
-         |    AS spans_boundary
-         |FROM c""".stripMargin) { (s, d) =>
+    QDef("x_pack_chunks", PackChunksOracle) { (s, d) =>
       Packing.packChunks(Tables(s, d).documents, "source", "doc_id",
         size(TextOps.spaceTokens(col("text"))), WindowSize)
     },
