@@ -94,9 +94,15 @@ object TextOps {
     * In-row transform+filter over the split (O(dim·tokens) per row, zero
     * shuffle, whole-stage codegen); callers `posexplode` to long form. */
   def featureHash(text: Column, dim: Int): Column = {
-    val toks = spaceTokens(text)
-    transform(sequence(lit(0), lit(dim - 1)),
-      j => size(filter(toks, t => wordHash(t) % dim === j.cast("bigint"))))
+    // ONE pass: hash each token into its bucket, then fold the bucket ids
+    // into a dim-length count array. A per-bucket filter would re-evaluate
+    // the split+hash chain once PER BUCKET (the element_at(split) trap
+    // above — HOF lambdas don't share subexpressions); the aggregate's
+    // init argument is evaluated once.
+    val buckets = transform(spaceTokens(text), t => wordHash(t) % dim)
+    aggregate(buckets,
+      array_repeat(lit(0L), dim),
+      (acc, h) => transform(acc, (v, i) => when(i.cast("bigint") === h, v + 1L).otherwise(v)))
   }
 
   /** Occurrence count of `kw` in `text` via length arithmetic — exact. */

@@ -121,6 +121,35 @@ object AsOfJoin {
       .drop("_pv", "_pvf", "_side")
   }
 
+  /** As-of join WITH TOLERANCE (pandas `merge_asof(tolerance=...)`): the
+    * latest at-or-before match counts only if it lies within
+    * `tolMicros` of the left timestamp; staler matches yield NULL.
+    *
+    * Implemented on [[asofJoin]] by carrying the matched ref's timestamp
+    * alongside its value in a struct (struct max preserves the max-value
+    * tie-break: within a (key, ts) group the ts field is constant) and
+    * nulling the value when the lag exceeds the bound — no second join, no
+    * extra shuffle. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String, valueAlias: String,
+      tolerance: Long): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // lag in the ts column's own unit: exact micros for timestamps, the
+    // raw value for numeric ts — `tolerance` is in that same unit
+    def lagUnits(c: org.apache.spark.sql.Column) =
+      left.schema(ts).dataType match {
+        case TimestampType | TimestampNTZType => unix_micros(c.cast("timestamp"))
+        case _ => c.cast("bigint")
+      }
+    val r2 = right.withColumn("_tv",
+      struct(col(ts).as("_t"), col(valueCol).as("_v")))
+    asofJoin(left, r2, key, ts, "_tv", "_tvo")
+      .withColumn(valueAlias,
+        when(lagUnits(col(ts)) - lagUnits(col("_tvo._t")) <= tolerance,
+          col("_tvo._v")))
+      .drop("_tvo")
+  }
+
   /** As-of join through the dedicated physical operator
     * ([[graft.plans.AsOfJoinExec]]); result-identical to [[asofJoin]]. */
   def asofJoinMerge(left: DataFrame, right: DataFrame, key: String, ts: String,

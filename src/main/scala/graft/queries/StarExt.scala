@@ -1255,6 +1255,30 @@ object StarExt {
       graft.ops.AsOfJoin.asofJoin(clicks, errors, "user_id", "ts", "value", "err_value")
     },
 
+    // As-of with TOLERANCE (merge_asof tolerance=30min): the latest
+    // preceding error counts only within the bound — stale refs null out.
+    // Same one-shuffle plan; the bound is a post-carry comparison.
+    QDef("x_asof_tolerance",
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(value) AS err_value FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+        |    THEN r.err_value END AS err_value_tol
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      graft.ops.AsOfJoin.asofJoinTolerance(clicks, errors, "user_id", "ts",
+        "value", "err_value_tol", tolerance = 1800000000L)
+    },
+
     // FORWARD as-of: each click picks up the NEXT error at-or-after it —
     // merge_asof's other direction, against DuckDB's native forward ASOF
     // (l.ts <= r.ts). Same one-shuffle window shape, carry reversed.

@@ -309,6 +309,33 @@ object StarMisc {
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"),
           round((col("value") - col("m")) / col("sd"), 6).as("z"))
+    },
+
+    // Time-series resample with gap fill: hourly event counts per type on
+    // a complete calendar spine — missing (hour, type) cells surface as
+    // explicit zeros (the downstream-model contract: absence of data is a
+    // 0 observation, not a missing row). The spine is generated from the
+    // 1-row bounds aggregate crossed with the distinct types — KB-sized,
+    // broadcast; the fact side pays one partial/final count aggregate.
+    QDef("x_resample",
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |agg AS (SELECT h, event_type, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h,
+        |    t.event_type
+        |  FROM b, (SELECT DISTINCT event_type FROM ev) t)
+        |SELECT s.h, s.event_type, coalesce(a.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN agg a
+        |  ON a.h = s.h AND a.event_type = s.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val agg = ev.groupBy("h", "event_type").agg(count(lit(1)).as("cnt"))
+      val spine = ev.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+        .crossJoin(ev.select("event_type").distinct())
+      spine.join(agg, Seq("h", "event_type"), "left")
+        .na.fill(0L, Seq("cnt"))
     }
   )
 }

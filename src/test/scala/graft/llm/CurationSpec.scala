@@ -76,11 +76,11 @@ class CurationSpec extends SparkSpec {
     val out = docs.select(col("doc_id"),
       org.apache.spark.sql.functions.posexplode(
         TextOps.featureHash(col("text"), 16)).as(Seq("j", "cnt")))
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     // 16 buckets per doc; totals = token counts
     assert(out.keys.count(_._1 == 1L) === 16)
-    assert(out.collect { case ((1L, _), c) => c }.sum === 4)
-    assert(out.collect { case ((2L, _), c) => c }.sum === 1)
+    assert(out.collect { case ((1L, _), c) => c }.sum === 4L)
+    assert(out.collect { case ((2L, _), c) => c }.sum === 1L)
     // "the" appears twice → its bucket holds at least 2 for doc 1
     assert(out.values.max >= 2)
   }

@@ -28,6 +28,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(104L) === None)        // key 2 has no snapshots
   }
 
+  test("tolerance: stale matches null out, in-bound matches survive, no-match stays null") {
+    val out = AsOfJoin.asofJoinTolerance(left, right, "k", "t", "snap",
+      "tol_snap", tolerance = 4L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(100L) === None)        // t=5: no match at all
+    assert(out(101L) === Some(80.0))  // t=10, ref 8: lag 2 <= 4
+    assert(out(102L) === Some(200.0)) // t=20, ref 20: lag 0
+    assert(out(103L) === None)        // t=30, ref 25: lag 5 > 4 → stale
+    assert(out(104L) === None)        // key 2: no refs
+  }
+
   test("forward asof picks the earliest at-or-after right row; inclusive; null after all") {
     val out = AsOfJoin.asofJoinForward(left, right, "k", "t", "snap", "next_snap")
       .collect().map(r => r.getLong(0) ->

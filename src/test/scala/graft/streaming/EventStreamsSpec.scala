@@ -582,4 +582,49 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState sessionizer: event-time timers close sessions, batch parity") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val u100 = Seq(
+        EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+        EventRow(2L, ts("2024-01-01 10:10:00"), 100L, "click", 2.5),
+        EventRow(3L, ts("2024-01-01 11:30:00"), 100L, "view", 4.0))
+      val stream = MemoryStream[EventRow]
+      val q = TwsSessionizer.sessionStream(
+          stream.toDS().withWatermark("ts", "0 seconds").as[EventRow])
+        .writeStream.format("memory").queryName("tws_sessions_test")
+        .outputMode("append").start()
+      // batch 1: two events 10 min apart — one open session
+      stream.addData(u100.take(2): _*); q.processAllAvailable()
+      // batch 2: 80-min gap — session 1 must close INLINE (the watermark
+      // hasn't reached its deadline yet, but the later event proves it)
+      stream.addData(u100(2)); q.processAllAvailable()
+      // batch 3: sentinel user far in the future pushes the watermark past
+      // session 2's gap deadline — its TIMER fires and emits it
+      stream.addData(EventRow(9L, ts("2024-01-01 23:00:00"), 999L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_sessions_test").as[TwsSession].collect()
+        .filter(_.user_id == 100L)
+        .map(t => (t.session_start, t.session_end, t.n_events, t.total_value)).toSet
+      q.stop()
+      val batch = EventStreams.sessionizeBatch(u100.toDF(), gapMinutes = 30)
+        .collect()
+        .map(r => (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.size === 2) // both u100 sessions closed; sentinel's open
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
