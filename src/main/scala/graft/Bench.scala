@@ -26,7 +26,12 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // outside the timed span: release frames the query pinned with
+      // cache() (see Dedup.pin) so pinned blocks never accumulate across
+      // the run or bleed one query's memory pressure into the next
+      spark.catalog.clearCache()
+      dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -14,23 +14,38 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Frames referenced several times by a band/bucket self-join are pinned
-    * with `localCheckpoint()` rather than `cache()`. Tradeoff, explicitly:
+    * with `cache()`: LAZY (no Spark job until a caller actually consumes
+    * the frame — builders stay composable) and lineage-preserving (an
+    * executor loss recomputes the lost blocks instead of failing the job —
+    * the posture that matters on a preemptible 1000-executor cluster).
     *
-    *  - `localCheckpoint` truncates lineage and materializes EAGERLY — the
-    *    Spark jobs run when the DataFrame is CONSTRUCTED, and after an
-    *    executor loss the blocks have no recompute path (the job fails
-    *    instead of recomputing). Blocks are GC-cleaned with the DataFrame.
-    *  - `cache()` keeps lineage (recomputes on executor loss) but pins the
-    *    blocks in the CacheManager until an explicit `unpersist()`.
+    * The cost of cache() over `localCheckpoint()` is that blocks sit in the
+    * CacheManager until an explicit `unpersist()`, and these builders
+    * return lazy frames with no post-consumption hook. The lifecycle is
+    * therefore owned one level up: the query harnesses (Verify/Bench) call
+    * `spark.catalog.clearCache()` between queries. Library callers
+    * composing these frames themselves should do the same —
+    * `try { consume(df) } finally spark.catalog.clearCache()` — or accept
+    * one pinned copy of the band/bucket frame per pipeline built.
     *
-    * These builders RETURN lazy frames to callers who consume them exactly
-    * once (query harness → sink), so there is no post-consumption hook to
-    * call `unpersist()` from — cache() here would accumulate pinned blocks
-    * across a 115-query session. On a real cluster with preemptible
-    * executors, prefer `reliable checkpoint()` (HDFS-backed) or cache with
-    * an owned lifecycle: wrap the pipeline in
-    * `try { df.cache(); consume(df) } finally df.unpersist()`. */
-  private[llm] def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    * Iterative loops are the one place this is NOT the right tool — see
+    * [[truncate]]. */
+  private[llm] def pin(df: DataFrame): DataFrame = df.cache()
+
+  /** Lineage TRUNCATION for iterative loops — [[clusters]]' pointer-jumping
+    * round builds each label frame from a SELF-JOIN of the previous one, so
+    * under plain cache() the logical plan DOUBLES per round (cache
+    * substitution happens at physical planning; the analyzer still walks
+    * the full tree every action) and analysis time goes exponential in the
+    * iteration count. `localCheckpoint` cuts the plan to a leaf each round
+    * — the same checkpoint cadence GraphX's Pregel uses. Cost, explicitly:
+    * eager materialization (fine here — an action follows immediately in
+    * the same round) and no recompute path on executor loss (an executor
+    * loss mid-loop fails the job; the caller restarts the query — the
+    * standard trade for iterative algorithms, where replaying N rounds of
+    * lineage is no cheaper than rerunning). Blocks are GC-cleaned with the
+    * frame, so superseded rounds free themselves. */
+  private[llm] def truncate(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** MinHash parameters — shared with the DuckDB oracle generator. */
   val Prime: Long = 2147483647L
@@ -181,13 +196,16 @@ object Dedup {
     * clustered doc and the symmetric edge list — both shuffle-partitioned
     * by id, nothing driver-side except the convergence counter (the same
     * loop shape as the PageRank iteration in graph.GraphMetrics). Each
-    * round's label frame is pinned ([[pin]]) so iteration N+1 reads
-    * materialized blocks instead of re-executing N rounds of lineage. */
+    * round's label frame is TRUNCATED ([[truncate]]) so iteration N+1 both
+    * reads materialized blocks and plans against a leaf — the self-join
+    * would otherwise double the logical plan every round. Superseded
+    * rounds' blocks are GC-cleaned; the shared edge list is pinned with
+    * lazy [[pin]] and released by the harness. */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pin(pairs.select(col("d1").as("u"), col("d2").as("v"))
       .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
       .distinct())
-    var lab = pin(edges.select(col("u").as("id")).distinct()
+    var lab = truncate(edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
     var iter = 0
     var converged = false
@@ -195,11 +213,11 @@ object Dedup {
       val nbrMin = edges
         .join(lab.select(col("id").as("v"), col("comp").as("vc")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vc")).as("nmin"))
-      val prop = pin(lab.join(nbrMin, Seq("id"), "left")
+      val prop = truncate(lab.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       // pointer jump: comp values are always ids of clustered docs (mins of
       // ids), so the rep lookup is an inner self-join that always matches
-      val next = pin(prop
+      val next = truncate(prop
         .join(prop.select(col("id").as("comp"), col("comp").as("jc")), "comp")
         .select(col("id"), col("jc").as("comp")))
       val changed = next.join(lab.withColumnRenamed("comp", "oc"), "id")

@@ -237,10 +237,9 @@ object Similarity {
       threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes, dims).as("bucket"))
-      // both sides of the bucket self-join; see [[Dedup.pin]] for the
-      // localCheckpoint-vs-cache tradeoff (eager, no recompute on executor
-      // loss, but GC-cleaned instead of CacheManager-pinned)
-      .localCheckpoint()
+      // pinned for both sides of the bucket self-join; see [[Dedup.pin]]
+      // for the lifecycle (lazy cache, harness-cleared between queries)
+      .transform(Dedup.pin)
     val l = b.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))
     l.join(r, Seq("bucket")).filter(col("d1") < col("d2"))

@@ -293,6 +293,70 @@ object TextOps {
       .select(col("id"), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** Character-level Shannon entropy (bits/char) — the cheap gibberish /
+    * compression-ratio proxy every corpus quality gate runs: natural text
+    * sits ~4 bits, base64 blobs and key-mashing score high, repeated
+    * boilerplate scores low. Entirely in-row (distinct chars × text scan,
+    * O(|Σ|·|text|) with |Σ| bounded by the charset) so it rides the
+    * document scan with zero shuffle, like [[qualityScore]].
+    *
+    * Formula: H = (ln n − Σ c·ln c / n) / ln 2 over per-char counts c —
+    * one log per DISTINCT char rather than one per char, and the same
+    * expression the oracle evaluates. Empty/null-safe: 0.0. */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "", -1)
+    val n = length(text).cast("double")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    val sumClnC = aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
+    when(n > 0, round((log(n) - sumClnC / n) / math.log(2.0), 6)).otherwise(0.0)
+  }
+
+  /** BM25 (Okapi) scores against a FIXED term set — the ranked-retrieval
+    * upgrade of [[tfIdfTop]] and the relevance filter of a targeted-corpus
+    * pipeline ("score every page against these probe queries").
+    *
+    * Scale shape: with the term set fixed and small, tf per term is an
+    * in-row token-equality count on the scan — NO explode, no (doc, term)
+    * shuffle at all (contrast [[tfIdfTop]]). The corpus statistics
+    * (N, avgdl, per-term df) reduce to ONE 1-row aggregate that joins back
+    * as a broadcast, so the whole query is: scan → 1-row agg → broadcast
+    * join → scan-local arithmetic → bounded-heap top-k.
+    *
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the non-negative Lucene
+    * form); tf component = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "fixed small probe-term set")
+    def tfOf(t: String) =
+      size(filter(spaceTokens(col(textCol)), x => x === t)).cast("double")
+    val base = docs.select(
+      col(idCol).as("id") +: tokenCount(col(textCol)).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf$i") }: _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +: terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")): _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("score", round(terms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        val tf = col(s"tf$i")
+        idf * (tf * (k1 + 1)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      }.reduce(_ + _), 6))
+      .filter(col("score") > 0)
+    // global top-k as TakeOrderedAndProject (bounded heap per partition,
+    // k rows to one task) — a rank-filtered global window would instead
+    // funnel the WHOLE scored corpus through one partition. The rank is
+    // attached after the limit, over k rows only.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("id"), col("score"), col("rank"))
+  }
+
   /** Greedy token-budget shard packing (sequence packing's outer loop):
     * assign each document to a shard so shards hold ~`targetTokens`
     * tokens, preserving id order within a packing group.

@@ -12,7 +12,7 @@ import graft.{QDef, Tables}
   */
 object SqlSurface {
 
-  private def viewed(s: org.apache.spark.sql.SparkSession, d: String,
+  private[queries] def viewed(s: org.apache.spark.sql.SparkSession, d: String,
       names: String*): Unit = {
     val t = Tables(s, d)
     names.foreach {
@@ -22,6 +22,9 @@ object SqlSurface {
       case n @ "region" => t.region.createOrReplaceTempView(n)
       case n @ "customer" => t.customer.createOrReplaceTempView(n)
       case n @ "documents" => t.documents.createOrReplaceTempView(n)
+      case n @ "orders" => t.orders.createOrReplaceTempView(n)
+      case n @ "part" => t.part.createOrReplaceTempView(n)
+      case n @ "events" => t.events.createOrReplaceTempView(n)
       case n => throw new IllegalArgumentException(s"no such view: $n")
     }
   }
