@@ -18,7 +18,7 @@ object Bench {
     val subset = args.toSet // optional query-name filter for local iteration
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.isEmpty || subset(name) }
-      .map { case (name, fn) =>
+      .zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       // failed queries record -1 (and land in "failed") so a broken query
       // can never silently contribute a plausible-looking time to the total
@@ -28,9 +28,13 @@ object Bench {
           System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val dt = name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       // outside the timed span: release frames the query pinned with
-      // cache() (see Dedup.pin) so pinned blocks never accumulate across
-      // the run or bleed one query's memory pressure into the next
+      // cache() (see Dedup.pin), and periodically nudge GC so the
+      // ContextCleaner reclaims finished queries' shuffle files and
+      // broadcasts (driver refs only drop at GC; the report must not be
+      // skewed by which query happened to run after 200 others —
+      // measured: x_zorder_scan 5.5 s isolated vs 13.9 s at the tail)
       spark.catalog.clearCache()
+      if (i % 32 == 31) System.gc()
       dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
