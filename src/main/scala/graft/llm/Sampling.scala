@@ -139,4 +139,31 @@ object Sampling {
       .filter(col("n.anchor_id") =!= col("a.anchor_id")) // tiny buckets only
       .select(col("a.anchor_id"), col("a.slot"), col("n.anchor_id").as("neg_id"))
   }
+
+  /** K-FOLD assignment for cross-validation: `fold = hash(id) mod k` —
+    * the same scan-local, join-free, growth-stable contract as
+    * [[assignSplit]] (a doc's fold depends only on its id, so folds are
+    * reproducible across runs, clusters, and corpus revisions; every doc
+    * lands in exactly one fold). Train set for fold f = `fold =!= f`. */
+  def kFold(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.withColumn("fold", pmod(hashBucket(col(idCol)), lit(k.toLong)).cast("int"))
+
+  /** CLASS-BALANCED oversampling: replicate every row of label L
+    * `ceil(maxClassCount / count(L))` times so each class's total reaches
+    * at least the majority class's (within one multiple — integer-ratio
+    * oversampling, the deterministic form; fractional top-up would need a
+    * per-row coin). Shape at scale: one small label-counts aggregate
+    * broadcast back onto the scan, then `explode(sequence(...))` amplifies
+    * rows MAP-SIDE — the corpus is never shuffled, and the output lands
+    * already interleaved across partitions for downstream shuffles to mix.
+    * Output: input columns + `copy` ∈ [1, n_copies]. */
+  def balanceClasses(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__cnt"))
+    val target = counts.agg(max(col("__cnt")).as("__max"))
+    df.join(broadcast(counts), labelCol)
+      .crossJoin(broadcast(target))
+      .withColumn("copy",
+        explode(sequence(lit(1L), ceil(col("__max") / col("__cnt")).cast("bigint"))))
+      .drop("__cnt", "__max")
+  }
 }

@@ -238,6 +238,77 @@ object R5Ops {
         FROM orders o WHERE o_totalprice > 400000""")
     },
 
+    // K-fold assignment (cross-validation): fold = hash(id) mod k — the
+    // scan-local, join-free split contract of x_split_assign extended to
+    // folds; reproducible across runs/clusters/corpus growth.
+    QDef("x_split_kfold",
+      s"""SELECT CAST(${graft.llm.Sampling.hashBucketSql("doc_id")} % 5 AS INT) AS fold,
+         |  count(*) AS n FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.llm.Sampling.kFold(Tables(s, d).documents, "doc_id", 5)
+        .groupBy("fold").agg(count(lit(1)).as("n"))
+    },
+
+    // Class-balanced oversampling: minority labels replicated to the
+    // majority count (integer-ratio). One broadcast counts frame, map-side
+    // explode — the corpus never shuffles.
+    QDef("x_sample_balance",
+      """WITH c AS (SELECT label, count(*) AS n_before FROM embeddings GROUP BY 1),
+        |m AS (SELECT max(n_before) AS mx FROM c)
+        |SELECT label, n_before,
+        |  CAST(ceil(mx / n_before) AS BIGINT) AS n_copies,
+        |  n_before * CAST(ceil(mx / n_before) AS BIGINT) AS n_after
+        |FROM c, m""".stripMargin) { (s, d) =>
+      graft.llm.Sampling.balanceClasses(Tables(s, d).embeddings, "label")
+        .groupBy("label")
+        .agg(countDistinct(col("vec_id")).as("n_before"),
+          max(col("copy")).as("n_copies"),
+          count(lit(1)).as("n_after"))
+    },
+
+    // Winsorization: clamp a measure at per-group exact p01/p99 — the
+    // outlier-robust normalization a feature pipeline runs before training.
+    // Group stats are a broadcast frame glued onto the scan (same shape as
+    // x_normalize); percentiles rounded BEFORE clamping so the boundary
+    // comparisons are engine-stable.
+    QDef("x_winsorize",
+      """WITH st AS (
+        |  SELECT o_orderpriority,
+        |    round(quantile_cont(o_totalprice, 0.01), 6) AS p01,
+        |    round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, st.p01, st.p99,
+        |  round(avg(least(greatest(o.o_totalprice, st.p01), st.p99)), 4)
+        |    AS avg_winsorized,
+        |  CAST(sum(CASE WHEN o.o_totalprice < st.p01
+        |    OR o.o_totalprice > st.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        |FROM orders o JOIN st USING (o_orderpriority)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val o = Tables(s, d).orders
+      val st = o.groupBy("o_orderpriority").agg(
+        round(expr("percentile(o_totalprice, 0.01)"), 6).as("p01"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"))
+      o.join(broadcast(st), "o_orderpriority")
+        .groupBy("o_orderpriority", "p01", "p99")
+        .agg(
+          round(avg(least(greatest(col("o_totalprice"), col("p01")), col("p99"))), 4)
+            .as("avg_winsorized"),
+          sum(when(col("o_totalprice") < col("p01")
+            || col("o_totalprice") > col("p99"), 1L).otherwise(0L)).as("n_clamped"))
+    },
+
+    // K-anonymity audit: quasi-identifier combos with fewer than k members
+    // flagged — the re-identification check an anonymized release runs.
+    // One partial/final aggregate; the flag is derived arithmetic.
+    QDef("x_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  count(*) < 10 AS risky
+        |FROM customer GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables(s, d).customer
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("risky", col("group_size") < 10)
+    },
+
     // Geometric mean per event type through the PUBLIC typed-Aggregator
     // extension point (Aggregator + functions.udaf) — log-space buffer, so
     // partial aggregation is a plain commutative merge.

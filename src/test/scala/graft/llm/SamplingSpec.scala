@@ -102,4 +102,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("k-fold: exact partition of the corpus, near-uniform, repartition-invariant") {
+    val out = Sampling.kFold(docs(5000), "doc_id", 5)
+      .groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(0, 1, 2, 3, 4)) // every fold populated
+    assert(out.values.sum === 5000L)           // exact partition: no doc lost/duplicated
+    assert(out.values.forall(n => math.abs(n - 1000L) < 100), out.toString)
+    val again = Sampling.kFold(docs(5000).repartition(7), "doc_id", 5)
+      .groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again === out)
+  }
+
+  test("class balancing: every class reaches >= majority count, majority untouched") {
+    import spark.implicits._
+    // labels with counts 100 / 30 / 7
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 130).map(i => (i.toLong, "b")) ++
+      (131 to 137).map(i => (i.toLong, "c"))).toDF("id", "label")
+    val out = Sampling.balanceClasses(df, "label")
+      .groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 100L)          // ceil(100/100)=1: majority untouched
+    assert(out("b") === 120L)          // ceil(100/30)=4 copies of 30
+    assert(out("c") === 105L)          // ceil(100/7)=15 copies of 7
+    assert(out.values.forall(_ >= 100L))
+    // copy index is dense 1..n_copies per row
+    val copies = Sampling.balanceClasses(df, "label")
+      .filter(col("label") === "c" && col("id") === 131L)
+      .select("copy").collect().map(_.getLong(0)).sorted
+    assert(copies.toSeq === (1L to 15L))
+  }
 }
