@@ -200,6 +200,26 @@ object R5Ops {
           grouping_id().cast("int").as("gid"))
     },
 
+    // GROUPING SETS through the SQL surface (parser → Expand), same
+    // oracle as the Dataset-API x_grouping_sets — both interfaces held to
+    // one ground truth.
+    QDef("x_sql_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (l_returnflag), ())""")
+    },
+
     // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): the NULL group
     // must MATCH its twin, not vanish — the semantics a plain `=` inner
     // join silently breaks. Null key synthesized with nullif (this corpus
