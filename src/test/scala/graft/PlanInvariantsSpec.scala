@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-level invariants enforced across EVERY registered query — the
+  * mechanized form of the PLANS_r0N.md audits. Catches the two plan
+  * shapes that silently kill a 100 TB run long before any bench notices:
+  *
+  *  - `CartesianProduct`: a non-broadcast cross join means BOTH sides were
+  *    too big to broadcast — O(|L|·|R|) over real data. (1-row stats glue
+  *    plans as BroadcastNestedLoopJoin and stays allowed.)
+  *  - `Exchange SinglePartition` under a corpus-scale operator: the whole
+  *    dataset funneling through one task. Global scalar aggregates plan a
+  *    partial/final pair whose final exchange carries one row per task —
+  *    that is fine and allowed; the invariant targets the operators whose
+  *    INPUT is corpus-sized (dedup, packing, text, sampling families,
+  *    where a careless global window/sort would hide).
+  *
+  * Plans are built at sf0.001 (construction only — side-effecting queries
+  * write their small fixtures, nothing large executes).
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // corpus-scale families: their full input must never cross one task.
+  // (Global 1-row aggregates still appear INSIDE some as broadcast stats;
+  // those exchanges carry partial rows, and the check below tolerates a
+  // SinglePartition exchange only when it feeds a 1-row aggregate —
+  // detected by the final HashAggregate/ObjectHashAggregate right above.)
+  private val corpusScale = Set(
+    "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_simhash",
+    "x_dedup_ngram_jaccard", "x_dedup_embedding", "x_text_langid",
+    "x_text_quality", "x_text_tokens", "x_text_fingerprint",
+    "x_text_entropy", "x_feature_hash", "x_pack_chunks", "x_pack_greedy",
+    "x_interleave", "x_mix_sources", "x_split_assign", "x_split_kfold",
+    "x_sample_stratified", "x_sample_weighted", "x_sample_balance",
+    "x_contamination", "x_ewma", "x_rolling_time", "x_normalize")
+
+  test("no CartesianProduct in any registered query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"CONSTRUCTION FAILED: ${e.getMessage}" }
+        if (plan.contains("CartesianProduct") || plan.contains("CONSTRUCTION FAILED"))
+          Some(name -> plan.linesIterator.take(3).mkString(" | "))
+        else None
+    }
+    assert(offenders.isEmpty, offenders.map(_._1).mkString(", "))
+  }
+
+  test("corpus-scale operators never funnel their input through one partition") {
+    val offenders = corpusScale.toSeq.sorted.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toVector
+      val bad = lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange SinglePartition") && {
+          // tolerated only as the final leg of a 1-row global aggregate:
+          // the operator directly consuming it must be an aggregate
+          val above = lines.take(i).reverse.find(_.trim.nonEmpty)
+          !above.exists(a => a.contains("HashAggregate") || a.contains("SortAggregate"))
+        }
+      }
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+}
