@@ -200,6 +200,28 @@ object R5Ops {
           grouping_id().cast("int").as("gid"))
     },
 
+    // PIVOT through the SQL surface (Spark's SQL PIVOT clause — parser →
+    // the same single-pass pivot aggregate as the Dataset API's
+    // x_pivot, which shares this oracle's shape).
+    QDef("x_sql_pivot",
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS click,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |    AS "view",
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS purchase
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql("""
+        SELECT user_id,
+          coalesce(click, 0L) AS click, coalesce(view, 0L) AS view,
+          coalesce(purchase, 0L) AS purchase
+        FROM (SELECT user_id, event_type FROM events)
+        PIVOT (count(1) FOR event_type IN ('click' click, 'view' view,
+          'purchase' purchase))""")
+    },
+
     // GROUPING SETS through the SQL surface (parser → Expand), same
     // oracle as the Dataset-API x_grouping_sets — both interfaces held to
     // one ground truth.

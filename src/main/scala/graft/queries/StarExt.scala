@@ -1093,6 +1093,23 @@ object StarExt {
       (s, d) => EventStreams.slidingAgg(Tables(s, d).events)
     },
 
+    // Batch twin of the CHAINED stateful pipeline (5-min per-user counts →
+    // hourly rollup in one query; Spark 4 multi-stateful-operator support,
+    // streaming parity in EventStreamsSpec). window_time = end − 1 µs, so
+    // the hour bucket is taken at the 5-min window's last covered instant.
+    QDef("x_stream_chained",
+      """WITH m AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, user_id,
+        |    count(*) AS c5
+        |  FROM events GROUP BY 1, 2)
+        |SELECT time_bucket(INTERVAL '1 hour',
+        |    b5 + INTERVAL '5 minutes' - INTERVAL '1 microsecond') AS hour_start,
+        |  count(*) AS n_user_windows,
+        |  CAST(sum(c5) AS BIGINT) AS total_events
+        |FROM m GROUP BY 1""".stripMargin) {
+      (s, d) => EventStreams.chainedWindowsAgg(Tables(s, d).events)
+    },
+
     // Batch twin of the stream-stream interval join (view→click
     // attribution, 2h bound). Same function body as the streaming form —
     // watermarks no-op in batch; the time bound is what makes streaming

@@ -43,6 +43,26 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** CHAINED stateful aggregations in ONE streaming query — Spark 4's
+    * multiple-stateful-operator support: 5-minute tumbling per-user counts
+    * re-aggregated into hourly rollups DOWNSTREAM IN THE SAME QUERY, event
+    * time propagated through `window_time` (the window's end − 1 µs, so a
+    * window ending exactly on the hour rolls into the hour it covers).
+    * Before Spark 3.4 this took two queries with an intermediate sink and
+    * two sets of exactly-once bookkeeping; chained, one watermark bounds
+    * BOTH operators' state and the rollup inherits end-to-end exactly-once.
+    * State: O(active 5-min windows · users) + O(active hours) — both
+    * watermark-evicted. */
+  def chainedWindowsAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("c5"))
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(count(lit(1)).as("n_user_windows"), sum(col("c5")).as("total_events"))
+      .select(col("window.start").as("hour_start"),
+        col("n_user_windows"), col("total_events"))
+
   /** Sliding windows (width/slide) — each event lands in width/slide windows. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

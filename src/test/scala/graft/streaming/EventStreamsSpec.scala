@@ -583,6 +583,37 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("chained stateful windows: 5-min per-user counts rolled to hourly in ONE query, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EventRow(1L, ts("2024-01-01 10:01:00"), 100L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:02:00"), 100L, "click", 2.0),
+      EventRow(3L, ts("2024-01-01 10:07:00"), 100L, "view", 3.0),
+      EventRow(4L, ts("2024-01-01 10:03:00"), 101L, "click", 4.0),
+      EventRow(5L, ts("2024-01-01 10:58:00"), 101L, "view", 5.0))
+    val stream = MemoryStream[EventRow]
+    // chained stateful operators demand APPEND mode — the inner windows
+    // hand finalized rows to the outer aggregate as the watermark passes
+    val q = EventStreams.chainedWindowsAgg(stream.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("chained_test")
+      .outputMode("append").start()
+    stream.addData(data: _*); q.processAllAvailable()
+    // sentinel far past hour 10 pushes the watermark over BOTH operators'
+    // deadlines: the 5-min windows finalize, then the hour containing them
+    stream.addData(EventRow(9L, ts("2024-01-01 14:00:00"), 999L, "click", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("chained_test").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    val batch = EventStreams.chainedWindowsAgg(data.toDF()).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    // hour 10: 5-min windows (10:00,u100)=2, (10:05,u100)=1, (10:00,u101)=1,
+    // (10:55,u101)=1 → 4 user-windows, 5 events
+    assert(streamed(ts("2024-01-01 10:00:00")) === ((4L, 5L)))
+  }
+
   test("transformWithState sessionizer: event-time timers close sessions, batch parity") {
     import spark.implicits._
     implicit val s = spark
