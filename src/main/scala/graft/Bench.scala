@@ -27,12 +27,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val dt = name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      // outside the timed span: release frames the query pinned with
-      // cache() (see Dedup.pin), and periodically nudge GC so the
-      // ContextCleaner reclaims finished queries' shuffle files and
-      // broadcasts (driver refs only drop at GC; the report must not be
-      // skewed by which query happened to run after 200 others —
-      // measured: x_zorder_scan 5.5 s isolated vs 13.9 s at the tail)
+      // outside the timed span. clearCache releases CacheManager entries
+      // (the flights queries' cache()d CSV preprocessing); localCheckpoint
+      // blocks (Dedup.pin/truncate) are RDD-level and invisible to it —
+      // THOSE are reclaimed by the GC nudge below, which lets the
+      // ContextCleaner drop checkpoint blocks, shuffle files, and
+      // broadcasts of finished queries (driver refs only die at GC; the
+      // report must not be skewed by which query happened to run after
+      // 200 others — measured: x_zorder_scan 5.5 s isolated vs 13.9 s at
+      // the tail)
       spark.catalog.clearCache()
       if (i % 32 == 31) System.gc()
       dt

@@ -18,8 +18,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release frames the query pinned with cache() (see Dedup.pin):
-      // the harness owns the post-consumption lifecycle
+      // release CacheManager entries between queries (cache()d frames such
+      // as the flights CSV preprocessing); checkpoint blocks are RDD-level
+      // and GC-reclaimed instead (see Dedup.pin and Bench's GC cadence)
       finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

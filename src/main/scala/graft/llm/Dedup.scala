@@ -22,11 +22,13 @@ object Dedup {
     *    recompute rather than block (1.6× on x_dedup_ngram_jaccard at
     *    bench scale). A lazy checkpoint instead collapses both branches
     *    onto ONE marked RDD, so the DAG computes each partition once.
-    *  - EAGER `localCheckpoint()` runs Spark jobs at CONSTRUCTION time —
-    *    merely building the DataFrame executes the pipeline even if the
-    *    result is never consumed, which breaks lazy composition for
-    *    library callers. The lazy flag defers materialization to the
-    *    first action, where it belongs.
+    *  - EAGER `localCheckpoint()` runs the WHOLE pipeline's Spark jobs at
+    *    CONSTRUCTION time, even if the result is never consumed. The lazy
+    *    flag defers the persist to first use — though under AQE, building
+    *    the checkpoint RDD still materializes any shuffle stages BELOW the
+    *    pin at construction (AdaptiveSparkPlanExec.execute resolves its
+    *    stages); for the narrow scan+project frames pinned here the
+    *    deferral is real, for shuffle-bearing frames it is partial.
     *
     * Deliberate, documented cost of any localCheckpoint: lineage is
     * truncated, so after an executor loss the blocks have NO recompute
@@ -204,15 +206,15 @@ object Dedup {
     * loop shape as the PageRank iteration in graph.GraphMetrics). Each
     * round's label frame is TRUNCATED ([[truncate]]) so iteration N+1 both
     * reads materialized blocks and plans against a leaf — the self-join
-    * would otherwise double the logical plan every round. Superseded
-    * rounds' blocks are GC-cleaned; the shared edge list is pinned with
-    * lazy [[pin]] and released by the harness. */
+    * would otherwise double the logical plan every round. The shared edge
+    * list is truncated the same way (eager — every round reads it, and the
+    * loop's first count consumes it immediately anyway); superseded
+    * rounds' blocks are GC-reclaimed. */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // symmetrize in ONE pass over `pairs` (explode of the 2-element array)
     // rather than union(pairs, pairs.swapped): the union form walks the
-    // pair-generation lineage twice in the same job, which both doubles
-    // the work and races any lazily-pinned upstream frame into
-    // double-computation (see [[pin]])
+    // pair-generation lineage TWICE in the same job (measured 2× on
+    // x_pipeline_dedup's band-join upstream)
     val edges = truncate(pairs
       .select(explode(array(
         struct(col("d1").as("u"), col("d2").as("v")),

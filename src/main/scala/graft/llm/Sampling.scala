@@ -158,12 +158,15 @@ object Sampling {
     * already interleaved across partitions for downstream shuffles to mix.
     * Output: input columns + `copy` ∈ [1, n_copies]. */
   def balanceClasses(df: DataFrame, labelCol: String): DataFrame = {
-    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__cnt"))
+    // null-safe join: a NULL label is a class like any other — a plain
+    // equi-join would silently DROP every null-labeled row (NULL != NULL)
+    val counts = df.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__cnt"))
     val target = counts.agg(max(col("__cnt")).as("__max"))
-    df.join(broadcast(counts), labelCol)
+    df.join(broadcast(counts), col(labelCol) <=> col("__lbl"))
       .crossJoin(broadcast(target))
       .withColumn("copy",
         explode(sequence(lit(1L), ceil(col("__max") / col("__cnt")).cast("bigint"))))
-      .drop("__cnt", "__max")
+      .drop("__lbl", "__cnt", "__max")
   }
 }

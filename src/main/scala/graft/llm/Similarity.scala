@@ -238,7 +238,7 @@ object Similarity {
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes, dims).as("bucket"))
       // pinned for both sides of the bucket self-join; see [[Dedup.pin]]
-      // for the lifecycle (lazy cache, harness-cleared between queries)
+      // for the lifecycle (lazy checkpoint, blocks GC-reclaimed)
       .transform(Dedup.pin)
     val l = b.select(col("bucket"), col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = b.select(col("bucket"), col("vec_id").as("d2"), col("embedding").as("e2"))

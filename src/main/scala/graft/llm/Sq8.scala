@@ -26,10 +26,13 @@ object Sq8 {
       min(array_min(col(embCol).cast("array<double>"))).as("qmin"),
       max(array_max(col(embCol).cast("array<double>"))).as("qmax"))
 
-  /** 0..255 code per element: round((x − qmin)/(qmax − qmin) · 255). */
+  /** 0..255 code per element: round((x − qmin)/(qmax − qmin) · 255).
+    * A constant corpus (qmax == qmin) degenerates to code 0 everywhere
+    * (every value IS qmin) instead of 0/0 = NaN → NULL codes. */
   def sqEncode(emb: Column, qmin: Column, qmax: Column): Column =
     transform(emb.cast("array<double>"),
-      x => round((x - qmin) / (qmax - qmin) * 255).cast("bigint"))
+      x => when(qmax === qmin, 0L)
+        .otherwise(round((x - qmin) / (qmax - qmin) * 255).cast("bigint")))
 
   /** Reconstructed (dequantized) vector: qmin + code · step. */
   def sqRecon(emb: Column, qmin: Column, qmax: Column): Column = {

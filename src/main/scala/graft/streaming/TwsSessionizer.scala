@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 import java.sql.Timestamp
 
@@ -14,68 +14,83 @@ final case class TwsSession(user_id: Long, session_start: Timestamp,
     session_end: Timestamp, n_events: Long, total_value: Double)
 
 /** Event-time sessionization on `transformWithState` — the full surface of
-  * the Spark 4 arbitrary-state API: a typed [[ValueState]] for the open
-  * session, an EVENT-TIME TIMER armed at `session_end + gap` as the
-  * close-out deadline, emission from [[handleExpiredTimer]] when the
-  * watermark crosses it. Contrast with the `mapGroupsWithState`
-  * sessionizer ([[EventStreams.sessionize]]), which needs processing-time
-  * timeouts (wall-clock, replay-unstable) or never closes sessions at all;
-  * the timer version closes them by DATA time, so a replay of the same
-  * stream emits the same sessions.
+  * the Spark 4 arbitrary-state API: a [[ListState]] of OPEN sessions, an
+  * EVENT-TIME TIMER at the earliest close-out deadline, emission ONLY from
+  * [[handleExpiredTimer]] when the watermark passes `session_end + gap`.
   *
-  * In-batch splitting matches the batch twin exactly: events are walked in
-  * (ts, event_id) order and a gap strictly greater than `gapMs` closes the
-  * current session inline (emitted immediately — its deadline has, by the
-  * presence of the later event, already passed).
+  * OUT-OF-ORDER CORRECTNESS: incoming events are merged into the open-
+  * session list by INTERVAL OVERLAP (an event within `gap` of a session on
+  * EITHER side joins it, possibly bridging two sessions into one), so
+  * arrival order — within and across micro-batches — cannot change the
+  * result: any permutation of the same events yields the same merged
+  * intervals. Events older than the watermark never reach us (Spark drops
+  * them); everything younger is still mergeable, which is exactly why a
+  * session may only be emitted once the watermark passes its deadline —
+  * an inline "a later event proves the gap" emission would be wrong the
+  * moment an out-of-order event inside the gap arrived in a later batch.
   *
-  * State per user: ONE open session + ONE armed timer, O(active users)
-  * total, off-heap in RocksDB.
+  * State per user: the unsealed sessions only — the watermark seals (and
+  * [[handleExpiredTimer]] evicts) anything older, so state is bounded by
+  * sessions active within one watermark delay, not by stream history.
+  * Contrast with the `mapGroupsWithState` sessionizer
+  * ([[EventStreams.sessionize]]), which needs wall-clock timeouts and is
+  * replay-unstable; this closes sessions by DATA time.
   */
 class TwsSessionizer(gapMs: Long) extends StatefulProcessor[Long, EventRow, TwsSession] {
 
-  @transient private var sess: ValueState[TwsSession] = _
+  @transient private var sess: ListState[TwsSession] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    sess = getHandle.getValueState[TwsSession]("sess",
+    sess = getHandle.getListState[TwsSession]("sess",
       Encoders.product[TwsSession], TTLConfig.NONE)
 
   private def closed(s: TwsSession): TwsSession =
     s.copy(total_value = BigDecimal(s.total_value)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** Merge intervals (with `gapMs` slack) after adding the new event —
+    * O(n log n) in the number of UNSEALED sessions, which the watermark
+    * keeps small. */
+  private def merged(sessions: Seq[TwsSession]): Seq[TwsSession] =
+    sessions.sortBy(s => (s.session_start.getTime, s.session_end.getTime))
+      .foldLeft(Vector.empty[TwsSession]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.session_start.getTime <= p.session_end.getTime + gapMs =>
+            acc.init :+ p.copy(
+              session_end = if (s.session_end.after(p.session_end)) s.session_end
+                else p.session_end,
+              n_events = p.n_events + s.n_events,
+              total_value = p.total_value + s.total_value)
+          case _ => acc :+ s
+        }
+      }
+
+  private def rearm(sessions: Seq[TwsSession]): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    if (sessions.nonEmpty)
+      getHandle.registerTimer(sessions.map(_.session_end.getTime).min + gapMs)
+  }
+
   override def handleInputRows(user: Long, rows: Iterator[EventRow],
       timerValues: TimerValues): Iterator[TwsSession] = {
-    val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    var cur = if (sess.exists()) Option(sess.get()) else None
-    val out = Seq.newBuilder[TwsSession]
-    batch.foreach { e =>
-      cur match {
-        case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
-          cur = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1,
-            total_value = s.total_value + e.value))
-        case Some(s) => // gap exceeded inside the batch: close inline
-          out += closed(s)
-          cur = Some(TwsSession(user, e.ts, e.ts, 1L, e.value))
-        case None =>
-          cur = Some(TwsSession(user, e.ts, e.ts, 1L, e.value))
-      }
-    }
-    cur.foreach { s =>
-      sess.update(s)
-      // one live timer per key: re-arm the deadline at the new session end
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer(s.session_end.getTime + gapMs)
-    }
-    out.result().iterator
+    val singletons = rows.map(e =>
+      TwsSession(user, e.ts, e.ts, 1L, e.value)).toSeq
+    val all = merged(sess.get().toSeq ++ singletons)
+    sess.put(all.toArray)
+    rearm(all)
+    Iterator.empty // emission happens ONLY when the watermark seals a session
   }
 
   override def handleExpiredTimer(user: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsSession] = {
-    // the watermark passed session_end + gap: no on-time event can extend
-    // this session any more — emit and drop the state
-    val out = closed(sess.get())
-    sess.clear()
-    Iterator.single(out)
+    // seal every session the watermark has passed (end + gap <= watermark):
+    // no on-time event can extend it any more
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val (matured, open) = sess.get().toSeq
+      .partition(s => s.session_end.getTime + gapMs <= wm)
+    if (open.isEmpty) sess.clear() else sess.put(open.toArray)
+    rearm(open)
+    matured.sortBy(_.session_start.getTime).map(closed(_)).iterator
   }
 }
 

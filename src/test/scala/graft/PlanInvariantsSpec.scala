@@ -58,6 +58,7 @@ class PlanInvariantsSpec extends SparkSpec {
           // tolerated only as the final leg of a 1-row global aggregate:
           // the operator directly consuming it must be an aggregate
           val above = lines.take(i).reverse.find(_.trim.nonEmpty)
+          // HashAggregate also matches ObjectHashAggregate (substring)
           !above.exists(a => a.contains("HashAggregate") || a.contains("SortAggregate"))
         }
       }

@@ -634,8 +634,9 @@ class EventStreamsSpec extends SparkSpec {
         .outputMode("append").start()
       // batch 1: two events 10 min apart — one open session
       stream.addData(u100.take(2): _*); q.processAllAvailable()
-      // batch 2: 80-min gap — session 1 must close INLINE (the watermark
-      // hasn't reached its deadline yet, but the later event proves it)
+      // batch 2: 80-min gap — the new event opens session 2; the advancing
+      // watermark (0s delay → 11:30) passes session 1's 10:40 deadline, so
+      // its TIMER seals and emits it this batch
       stream.addData(u100(2)); q.processAllAvailable()
       // batch 3: sentinel user far in the future pushes the watermark past
       // session 2's gap deadline — its TIMER fires and emits it
@@ -651,6 +652,52 @@ class EventStreamsSpec extends SparkSpec {
         .toSet
       assert(streamed === batch)
       assert(streamed.size === 2) // both u100 sessions closed; sentinel's open
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState sessionizer: out-of-order cross-batch event merges by interval") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Seq(
+        EventRow(1L, ts("2024-01-01 10:00:00"), 200L, "click", 1.0),
+        EventRow(2L, ts("2024-01-01 11:00:00"), 200L, "click", 2.0),
+        EventRow(3L, ts("2024-01-01 10:20:00"), 200L, "view", 3.0)) // out of order
+      val stream = MemoryStream[EventRow]
+      // 2h watermark delay keeps the 10:20 straggler on-time in batch 2
+      val q = TwsSessionizer.sessionStream(
+          stream.toDS().withWatermark("ts", "2 hours").as[EventRow])
+        .writeStream.format("memory").queryName("tws_ooo_test")
+        .outputMode("append").start()
+      stream.addData(evs.take(2): _*); q.processAllAvailable()
+      // straggler at 10:20 arrives AFTER 11:00 — must merge into the
+      // 10:00 session (within gap on its right side), not corrupt the
+      // open 11:00 session; no session may be emitted before its seal
+      stream.addData(evs(2)); q.processAllAvailable()
+      stream.addData(EventRow(9L, ts("2024-01-01 23:50:00"), 999L, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tws_ooo_test").as[TwsSession].collect()
+        .filter(_.user_id == 200L)
+        .map(t => (t.session_start, t.session_end, t.n_events, t.total_value)).toSet
+      q.stop()
+      val batch = EventStreams.sessionizeBatch(evs.toDF(), gapMinutes = 30)
+        .collect()
+        .map(r => (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 2L, 4.0),
+        (ts("2024-01-01 11:00:00"), ts("2024-01-01 11:00:00"), 1L, 2.0)))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
