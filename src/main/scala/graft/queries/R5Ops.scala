@@ -222,6 +222,31 @@ object R5Ops {
           'purchase' purchase))""")
     },
 
+    // UNPIVOT through the SQL surface (Spark's SQL UNPIVOT clause — the
+    // Dataset-API twin is c14_unpivot's melt; same Expand-based plan).
+    QDef("x_sql_unpivot",
+      """WITH a AS (
+        |  SELECT n.n_name, avg(l.l_quantity) AS avg_qty,
+        |    round(avg(l.l_extendedprice), 4) AS avg_price
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, 'avg_qty' AS metric, avg_qty AS value FROM a
+        |UNION ALL
+        |SELECT n_name, 'avg_price' AS metric, avg_price AS value FROM a""".stripMargin) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem", "supplier", "nation")
+      s.sql("""
+        SELECT n_name, metric, value FROM (
+          SELECT n.n_name, avg(l.l_quantity) AS avg_qty,
+            round(avg(l.l_extendedprice), 4) AS avg_price
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name)
+        UNPIVOT (value FOR metric IN (avg_qty, avg_price))""")
+    },
+
     // GROUPING SETS through the SQL surface (parser → Expand), same
     // oracle as the Dataset-API x_grouping_sets — both interfaces held to
     // one ground truth.
