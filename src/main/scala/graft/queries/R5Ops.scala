@@ -222,6 +222,25 @@ object R5Ops {
           'purchase' purchase))""")
     },
 
+    // LATERAL correlated subquery (SQL surface): top-2 customers per
+    // nation through a per-row subquery with ORDER BY + LIMIT — Catalyst
+    // DECORRELATES it into a ranked window join (never per-row
+    // re-execution, same as x_sql_correlated's scalar form).
+    QDef("x_sql_lateral",
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin) { (s, d) =>
+      SqlSurface.viewed(s, d, "nation", "customer")
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c""")
+    },
+
     // UNPIVOT through the SQL surface (Spark's SQL UNPIVOT clause — the
     // Dataset-API twin is c14_unpivot's melt; same Expand-based plan).
     QDef("x_sql_unpivot",
