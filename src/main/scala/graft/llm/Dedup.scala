@@ -412,10 +412,9 @@ object Dedup {
     *  1. every start position's `minLen`-window (in-row `transform` over
     *     `sequence` — the array feeds the HOF once; O(chars·minLen) work,
     *     no shuffle);
-    *  2. windows seen in >1 distinct doc (one hash-aggregate; the window
-    *     string itself is the key, so membership is EXACT — at extreme
-    *     scale you'd key on xxhash64(win) and accept 2^-64 collisions,
-    *     halving shuffle bytes);
+    *  2. windows seen in >1 distinct doc (one hash-aggregate keyed on
+    *     xxhash64 of the window — 8 bytes/key instead of minLen chars,
+    *     accepting 2^-64 collision odds to cut shuffle bytes);
     *  3. mark those positions, merge consecutive runs per doc
     *     (gaps-and-islands over a per-doc window — the only per-doc
     *     state is a row_number).
@@ -427,24 +426,32 @@ object Dedup {
   def substringSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     val docsWide = spread(docs.filter(length(col(textCol)) >= minLen))
+    // Windows are keyed by xxhash64 from the start: 8 bytes per key instead
+    // of minLen chars, so the duplicate-window aggregate and the mark join
+    // shuffle a fixed-width integer regardless of minLen (2^-64 collision
+    // odds — a colliding window is marked duplicated, never dropped text
+    // corrupted, since spans only gate removal downstream).
     def wins = docsWide
       .select(col(idCol).as("id"),
         posexplode(expr(
           s"transform(sequence(0, length($textCol) - $minLen), " +
-            s"i -> substring($textCol, i + 1, $minLen))")))
-      .toDF("id", "pos", "win")
+            s"i -> xxhash64(substring($textCol, i + 1, $minLen)))")))
+      .toDF("id", "pos", "wkey")
     // "seen in >1 doc" is min(id) ≠ max(id) — two cheap partial aggregates
     // with full map-side combine, NOT countDistinct (whose distinct
-    // pre-shuffle doubles the exchange). dupWins is the CROSS-DOC
-    // boilerplate vocabulary — orders of magnitude smaller than the window
-    // universe — so it broadcasts and the big windows frame never
-    // shuffles for the mark join (recomputing wins on the probe side is
-    // two codegen'd scans, cheaper than checkpointing 10M-row windows).
-    val dupWins = wins.groupBy("win")
+    // pre-shuffle doubles the exchange). dupWins is NOT force-broadcast:
+    // on boilerplate-heavy corpora (templated text, crawl headers) most
+    // windows are cross-doc shared, so dupWins approaches the window
+    // universe and a broadcast build is a driver OOM at scale. AQE picks
+    // broadcast when dupWins is genuinely small (this corpus: 4.5% of
+    // distinct windows at sf0.01 AND sf0.1 — ratio scale-stable) and a
+    // shuffled hash join when it isn't — see SCALE.md "substring-dedup
+    // dupWins sizing" for the measurements behind dropping the hint.
+    val dupWins = wins.groupBy("wkey")
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
-      .select("win")
-    val marked = wins.join(broadcast(dupWins), "win").select("id", "pos")
+      .select("wkey")
+    val marked = wins.join(dupWins, "wkey").select("id", "pos")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     marked
@@ -453,5 +460,45 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + minLen).as("span_end"))
       .drop("grp")
+  }
+
+  /** APPLY substring dedup — the cut step of the suffix-array method
+    * ("Deduplicating Training Data Makes Language Models Better" removes
+    * the duplicated spans it finds; [[substringSpans]] only locates them).
+    * Stitches each document's non-duplicated segments back together.
+    *
+    * Spans are per-run maximal but MAY OVERLAP across runs: each run of
+    * marked positions extends `minLen` chars past its last start, so two
+    * runs separated by a small gap of unmarked positions produce character
+    * spans that overlap. The in-row stitcher therefore carries a running
+    * cursor (`greatest(cur, span_end)`) — interval union, not naive
+    * concatenation — and `substring` with a non-positive length yields ""
+    * for contained spans.
+    *
+    * Scale shape: one hash-aggregate packs spans to a per-doc sorted list
+    * (spans per doc are few — boilerplate runs, not the window universe),
+    * then ONE equi-join back to the corpus and a single in-row
+    * `aggregate` HOF does all stitching — no explode, no window function,
+    * no per-segment shuffle. Docs with no spans pass through unchanged via
+    * the left join. Returns (idCol, clean_text, removed_chars). */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spanList = spans.groupBy(col("id").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("int").as("s"),
+        col("span_end").cast("int").as("e")))).as("sp"))
+    docs.join(spanList, Seq(idCol), "left_outer")
+      .withColumn("clean_text", expr(
+        s"""aggregate(
+           |  coalesce(sp, CAST(array() AS array<struct<s:int,e:int>>)),
+           |  named_struct('cur', 0, 'acc', ''),
+           |  (st, x) -> named_struct(
+           |    'cur', greatest(st.cur, x.e),
+           |    'acc', concat(st.acc,
+           |      substring($textCol, st.cur + 1, x.s - st.cur))),
+           |  st -> concat(st.acc, substring($textCol, st.cur + 1)))""".stripMargin))
+      .select(col(idCol), col("clean_text"),
+        (length(col(textCol)) - length(col("clean_text")))
+          .cast("long").as("removed_chars"))
   }
 }

@@ -172,6 +172,82 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF-PQ: the standard FAISS index posture, composed from the two
+    * tiers this library already has — IVF prunes WHICH candidates are
+    * scanned (only the query's `nprobe` nearest cells), PQ shrinks WHAT is
+    * read per candidate (m code bytes + LUT adds instead of a full-vector
+    * distance). At 100 TB neither tier suffices alone: flat PQ still scans
+    * every code, IVF with exact distances still reads full vectors.
+    *
+    * Scale shape: ONE map-only pass computes each corpus vector's IVF cell
+    * AND its PQ codes (both the centroid array and the codebook are 1-row
+    * broadcast frames folded per row — the corpus never shuffles and is
+    * read exactly once); the query side is broadcast-sized (nprobe cell
+    * rows + one m×ksub LUT per query); the only exchange is the bounded-
+    * heap [[TopKByScore]] partial aggregate. A candidate appears at most
+    * once per query (it lives in exactly one cell), so no dedup step.
+    *
+    * Same determinism contract as the component tiers: rounded distances,
+    * ties on lower ids — the DuckDB oracle replays cell assignment, probe
+    * ranking, and the LUT sums exactly. Output matches [[pqSearchADC]]:
+    * `(qid, cid, adc, rank)`. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dims: Int, k: Int, nprobe: Int): DataFrame = {
+    val dsub = dims / m
+    val cents = Similarity.centroidArray(centroids)
+    val cbArr = codebookArray(codebook)
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(cbArr))
+      .select(col("cid"),
+        Similarity.nearest(col("ve")).getField("centroid_id").as("centroid_id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          s => nearestCode(col("ve"), s, dsub)).as("codes"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(cbArr))
+      .select(col("qid"),
+        explode(slice(array_sort(transform(col("cents"), cc =>
+          struct(round(GraftFunctions.l2Sq(col("qe"), cc.getField("ce")), 6).as("dist2"),
+            cc.getField("centroid_id").as("centroid_id")))), 1, nprobe))
+          .as("probe"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          map_from_entries(transform(
+            filter(col("cb"), cc => cc.getField("subspace") === s),
+            cc => struct(cc.getField("code"),
+              round(GraftFunctions.l2Sq(subvec(col("qe"), s, dsub),
+                cc.getField("ce")), 6))))).as("lut"))
+      .select(col("qid"), col("probe.centroid_id").as("centroid_id"), col("lut"))
+    c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (cd, mp) => element_at(mp, cd)),
+          lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+      .groupBy("qid")
+      .agg(TopKByScore.topKByScore(-col("adc"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        round(-col("col.score"), 6).as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Recall@k of IVF-PQ search against the exact-L2 ground truth — losses
+    * from BOTH tiers show up here (a neighbor outside the probed cells is
+    * unrecoverable; one inside can still be mis-ranked by quantization).
+    * Exact fractions, same contract as [[pqRecall]]/[[Similarity.ivfRecall]]. */
+  def ivfPqRecall(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dims: Int, k: Int, nprobe: Int): DataFrame = {
+    val truth = l2TopK(queries, corpus, k).select(col("qid"), col("cid"))
+    val approx = ivfPqTopK(queries, corpus, centroids, codebook, m, dims, k, nprobe)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    truth.join(approx, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Recall@k of ADC search against the exact-L2 ground truth — the
     * compression-loss number a PQ user asks for (the IVF analogue is
     * [[Similarity.ivfRecall]]). Exact fractions: hits INT / constant k. */

@@ -71,7 +71,7 @@ object Similarity {
     * `array<struct<centroid_id, ce>>` — broadcast to every task so
     * assignment is a per-row argmin, not a join. The centroid count is the
     * IVF fan-out (hundreds to thousands), always broadcastable. */
-  private def centroidArray(centroids: DataFrame): DataFrame =
+  private[llm] def centroidArray(centroids: DataFrame): DataFrame =
     centroids.agg(array_sort(collect_list(struct(
       col("vec_id").as("centroid_id"), col("embedding").as("ce")))).as("cents"))
 
@@ -81,7 +81,7 @@ object Similarity {
     * decimals for cross-engine determinism), then `array_min` under
     * lexicographic struct ordering — exactly
     * `ORDER BY dist2, centroid_id LIMIT 1`. */
-  private def nearest(e: Column): Column =
+  private[llm] def nearest(e: Column): Column =
     array_min(transform(col("cents"), c =>
       struct(round(graft.functions.GraftFunctions.l2Sq(e, c.getField("ce")), 6).as("dist2"),
         c.getField("centroid_id").as("centroid_id"))))

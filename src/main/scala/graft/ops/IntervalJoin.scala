@@ -32,9 +32,14 @@ object IntervalJoin {
       cellMicros: Long,
       extraPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     require(cellMicros > 0, s"cellMicros must be positive: $cellMicros")
-    // integer-exact cell indices: floor division on BIGINT micros (the
-    // double-division floor would be exact too below 2^53, but div keeps
-    // the arithmetic integral end to end)
+    // integer-exact cell indices via `div` — TRUNCATING division toward
+    // zero, not floor: for negative (pre-epoch) micros cell 0 is double-
+    // width and cells below zero shift by one. Candidate-generation
+    // correctness only needs the cell map to be monotonic non-decreasing
+    // (overlapping intervals always share ≥1 cell, and the exact overlap
+    // predicate below re-verifies every candidate pair), which truncation
+    // satisfies; only the replication-factor estimate in the Scaladoc is
+    // approximate around zero.
     def cells(df: DataFrame): DataFrame = df.withColumn("_cell",
       explode(sequence(expr(s"$startCol div $cellMicros"),
         expr(s"$endCol div $cellMicros"))))

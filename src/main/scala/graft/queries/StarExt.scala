@@ -31,6 +31,24 @@ object StarExt {
        | + ascii(substr($tok || '___', 3, 1)) AS BIGINT)
        | + CAST(length($tok) AS BIGINT)*16777216)""".stripMargin.replace("\n", "")
 
+  /** Substring-dedup spans (matches Dedup.substringSpans at minLen=40):
+    * position windows → cross-doc duplicated windows → gaps-and-islands
+    * run merge. Shared by x_dedup_substring (summary) and x_dedup_clean
+    * (the applied cut). Final CTE `sp` is (doc_id, s, e). */
+  private val SubstringSpanCte =
+    """pe AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, length(text) - 40)) AS pos
+      |  FROM documents WHERE length(text) >= 40),
+      |w AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS win FROM pe),
+      |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+      |m AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)),
+      |isl AS (SELECT doc_id, pos,
+      |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM m),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
+      |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   /** Word-trigram-hash shingle set (matches TextOps.wordTrigramHashes). */
   private[queries] val WordShCte =
     s"""wsh AS (
@@ -161,25 +179,49 @@ object StarExt {
     // it. Oracle replays windows → cross-doc windows → gaps-and-islands
     // run merge relationally.
     QDef("x_dedup_substring",
-      """WITH pe AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0, length(text) - 40)) AS pos
-        |  FROM documents WHERE length(text) >= 40),
-        |w AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS win FROM pe),
-        |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
-        |m AS (SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)),
-        |isl AS (SELECT doc_id, pos,
-        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM m),
-        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
-        |  FROM isl GROUP BY doc_id, grp)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
-        |  CAST(sum(e - s) AS BIGINT) AS dup_chars
-        |FROM sp GROUP BY 1""".stripMargin) { (s, d) =>
+      s"""WITH $SubstringSpanCte
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+         |  CAST(sum(e - s) AS BIGINT) AS dup_chars
+         |FROM sp GROUP BY 1""".stripMargin) { (s, d) =>
       Dedup.substringSpans(Tables(s, d).documents, "doc_id", "text", 40)
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("dup_spans"),
           sum(col("span_end") - col("span_start")).as("dup_chars"))
+    },
+
+    // Substring dedup APPLIED (Dedup.removeSpans): stitch each document's
+    // non-duplicated segments back together — the cut step of the
+    // suffix-array method. Spans may overlap across runs (each run extends
+    // minLen past its last start), so both engine and oracle do interval
+    // UNION: the engine with a running greatest(cur, e) cursor in one
+    // in-row aggregate HOF, the oracle with a running-max window
+    // (cur = max(e) over preceding spans) keeping only segments where
+    // s > cur, plus the tail after the global max(e).
+    QDef("x_dedup_clean",
+      s"""WITH $SubstringSpanCte,
+         |ord AS (
+         |  SELECT doc_id, s, e,
+         |    coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cur
+         |  FROM sp),
+         |segs AS (
+         |  SELECT doc_id, cur AS b, s AS t FROM ord WHERE s > cur
+         |  UNION ALL
+         |  SELECT doc_id, max(e) AS b, NULL AS t FROM sp GROUP BY doc_id),
+         |kept AS (
+         |  SELECT g.doc_id,
+         |    string_agg(substr(d.text, CAST(b + 1 AS INT),
+         |      CAST(coalesce(t, length(d.text)) - b AS INT)),
+         |      '' ORDER BY b) AS clean_text
+         |  FROM segs g JOIN documents d USING (doc_id)
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id, coalesce(k.clean_text, d.text) AS clean_text,
+         |  CAST(length(d.text) - length(coalesce(k.clean_text, d.text))
+         |    AS BIGINT) AS removed_chars
+         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d).documents
+      Dedup.removeSpans(docs,
+        Dedup.substringSpans(docs, "doc_id", "text", 40), "doc_id", "text")
     },
 
     // MinHash + LSH near-dup detection: shingle → 16 minhashes → 4 bands ×

@@ -112,15 +112,24 @@ object StarGraph {
     // frontier iteration in the engine (iterations = diameter, per-round
     // shuffle = frontier size) vs a bounded recursive CTE in the oracle
     // (UNION-distinct on (id, depth), min depth per vertex = BFS distance).
+    // The depth bound exists only to stop cycles from generating (id, d+1)
+    // rows forever; it is DERIVED as the vertex count (eccentricity is
+    // always < |V|) rather than a constant — the engine's bfsHops iterates
+    // until the frontier empties, so a constant the subgraph's diameter
+    // could outgrow at another scale factor would silently drop far
+    // vertices from the oracle only.
     // GraphX ShortestPaths agreement is property-tested in GraphMetricsSpec.
     QDef("x_graph_bfs",
       s"""WITH RECURSIVE ${SparseEdgesCte},
+         |nv AS (
+         |  SELECT count(*) AS n FROM (
+         |    SELECT src AS v FROM edges UNION SELECT dst FROM edges)),
          |walk(id, d) AS (
          |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
          |  UNION
          |  SELECT CAST(e.dst AS BIGINT), w.d + 1
          |  FROM walk w JOIN edges e ON e.src = w.id
-         |  WHERE w.d < 30)
+         |  WHERE w.d < (SELECT n FROM nv))
          |SELECT id, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY id""".stripMargin) {
       (s, d) =>
         GraphMetrics.bfsHops(

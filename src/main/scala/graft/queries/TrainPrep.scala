@@ -19,7 +19,11 @@ object TrainPrep {
   private val WindowSize = 128
 
   /** DuckDB oracle for concat-and-chunk packing — shared with the SQL-text
-    * twin `x_sql_pack_chunks` (SqlSurface). */
+    * twin `x_sql_pack_chunks` (SqlSurface). DuckDB `sum() OVER` returns
+    * HUGEINT (int128) where Spark writes BIGINT and the driver hash is
+    * dtype-sensitive, so `end_off` and every column derived from it are
+    * cast back — the same convention as the other cumsum oracles
+    * (x_pack_stats, x_rolling_time). */
   private[queries] val PackChunksOracle: String =
     s"""WITH d AS (
        |  SELECT source AS shard, doc_id,
@@ -27,12 +31,14 @@ object TrainPrep {
        |  FROM documents),
        |c AS (
        |  SELECT shard, doc_id, toks,
-       |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+       |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS end_off
        |  FROM d)
-       |SELECT shard, doc_id, toks, end_off - toks AS start_off,
-       |  (end_off - toks) // $WindowSize AS first_window,
-       |  (end_off - 1) // $WindowSize AS last_window,
+       |SELECT shard, doc_id, toks,
+       |  CAST(end_off - toks AS BIGINT) AS start_off,
+       |  CAST((end_off - toks) // $WindowSize AS BIGINT) AS first_window,
+       |  CAST((end_off - 1) // $WindowSize AS BIGINT) AS last_window,
        |  (end_off - 1) // $WindowSize > (end_off - toks) // $WindowSize
        |    AS spans_boundary
        |FROM c""".stripMargin

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
-import graft.llm.Pq
+import graft.llm.{Pq, Similarity}
 
 /** Product-quantization queries over the `embeddings` table — train m
   * per-subspace codebooks (deterministic k-means), encode the corpus as m
@@ -68,6 +68,37 @@ object VectorQuant {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS INT) AS rank
        |  FROM adc)""".stripMargin
   }
+
+  /** IVF tier for the IVF-PQ composition: trained coarse centroids
+    * (StarExt.kmeansCtes → c2), corpus cell assignment, the query's
+    * `IvfPqNprobe` nearest cells, and the candidate set — the rows whose
+    * ADC distances (from [[AdcCtes]]'s `adc`) IVF-PQ actually ranks. */
+  private val IvfPqNprobe = 2
+
+  private val IvfPqCtes =
+    s"""ivfd2 AS (
+       |  SELECT v.vec_id, c.cid AS centroid_id,
+       |    round(sum((v.e - c.c) * (v.e - c.c)), 6) AS dist2
+       |  FROM ee v JOIN c2 c ON c.j = v.j
+       |  GROUP BY 1, 2),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+       |    FROM ivfd2) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+       |    FROM ivfd2) WHERE rn <= $IvfPqNprobe AND vec_id < 10),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cid FROM probe p
+       |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.qid),
+       |ivfranked AS (
+       |  SELECT c.qid, c.cid, a.adc,
+       |    CAST(row_number() OVER (PARTITION BY c.qid ORDER BY a.adc, c.cid) AS INT)
+       |      AS rank
+       |  FROM cand c JOIN adc a ON a.qid = c.qid AND a.cid = c.cid)""".stripMargin
 
   val defs: Seq[QDef] = Seq(
 
@@ -155,6 +186,59 @@ object VectorQuant {
         val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
         Pq.pqRerank(emb.filter(col("vec_id") < 10), emb, cb, M, Dims,
           shortlist = 8, k = 3)
+    },
+
+    // IVF-PQ composition (the standard FAISS index posture): trained IVF
+    // centroids prune candidates to the query's 2 nearest cells, PQ codes +
+    // ADC rank what's left. One map-only corpus pass computes cell AND
+    // codes; the oracle replays the IVF k-means, all 4 subspace k-means,
+    // cell assignment, probe ranking, and the LUT sums.
+    QDef("x_sim_ivfpq_topk",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.kmeansCtes(4, 2)},
+         |$AllSubspaces,
+         |$AdcCtes,
+         |$IvfPqCtes
+         |SELECT qid, cid, adc, rank FROM ivfranked WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cents = Similarity.kmeans(emb, 4, 2)
+        .select(col("cluster_id").as("vec_id"), col("embedding"))
+      val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+      Pq.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, cents, cb, M, Dims,
+        k = 3, nprobe = IvfPqNprobe)
+    },
+
+    // IVF-PQ recall@3 vs exact L2 — losses from BOTH tiers (a neighbor
+    // outside the probed cells is unrecoverable; one inside can still be
+    // mis-ranked by quantization). The honesty number for the composed
+    // index, same measured-recall contract as x_pq_recall/x_sim_ivf_recall.
+    QDef("x_sim_ivfpq_recall",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.kmeansCtes(4, 2)},
+         |$AllSubspaces,
+         |$AdcCtes,
+         |$IvfPqCtes,
+         |bd AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    round(sum((q.e - c.e) * (q.e - c.e)), 6) AS d2
+         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |brute AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+         |    FROM bd) WHERE rn <= 3),
+         |ipq AS (SELECT qid, cid FROM ivfranked WHERE rank <= 3)
+         |SELECT b.qid, CAST(count(p.cid) AS INT) AS hits,
+         |  round(count(p.cid) / 3.0, 6) AS recall
+         |FROM brute b LEFT JOIN ipq p ON p.qid = b.qid AND p.cid = b.cid
+         |GROUP BY b.qid""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cents = Similarity.kmeans(emb, 4, 2)
+        .select(col("cluster_id").as("vec_id"), col("embedding"))
+      val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+      Pq.ivfPqRecall(emb.filter(col("vec_id") < 10), emb, cents, cb, M, Dims,
+        k = 3, nprobe = IvfPqNprobe)
     }
   )
 }

@@ -46,7 +46,12 @@ class UserStatsProcessor extends StatefulProcessor[Long, EventRow, UserStats] {
     }
     rows.foreach { r =>
       n += 1
-      cents += math.round(r.value * 100)
+      // HALF_UP (half away from zero) to stay bit-identical to the batch
+      // twin's Spark round() and the DuckDB oracle — math.round is
+      // half-toward-+infinity and diverges for negative values landing
+      // exactly on half a cent
+      cents += BigDecimal(r.value * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       mx = math.max(mx, r.value)
     }
     val next = UserStats(user, n, cents, mx)

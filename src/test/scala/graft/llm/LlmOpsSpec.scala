@@ -158,6 +158,45 @@ class DedupSpec extends SparkSpec {
       (3L, "totally-distinct-content-without-any-repeat")).toDF("doc_id", "text")
     assert(Dedup.substringSpans(docs, "doc_id", "text", 12).count() === 0L)
   }
+
+  test("removeSpans: overlapping spans union before cutting; cleaned text " +
+      "holds no duplicated window; span-free docs pass through") {
+    val minLen = 20
+    // 50 distinct chars, no self-repeats
+    val a = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWX"
+    // b shares exactly a's window at position 10, c exactly the window at
+    // position 12 — position 11's window is in NEITHER, so a gets two
+    // one-position islands whose character spans [10,30) and [12,32)
+    // OVERLAP (each run extends minLen past its start): the stitcher must
+    // union them, not cut twice.
+    val b = "##########" + a.substring(10, 30)
+    val c = a.substring(12, 32) + "@@@@@@@@@@@"
+    val d = "fully unique document with no shared windows anywhere at all"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", minLen)
+    val spanRows = spans.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spanRows.filter(_._1 == 1L).toSet === Set((1L, 10, 30), (1L, 12, 32)))
+
+    val cleaned = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // a: union [10,32) cut once → head + tail stitched
+    assert(cleaned(1L) === ((a.substring(0, 10) + a.substring(32), 22L)))
+    // b/c: single span each
+    assert(cleaned(2L) === (("##########", 20L)))
+    assert(cleaned(3L) === (("@@@@@@@@@@@", 20L)))
+    // span-free doc passes through untouched
+    assert(cleaned(4L) === ((d, 0L)))
+
+    // PROPERTY: no minLen-window of any cleaned text is a cross-doc
+    // duplicated window of the ORIGINAL corpus (the suffix-array method's
+    // postcondition — every located duplicate is actually cut)
+    val originals = Seq(a, b, c, d)
+    val dupWins = originals.flatMap(t => t.sliding(minLen).toSet.toSeq)
+      .groupBy(identity).collect { case (w, occ) if occ.size > 1 => w }.toSet
+    val cleanWins = cleaned.values.flatMap(_._1.sliding(minLen)).toSet
+    assert(cleanWins.intersect(dupWins) === Set.empty)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

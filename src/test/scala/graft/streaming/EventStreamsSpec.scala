@@ -614,6 +614,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed(ts("2024-01-01 10:00:00")) === ((4L, 5L)))
   }
 
+  test("chained stateful windows: straggler inside the inner grace after " +
+      "the hourly rollup already saw the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val early = Seq(
+      EventRow(1L, ts("2024-01-01 10:01:00"), 100L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:07:00"), 100L, "view", 2.0))
+    val advance = EventRow(3L, ts("2024-01-01 11:00:00"), 101L, "click", 3.0)
+    val straggler = EventRow(4L, ts("2024-01-01 10:52:00"), 102L, "click", 4.0)
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.chainedWindowsAgg(stream.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("chained_late_test")
+      .outputMode("append").start()
+    stream.addData(early: _*); q.processAllAvailable()
+    // watermark → 10:50: hour 10's first finalized 5-min windows
+    // ([10:00), [10:05)) flow into the hourly operator, which now holds
+    // OPEN state for hour 10 — the hour has been "seen" downstream
+    stream.addData(advance); q.processAllAvailable()
+    // straggler at 10:52 is LATE (max ts 11:00) but >= the 10:50
+    // watermark: the single end-to-end watermark must make the inner
+    // operator accept it into the still-open [10:50,10:55) window AND the
+    // downstream hourly state absorb the extra user-window — the
+    // single-watermark contract through BOTH stateful operators
+    stream.addData(straggler); q.processAllAvailable()
+    // sentinel pushes the watermark past both operators' deadlines
+    stream.addData(EventRow(9L, ts("2024-01-01 14:00:00"), 999L, "click", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("chained_late_test").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    q.stop()
+    val batch = EventStreams
+      .chainedWindowsAgg((early ++ Seq(advance, straggler)).toDF()).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    // hour 10: (10:00,u100) (10:05,u100) (10:50,u102) → 3 user-windows,
+    // 3 events — the straggler's window IS here; dropping it would give (2,2)
+    assert(streamed(ts("2024-01-01 10:00:00")) === ((3L, 3L)))
+    assert(streamed(ts("2024-01-01 11:00:00")) === ((1L, 1L)))
+  }
+
   test("transformWithState sessionizer: event-time timers close sessions, batch parity") {
     import spark.implicits._
     implicit val s = spark
