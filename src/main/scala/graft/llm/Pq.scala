@@ -232,6 +232,33 @@ object Pq {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** IVF-PQ + exact re-rank: the COMPLETE production retrieval stack
+    * (FAISS `IVF…,PQ…` + refine) — IVF prunes which candidates, ADC ranks
+    * them from codes alone, and only the top-`shortlist` survivors have
+    * their full-precision vectors read for exact ordering. At 100 TB the
+    * exact stage touches |queries|·shortlist vectors out of the whole
+    * corpus; everything upstream reads codes. Output: exact-distance
+    * top-k, same shape/tiebreaks as [[l2TopK]]. */
+  def ivfPqRerank(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dims: Int, shortlist: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = ivfPqTopK(queries, corpus, centroids, codebook, m, dims,
+      shortlist, nprobe).select(col("qid"), col("cid"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    cand
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        round(GraftFunctions.l2Sq(col("qe"), col("ce")), 6).as("dist2"))
+      .groupBy("qid")
+      .agg(TopKByScore.topKByScore(-col("dist2"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"),
+        round(-col("col.score"), 6).as("dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Recall@k of IVF-PQ search against the exact-L2 ground truth — losses
     * from BOTH tiers show up here (a neighbor outside the probed cells is
     * unrecoverable; one inside can still be mis-ranked by quantization).

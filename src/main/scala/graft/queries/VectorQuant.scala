@@ -239,6 +239,38 @@ object VectorQuant {
       val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
       Pq.ivfPqRecall(emb.filter(col("vec_id") < 10), emb, cents, cb, M, Dims,
         k = 3, nprobe = IvfPqNprobe)
+    },
+
+    // The COMPLETE retrieval stack (FAISS IVF..,PQ.. + refine): IVF prunes
+    // cells, ADC ranks codes, and only the top-6 shortlist has its
+    // full-precision vectors read for exact top-3 ordering — at 100 TB the
+    // exact stage touches |queries|·6 vectors of the whole corpus.
+    QDef("x_sim_ivfpq_rerank",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.kmeansCtes(4, 2)},
+         |$AllSubspaces,
+         |$AdcCtes,
+         |$IvfPqCtes,
+         |short AS (SELECT qid, cid FROM ivfranked WHERE rank <= 6),
+         |ex AS (
+         |  SELECT s.qid, s.cid,
+         |    round(sum((q.e - c.e) * (q.e - c.e)), 6) AS d2
+         |  FROM short s
+         |  JOIN ee q ON q.vec_id = s.qid
+         |  JOIN ee c ON c.vec_id = s.cid AND c.j = q.j
+         |  GROUP BY 1, 2),
+         |rr AS (
+         |  SELECT qid, cid, d2,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS INT)
+         |      AS rank
+         |  FROM ex)
+         |SELECT qid, cid, d2 AS dist2, rank FROM rr WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cents = Similarity.kmeans(emb, 4, 2)
+        .select(col("cluster_id").as("vec_id"), col("embedding"))
+      val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
+      Pq.ivfPqRerank(emb.filter(col("vec_id") < 10), emb, cents, cb, M, Dims,
+        shortlist = 6, k = 3, nprobe = IvfPqNprobe)
     }
   )
 }

@@ -28,7 +28,8 @@ class PlanInvariantsSpec extends SparkSpec {
   // detected by the final HashAggregate/ObjectHashAggregate right above.)
   private val corpusScale = Set(
     "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_simhash",
-    "x_dedup_ngram_jaccard", "x_dedup_embedding", "x_text_langid",
+    "x_dedup_ngram_jaccard", "x_dedup_embedding", "x_dedup_clean",
+    "x_text_langid",
     "x_text_quality", "x_text_tokens", "x_text_fingerprint",
     "x_text_entropy", "x_feature_hash", "x_pack_chunks", "x_pack_greedy",
     "x_interleave", "x_mix_sources", "x_split_assign", "x_split_kfold",
@@ -65,5 +66,19 @@ class PlanInvariantsSpec extends SparkSpec {
       if (bad) Some(name) else None
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("substring dedup: no forced broadcast hint — AQE owns the build-side " +
+      "choice, and the mark join is keyed on xxhash64, not the window text") {
+    val qe = SparkEntry.queries("x_dedup_substring")(spark, sfDir).queryExecution
+    // a broadcast() hint would survive analysis as ResolvedHint and reach
+    // the optimized Join as strategy=broadcast; its absence means AQE
+    // picks broadcast-vs-shuffle from ACTUAL dupWins stats at runtime
+    // (the round-5 scale-killer was the forced driver-side build — see
+    // SCALE.md "substring-dedup dupWins sizing")
+    assert(!qe.analyzed.toString.contains("ResolvedHint"))
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"))
+    // 8-byte hash key in both the duplicate-window aggregate and the join
+    assert(qe.optimizedPlan.toString.contains("xxhash64"))
   }
 }

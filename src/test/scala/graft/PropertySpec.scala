@@ -174,4 +174,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // docs = unique prefix + phrases drawn from a shared pool: pool reuse
+  // across docs manufactures cross-doc duplicated spans at random offsets,
+  // including adjacent/overlapping ones
+  private val phraseDocsGen: Gen[List[(Long, String)]] = {
+    val pool = Vector(
+      "alpha beta gamma delta epsilon zeta ",
+      "eta theta iota kappa lambda mu nu ",
+      "xi omicron pi rho sigma tau upsilon ",
+      "phi chi psi omega aleph beth gimel ",
+      "one two three four five six seven ",
+      "eight nine ten eleven twelve thirteen ")
+    Gen.listOfN(5, Gen.listOfN(4, Gen.choose(0, pool.size - 1))).map { docs =>
+      docs.zipWithIndex.map { case (ph, i) =>
+        (i.toLong, s"DOC${i}UNIQ${i * 7919} " + ph.map(pool).mkString)
+      }
+    }
+  }
+
+  test("property: removeSpans == driver-side interval-union stitch; windows " +
+      "inside kept segments are never cross-doc duplicated") {
+    val minLen = 20
+    check(phraseDocsGen, 5) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val spans = llm.Dedup.substringSpans(df, "doc_id", "text", minLen)
+      val spanMap = spans.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1)
+        .map { case (k, v) => k -> v.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+      val cleaned = llm.Dedup.removeSpans(df, spans, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // independent reference implementation of the interval-union cut
+      def keptSegments(len: Int, sp: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+        var cur = 0; val out = Seq.newBuilder[(Int, Int)]
+        sp.foreach { case (s, e) =>
+          if (s > cur) out += ((cur, s)); cur = math.max(cur, e) }
+        if (cur < len) out += ((cur, len))
+        out.result()
+      }
+      // cross-doc duplicated windows of the ORIGINAL corpus, driver-side
+      val dupWins = docs.flatMap { case (_, t) => t.sliding(minLen).toSet }
+        .groupBy(identity).collect { case (w, o) if o.size > 1 => w }.toSet
+      docs.forall { case (id, text) =>
+        val sp = spanMap.getOrElse(id, Seq.empty)
+        val segs = keptSegments(text.length, sp)
+        val (clean, removed) = cleaned(id)
+        clean == segs.map { case (s, e) => text.substring(s, e) }.mkString &&
+        removed == (text.length - clean.length).toLong &&
+        // soundness of the marking itself: a window lying FULLY inside a
+        // kept segment was left uncut, so it must not be duplicated
+        // (windows crossing stitch junctions are synthetic — excluded)
+        segs.forall { case (s, e) =>
+          (s to e - minLen).forall(i =>
+            !dupWins.contains(text.substring(i, i + minLen)))
+        }
+      }
+    }
+  }
 }
