@@ -185,6 +185,47 @@ object SqlSurface {
           (end_off - 1) div 128 AS last_window,
           (end_off - 1) div 128 > (end_off - toks) div 128 AS spans_boundary
         FROM c""")
+    },
+
+    // The FULL substring-dedup pipeline (windows → cross-doc dups → span
+    // merge → interval-union cut) as ONE SQL string: lateral posexplode of
+    // xxhash64 windows, min≠max duplicate aggregate, gaps-and-islands span
+    // merge, and the same aggregate-HOF stitcher the Dataset API plans.
+    // Shares StarExt.DedupCleanOracle with x_dedup_clean.
+    QDef("x_sql_dedup_clean", StarExt.DedupCleanOracle) { (s, d) =>
+      viewed(s, d, "documents")
+      s.sql("""
+        WITH w AS (
+          SELECT doc_id AS id, pos, wkey
+          FROM documents
+          LATERAL VIEW posexplode(transform(sequence(0, length(text) - 40),
+            i -> xxhash64(substring(text, i + 1, 40)))) t AS pos, wkey
+          WHERE length(text) >= 40),
+        dup AS (SELECT wkey FROM w GROUP BY wkey HAVING min(id) <> max(id)),
+        isl AS (
+          SELECT id, pos,
+            pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+          FROM w JOIN dup USING (wkey)),
+        sp AS (
+          SELECT id, min(pos) AS s, max(pos) + 40 AS e
+          FROM isl GROUP BY id, grp),
+        lst AS (
+          SELECT id, sort_array(collect_list(struct(s, e))) AS spl
+          FROM sp GROUP BY id),
+        stitched AS (
+          SELECT d.doc_id, d.text,
+            CASE WHEN l.spl IS NULL THEN d.text
+            ELSE aggregate(l.spl, named_struct('cur', 0, 'acc', ''),
+              (st, x) -> named_struct(
+                'cur', greatest(st.cur, x.e),
+                'acc', concat(st.acc,
+                  substring(d.text, st.cur + 1, x.s - st.cur))),
+              st -> concat(st.acc, substring(d.text, st.cur + 1)))
+            END AS clean_text
+          FROM documents d LEFT JOIN lst l ON d.doc_id = l.id)
+        SELECT doc_id, clean_text,
+          CAST(length(text) - length(clean_text) AS BIGINT) AS removed_chars
+        FROM stitched""")
     }
   )
 }

@@ -49,6 +49,35 @@ object StarExt {
       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e
       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
 
+  /** Oracle for the applied substring cut — shared by `x_dedup_clean` and
+    * the SQL-text twin `x_sql_dedup_clean`. Spans may overlap across runs,
+    * so the oracle does interval UNION: running-max window (cur = max(e)
+    * over preceding spans) keeps only segments where s > cur, plus the
+    * tail after the global max(e); the engine's equivalent is the
+    * greatest(cur, e) cursor in one in-row aggregate HOF. */
+  private[queries] val DedupCleanOracle: String =
+    s"""WITH $SubstringSpanCte,
+       |ord AS (
+       |  SELECT doc_id, s, e,
+       |    coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cur
+       |  FROM sp),
+       |segs AS (
+       |  SELECT doc_id, cur AS b, s AS t FROM ord WHERE s > cur
+       |  UNION ALL
+       |  SELECT doc_id, max(e) AS b, NULL AS t FROM sp GROUP BY doc_id),
+       |kept AS (
+       |  SELECT g.doc_id,
+       |    string_agg(substr(d.text, CAST(b + 1 AS INT),
+       |      CAST(coalesce(t, length(d.text)) - b AS INT)),
+       |      '' ORDER BY b) AS clean_text
+       |  FROM segs g JOIN documents d USING (doc_id)
+       |  GROUP BY g.doc_id)
+       |SELECT d.doc_id, coalesce(k.clean_text, d.text) AS clean_text,
+       |  CAST(length(d.text) - length(coalesce(k.clean_text, d.text))
+       |    AS BIGINT) AS removed_chars
+       |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** Word-trigram-hash shingle set (matches TextOps.wordTrigramHashes). */
   private[queries] val WordShCte =
     s"""wsh AS (
@@ -197,28 +226,7 @@ object StarExt {
     // in-row aggregate HOF, the oracle with a running-max window
     // (cur = max(e) over preceding spans) keeping only segments where
     // s > cur, plus the tail after the global max(e).
-    QDef("x_dedup_clean",
-      s"""WITH $SubstringSpanCte,
-         |ord AS (
-         |  SELECT doc_id, s, e,
-         |    coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cur
-         |  FROM sp),
-         |segs AS (
-         |  SELECT doc_id, cur AS b, s AS t FROM ord WHERE s > cur
-         |  UNION ALL
-         |  SELECT doc_id, max(e) AS b, NULL AS t FROM sp GROUP BY doc_id),
-         |kept AS (
-         |  SELECT g.doc_id,
-         |    string_agg(substr(d.text, CAST(b + 1 AS INT),
-         |      CAST(coalesce(t, length(d.text)) - b AS INT)),
-         |      '' ORDER BY b) AS clean_text
-         |  FROM segs g JOIN documents d USING (doc_id)
-         |  GROUP BY g.doc_id)
-         |SELECT d.doc_id, coalesce(k.clean_text, d.text) AS clean_text,
-         |  CAST(length(d.text) - length(coalesce(k.clean_text, d.text))
-         |    AS BIGINT) AS removed_chars
-         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin) { (s, d) =>
+    QDef("x_dedup_clean", DedupCleanOracle) { (s, d) =>
       val docs = Tables(s, d).documents
       Dedup.removeSpans(docs,
         Dedup.substringSpans(docs, "doc_id", "text", 40), "doc_id", "text")
