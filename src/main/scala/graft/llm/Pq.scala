@@ -43,23 +43,30 @@ object Pq {
   def pqTrain(corpus: DataFrame, m: Int, dims: Int, ksub: Int, iters: Int): DataFrame = {
     val dsub = dims / m
     require(dsub * m == dims, s"dims=$dims not divisible by m=$m")
-    (0 until m).map { s =>
+    // pinned like [[Similarity.kmeans]]'s result: the m·ksub-row codebook
+    // feeds encode AND search branches; unpinned, every consumer would
+    // replay all m training chains
+    Dedup.pin((0 until m).map { s =>
       val sub = corpus.select(col("vec_id"),
         slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
       Similarity.kmeans(sub, ksub, iters)
         .select(lit(s).as("subspace"), col("cluster_id").cast("int").as("code"),
           col("embedding"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
   }
 
   /** Codebook collapsed to ONE broadcast row holding a (subspace, code)-
     * sorted `array<struct<subspace, code, ce>>` — the same shape as
     * [[Similarity]]'s centroid array, so encode/LUT are per-row folds, not
-    * joins. */
+    * joins. Pinned ([[Dedup.pin]]) for the same reason as
+    * [[Similarity.centroidArray]]: encode and LUT branches each fold the
+    * row, and an unpinned use replays all `m` [[pqTrain]] k-means chains
+    * per branch — the dominant cost of every `x_pq_*`/`x_sim_ivfpq_*`
+    * query when run cold. */
   private def codebookArray(codebook: DataFrame): DataFrame =
-    codebook.agg(array_sort(collect_list(struct(
+    Dedup.pin(codebook.agg(array_sort(collect_list(struct(
       col("subspace").cast("int").as("subspace"), col("code").cast("int").as("code"),
-      col("embedding").as("ce")))).as("cb"))
+      col("embedding").as("ce")))).as("cb")))
 
   /** Subvector `s` of embedding `e` (1-based slice over `dsub` floats);
     * `s` may be a lambda-bound column. */

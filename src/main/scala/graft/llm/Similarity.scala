@@ -70,10 +70,16 @@ object Similarity {
   /** Centroid set collapsed to ONE row holding a centroid_id-sorted
     * `array<struct<centroid_id, ce>>` — broadcast to every task so
     * assignment is a per-row argmin, not a join. The centroid count is the
-    * IVF fan-out (hundreds to thousands), always broadcastable. */
+    * IVF fan-out (hundreds to thousands), always broadcastable.
+    *
+    * Pinned ([[Dedup.pin]], lazy checkpoint): every search query folds
+    * this row into BOTH its corpus and query branches, and when the
+    * centroids come from [[kmeans]] each unpinned use would replay the
+    * whole training chain (measured: x_sim_ivf_trained 3.4 s → 1.9 s
+    * isolated). 1-row frame — checkpoint cost is nil. */
   private[llm] def centroidArray(centroids: DataFrame): DataFrame =
-    centroids.agg(array_sort(collect_list(struct(
-      col("vec_id").as("centroid_id"), col("embedding").as("ce")))).as("cents"))
+    Dedup.pin(centroids.agg(array_sort(collect_list(struct(
+      col("vec_id").as("centroid_id"), col("embedding").as("ce")))).as("cents")))
 
   /** `struct(dist2, centroid_id)` of the centroid in the in-scope `cents`
     * array nearest to embedding `e`: one distance per centroid via the
@@ -176,6 +182,10 @@ object Similarity {
     * that loses every vector drops out (inner-join recompute) — identical
     * behavior in the oracle. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    // the returned k-row table is pinned (lazy checkpoint): training
+    // artifacts are consumed by several downstream branches (assignment,
+    // probe ranking, recall's approx side) and an unpinned result would
+    // replay all `iters` rounds once per consumer
     var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("embedding"))
     for (_ <- 1 to iters) {
@@ -191,7 +201,7 @@ object Similarity {
           s => s.getField("c").cast("float")).as("embedding"))
         .select(col("centroid_id").as("cluster_id"), col("embedding"))
     }
-    cents
+    Dedup.pin(cents)
   }
 
   /** Recall@k of IVF search against the brute-force ground truth — the
