@@ -256,4 +256,52 @@ object Similarity {
       .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup pair finding ("SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then verify
+    * cosine ≥ threshold only WITHIN each cluster. Where [[embeddingNearDups]]
+    * buckets by fixed random hyperplanes, this learns the partition from
+    * the data — the paper's point is that the cluster structure bounds the
+    * quadratic pair blowup to Σ|clusterᵢ|² while catching semantic (not
+    * just near-verbatim) duplicates.
+    *
+    * Scale shape: training is [[kmeans]] (pinned); assignment is the
+    * map-only broadcast-centroid fold (the corpus never shuffles to get
+    * its cluster id); the within-cluster candidate join is keyed on the
+    * cluster id — the single corpus-sized exchange, partitioned by
+    * cluster. k is the skew lever: at 100 TB you raise k (FAISS-style
+    * √n clustering) so every |clusterᵢ|² block stays executor-sized, and
+    * a runaway cluster shows up as one skewed join key that AQE's
+    * skew-join splitting already handles. Returns (d1, d2, cos), d1 < d2,
+    * rounded cos ≥ threshold. */
+  def semDedupPairs(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = centroidArray(kmeans(corpus, k, iters)
+      .select(col("cluster_id").as("vec_id"), col("embedding")))
+    // assignment stays lineage (NOT pinned): both join branches replay a
+    // map-only fold over the scan — at 100 TB recomputing that beats
+    // materializing a corpus-sized checkpoint
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"),
+        nearest(col("embedding")).getField("centroid_id").as("centroid_id"))
+    val l = assigned.select(col("centroid_id"), col("vec_id").as("d1"),
+      col("embedding").as("e1"))
+    val r = assigned.select(col("centroid_id"), col("vec_id").as("d2"),
+      col("embedding").as("e2"))
+    l.join(r, Seq("centroid_id")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The SemDeDup cut: transitive closure of [[semDedupPairs]] via
+    * [[Dedup.clusters]] (pointer-jumping min-label propagation), then keep
+    * one representative per semantic cluster ([[Dedup.survivors]] — the
+    * min-id member; unpaired vectors pass through). The anti-join keys on
+    * vec_id only, so vector payloads never move in the collapse. */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame =
+    Dedup.survivors(corpus, "vec_id",
+      Dedup.clusters(semDedupPairs(corpus, k, iters, threshold)))
 }

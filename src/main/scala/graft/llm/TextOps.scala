@@ -381,4 +381,68 @@ object TextOps {
         (col("grp") * lit(1048576L) +
           floor(col("cum_before") / targetTokens)).as("shard_id"))
   }
+
+  /** Per-document negative log-likelihood under an add-one-smoothed bigram
+    * LM trained on the corpus itself — the CCNet quality signal ("CCNet:
+    * Extracting high quality monolingual datasets from web crawl data",
+    * Wenzek et al. 2020, which scores with a KenLM n-gram model and
+    * buckets the corpus by perplexity; the bigram model keeps the same
+    * posture fully inside the engine and exactly SQL-replayable).
+    * P(w₂|w₁) = (C(w₁w₂)+1) / (C(w₁)+|V|); nll = −mean ln P over the
+    * document's bigrams (token-weighted). Documents with < 2 non-empty
+    * tokens have no bigrams and drop out.
+    *
+    * SCALE SHAPE: one token explode feeds the unigram counts, one bigram
+    * explode feeds both the count model and the per-doc scoring — each a
+    * map-side-combined hash aggregate. Scoring joins the doc's DISTINCT
+    * (w₁,w₂) counts (not token instances) to the model, keyed on the
+    * bigram/unigram — corpus-sized but key-partitioned exchanges; stopword
+    * bigrams are hot keys that AQE skew-split handles. |V| is a broadcast
+    * 1-row aggregate. Nothing is ever collected; the model tables stay
+    * distributed (a 100 TB corpus's bigram table can be TB-sized itself —
+    * that is why this is a join, not a broadcast map). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ft = filter(spaceTokens(col(textCol)), t => t =!= "")
+    val toks = docs.select(explode(ft).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val vsize = uni.agg(count(lit(1)).as("v"))
+    // bigrams via the shifted-slice shape of [[wordBigrams]], over the
+    // FILTERED tokens so the unigram and bigram vocabularies agree
+    val nbg = greatest(size(ft) - 1, lit(0))
+    val bg = docs.select(col(idCol).as("id"),
+        explode(zip_with(slice(ft, lit(1), nbg), slice(ft, lit(2), nbg),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val docBg = bg.groupBy("id", "w1", "w2").agg(count(lit(1)).as("k"))
+    docBg.join(model, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .groupBy("id")
+      .agg(sum(col("k")).cast("bigint").as("n_bigrams"),
+        round(-sum(col("k") * log((col("cb") + 1) / (col("cw") + col("v"))))
+          / sum(col("k")), 6).as("nll"))
+  }
+
+  /** CCNet's head/middle/tail cut: bucket documents by [[lmScore]] NLL
+    * terciles (head = most fluent third). Thresholds are the EXACT
+    * interpolated percentiles of the rounded scores — Spark `percentile`
+    * and DuckDB `quantile_cont` share R-7 interpolation bit-for-bit (the
+    * x_quantiles contract), so the cut replays cross-engine. The
+    * threshold row is a 1-row broadcast (the S4 scalar shape); per-doc
+    * assignment is a map-side compare. At 100 TB the exact percentile's
+    * collect-all-values aggregate is the one non-scalable piece — swap in
+    * `percentile_approx` (sketch-sized state, same 1-row broadcast) and
+    * the rest of the plan is unchanged. */
+  def ppxBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = lmScore(docs, idCol, textCol)
+    val cuts = scored.agg(
+      round(expr("percentile(nll, CAST(1 AS DOUBLE)/3)"), 6).as("t1"),
+      round(expr("percentile(nll, CAST(2 AS DOUBLE)/3)"), 6).as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("id"), col("n_bigrams"), col("nll"),
+        when(col("nll") <= col("t1"), lit("head"))
+          .when(col("nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -115,7 +115,7 @@ object StarExt {
       |    CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) AS e
       |  FROM embeddings, unnest(range(0, 64)) t(j))""".stripMargin
 
-  private val NormsCte =
+  private[queries] val NormsCte =
     "norms AS (SELECT vec_id, sum(e * e) AS n2 FROM ee GROUP BY vec_id)"
 
   /** CTE chain producing MinHash-LSH verified near-dup `pairs(d1, d2)` at
@@ -178,6 +178,32 @@ object StarExt {
     s"""${p}c0 AS (SELECT vec_id AS cid, j, e AS c FROM $src WHERE vec_id < $k),
        |$rounds""".stripMargin
   }
+
+  /** CTE chain retraining `TextOps.lmScore`'s add-one-smoothed bigram LM
+    * and scoring every document: `nlls(doc_id, n_bigrams, nll)`. Token
+    * filter, bigram formation, and the smoothing arithmetic mirror the
+    * engine expressions exactly (ln over exact integer-count rationals,
+    * token-weighted mean rounded to 6). */
+  private val LmNllCtes =
+    """ft AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |toks AS (SELECT unnest(t) AS w FROM ft),
+      |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+      |vs AS (SELECT count(*) AS v FROM uni),
+      |bg AS (
+      |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT)+1] AS w2
+      |  FROM ft, unnest(range(1, len(t))) u(i)),
+      |model AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |docbg AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+      |nlls AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |    round(-sum(k * ln((cb + 1) / (cw + v))) / sum(k), 6) AS nll
+      |  FROM docbg
+      |  JOIN model USING (w1, w2)
+      |  JOIN uni ON uni.w = docbg.w1
+      |  CROSS JOIN vs
+      |  GROUP BY 1)""".stripMargin
 
   private def occSql(kw: String) =
     s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS INT)"
@@ -847,6 +873,35 @@ object StarExt {
         |  CAST(grp * 1048576 + cum_before // 2000 AS BIGINT) AS shard_id
         |FROM c""".stripMargin) { (s, d) =>
       TextOps.packShards(Tables(s, d).documents, "doc_id", "text", 2000, 8)
+    },
+
+    // CCNet-style LM quality signal: per-doc NLL under an add-one-smoothed
+    // bigram model trained on the corpus itself (TextOps.lmScore). The
+    // oracle retrains the identical model in SQL.
+    QDef("x_text_lm_score",
+      s"""WITH $LmNllCtes
+         |SELECT doc_id, n_bigrams, nll FROM nlls""".stripMargin) { (s, d) =>
+      TextOps.lmScore(Tables(s, d).documents, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"))
+    },
+
+    // ... and CCNet's head/middle/tail cut: NLL terciles via exact R-7
+    // percentiles (Spark `percentile` == DuckDB `quantile_cont`, the
+    // x_quantiles contract), broadcast 1-row thresholds, map-side CASE.
+    QDef("x_text_ppx_buckets",
+      s"""WITH $LmNllCtes,
+         |cuts AS (
+         |  SELECT round(quantile_cont(nll, CAST(1 AS DOUBLE)/3), 6) AS t1,
+         |    round(quantile_cont(nll, CAST(2 AS DOUBLE)/3), 6) AS t2
+         |  FROM nlls)
+         |SELECT doc_id, n_bigrams, nll,
+         |  CASE WHEN nll <= t1 THEN 'head'
+         |       WHEN nll <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM nlls CROSS JOIN cuts""".stripMargin) { (s, d) =>
+      TextOps.ppxBuckets(Tables(s, d).documents, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"),
+          col("bucket"))
     },
 
     // Position-weighted rolling-hash document fingerprint (exact int64).

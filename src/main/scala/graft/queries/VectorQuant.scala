@@ -271,6 +271,67 @@ object VectorQuant {
       val cb = Pq.pqTrain(emb, M, Dims, Ksub, Iters)
       Pq.ivfPqRerank(emb.filter(col("vec_id") < 10), emb, cents, cb, M, Dims,
         shortlist = 6, k = 3, nprobe = IvfPqNprobe)
+    },
+
+    // SemDeDup (arXiv:2303.09540): the LEARNED-partition sibling of
+    // x_dedup_embedding — k-means clusters (not fixed hyperplanes) gate
+    // the cosine verification, so only within-cluster pairs are scored.
+    // Oracle replays training (kmeansCtes), final-centroid assignment,
+    // and the in-cluster pair scoring. Threshold 0.4 is calibrated to
+    // this synthetic corpus (max within-cluster cos ≈ 0.51 — the data
+    // has no planted near-identical vectors).
+    QDef("x_dedup_semantic",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.NormsCte},
+         |${semDedupCtes(0.4)}
+         |SELECT d1, d2, cos FROM pairs""".stripMargin) { (s, d) =>
+      Similarity.semDedupPairs(Tables(s, d).embeddings, 4, 2, 0.4)
+    },
+
+    // The SemDeDup CUT: transitive closure of the pairs (recursive CTE in
+    // the oracle, pointer-jumping Dedup.clusters in the engine), keep the
+    // min-id representative per semantic cluster, pass unpaired vectors
+    // through — same survivor contract as x_dedup_survivors.
+    QDef("x_dedup_semantic_survivors",
+      s"""WITH RECURSIVE ${StarExt.EmbExpl},
+         |${StarExt.NormsCte},
+         |${semDedupCtes(0.4)},
+         |${StarExt.ClosureCtes}
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp c WHERE c.u = e.vec_id AND c.u <> c.component)
+         |""".stripMargin) { (s, d) =>
+      Similarity.semDedup(Tables(s, d).embeddings, 4, 2, 0.4)
+        .select("vec_id", "label")
     }
   )
+
+  /** Shared front half of the SemDeDup oracles: replay of
+    * `Similarity.semDedupPairs(k=4, iters=2)` — final-centroid assignment
+    * `fa` over the kmeansCtes chain, in-cluster candidates, and scored
+    * `pairs(d1, d2, cos)` at the given threshold. */
+  private def semDedupCtes(threshold: Double): String =
+    s"""${StarExt.kmeansCtes(4, 2)},
+       |fa AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
+       |    FROM ee v JOIN c2 c ON c.j = v.j
+       |    GROUP BY v.vec_id, c.cid) WHERE rn = 1),
+       |semcand AS (
+       |  SELECT l.vec_id AS d1, r.vec_id AS d2
+       |  FROM fa l JOIN fa r ON l.cid = r.cid AND l.vec_id < r.vec_id),
+       |semdots AS (
+       |  SELECT p.d1, p.d2, sum(e1.e * e2.e) AS dot
+       |  FROM semcand p
+       |  JOIN ee e1 ON e1.vec_id = p.d1
+       |  JOIN ee e2 ON e2.vec_id = p.d2 AND e2.j = e1.j
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2, round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) AS cos
+       |  FROM semdots
+       |  JOIN norms n1 ON n1.vec_id = d1
+       |  JOIN norms n2 ON n2.vec_id = d2
+       |  WHERE round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) >= $threshold)""".stripMargin
 }

@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 ops: SemDeDup (learned-partition embedding dedup) and the
+  * CCNet-style bigram-LM quality score / perplexity buckets. */
+class R6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight pairs on orthogonal axes: (0,1) and (2,3) are near-identical,
+  // cross-pair cosines ~0
+  val emb = Seq(
+    (0L, Array(1.0f, 0.0f), 10),
+    (1L, Array(0.99f, 0.01f), 11),
+    (2L, Array(0.0f, 1.0f), 12),
+    (3L, Array(0.01f, 0.99f), 13)).toDF("vec_id", "embedding", "label")
+
+  test("semDedupPairs finds within-cluster near-dups and nothing across") {
+    val pairs = Similarity.semDedupPairs(emb, k = 2, iters = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("semDedup keeps one representative per semantic cluster, passes labels through") {
+    val out = Similarity.semDedup(emb, k = 2, iters = 2, threshold = 0.9)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 10, 2L -> 12)) // min-id survivor per pair
+  }
+
+  test("semDedup threshold above max cosine keeps everything") {
+    val out = Similarity.semDedup(emb, k = 2, iters = 2, threshold = 1.1)
+    assert(out.count() === 4)
+  }
+
+  val docs = Seq(
+    (1L, "a b a b"), // bigrams (a,b)x2, (b,a)x1
+    (2L, "a b"), // bigram (a,b)x1
+    (3L, "c"), // no bigrams -> drops out
+    (4L, "")).toDF("doc_id", "text")
+
+  test("lmScore matches the hand-computed add-one bigram NLL") {
+    // corpus: C(a,b)=3, C(b,a)=1; C(a)=3, C(b)=3; |V|=3
+    // P(b|a)=(3+1)/(3+3)=2/3, P(a|b)=(1+1)/(3+3)=1/3
+    val got = TextOps.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(1L, 2L)) // docs 3, 4 have no bigrams
+    val nll1 = -(2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 3
+    val nll2 = -math.log(2.0 / 3)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - nll1) < 1e-6)
+    assert(got(2L)._1 === 1L)
+    assert(math.abs(got(2L)._2 - nll2) < 1e-6)
+  }
+
+  test("ppxBuckets: most fluent doc is head, least is tail") {
+    val got = TextOps.ppxBuckets(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc2 (nll≈0.405) <= t1 -> head; doc1 (nll≈0.637) > t2 -> tail
+    assert(got === Map(2L -> "head", 1L -> "tail"))
+  }
+}
