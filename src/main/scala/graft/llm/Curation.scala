@@ -40,6 +40,86 @@ object Curation {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** DSIR bucket log-likelihood ratios ("Data Selection for Language Models
+    * via Importance Resampling", Xie et al. 2023, arXiv:2302.03169): fit two
+    * add-one-smoothed multinomials over the hashed n-gram buckets
+    * ([[TextOps.ngramBuckets]]) — p̂ from the TARGET slice (the domain you
+    * want more of), q̂ from the RAW slice — and return one row holding the
+    * dim-length array `lrn[j] = round((ln p̂[j] − ln q̂[j])·10⁹)` in integer
+    * NANO-NATS: quantizing here makes the downstream per-doc sums exact
+    * BIGINT arithmetic, so they cannot drift with float summation order
+    * across partitions or engines (a raw-double fold flipped a 6th
+    * decimal on 1 of 475 docs the first time this ran).
+    *
+    * Scale shape — the deliberate CONTRAST with [[TextOps.lmScore]]: the
+    * model here is dim-sized BY CONSTRUCTION (the paper's hashing trick:
+    * 10⁴–10⁵ buckets regardless of corpus size), so it collapses to a
+    * 1-row broadcast array and per-doc scoring never joins. One corpus
+    * explode feeds a (bucket, target?) hash aggregate with map-side
+    * combine; the bucket spine (`range(dim)`) fills never-hit buckets so
+    * smoothing sees all dim cells. The dim-row count table is pinned —
+    * totals and per-bucket ratios both consume it, and unpinned each would
+    * replay the corpus explode. */
+  def dsirLogRatio(docs: DataFrame, textCol: String, isTarget: Column,
+      dim: Int): DataFrame = {
+    val feats = docs.select(isTarget.as("is_t"),
+      explode(TextOps.ngramBuckets(col(textCol), dim)).as("j"))
+    val cnts = Dedup.pin(feats.groupBy("j").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("rc")))
+    val spine = docs.sparkSession.range(dim).select(col("id").as("j"))
+    val filled = spine.join(cnts, Seq("j"), "left").na.fill(0L, Seq("tc", "rc"))
+    val tot = cnts.agg(sum("tc").as("tn"), sum("rc").as("rn"))
+    filled.crossJoin(broadcast(tot))
+      .select(col("j"),
+        round((log((col("tc") + 1).cast("double") / (col("tn") + dim))
+          - log((col("rc") + 1).cast("double") / (col("rn") + dim))) * 1e9)
+          .cast("bigint").as("lrn"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("lrn")))),
+        s => s.getField("lrn")).as("lrn"))
+  }
+
+  /** Per-document DSIR importance weight over the RAW slice:
+    * `logw = (Σ occurrences · lrn[bucket]) / 10⁹` rounded to 6 — the log
+    * importance ratio of the doc under the two bucket models. The sum is
+    * exact BIGINT ([[dsirLogRatio]]) and the 6-decimal rounding happens in
+    * INTEGER space too (nano→micro via `round(sum/1000.0)`: every `n.5` is
+    * an exactly-representable double, so the HALF_UP tie-break is
+    * bit-identical across engines — `round(x, 6)` on the raw double is
+    * not: a nano-sum ending in 500 is a decimal tie that BigDecimal-exact
+    * Spark and float-multiply DuckDB resolve differently, hit at sf0.1).
+    * Scoring is a map-side fold
+    * of the in-row bucket list over the broadcast `lrn` array: the corpus
+    * is read once and never shuffled; a doc with no tokens scores 0 (an
+    * empty product of ratios). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int): DataFrame =
+    docs.filter(!isTarget).select(col(idCol), col(textCol))
+      .crossJoin(broadcast(dsirLogRatio(docs, textCol, isTarget, dim)))
+      .select(col(idCol),
+        (round(aggregate(TextOps.ngramBuckets(col(textCol), dim), lit(0L),
+          (acc, j) => acc + element_at(col("lrn"), j.cast("int") + 1))
+          .cast("double") / 1000.0).cast("bigint") / lit(1000000.0d))
+          .as("logw"))
+
+  /** DSIR selection: sample k raw documents WITHOUT replacement with
+    * probability ∝ exp(logw) via the Gumbel top-k trick (perturb each
+    * weight with Gumbel noise, take the k largest) — the paper's
+    * resampling step, made replayable by deriving the noise from
+    * [[Sampling.hashBucket]] instead of rand():
+    * `u = (hash(id)+0.5)/2³²`, `g = −ln(−ln u)`. Deterministic, stable
+    * under corpus append (a doc's score never changes), and the top-k is
+    * `TakeOrderedAndProject` — partial per-partition heaps, never a
+    * global sort. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int, k: Int): DataFrame = {
+    val u = (Sampling.hashBucket(col(idCol)).cast("double") + 0.5d) / 4294967296.0d
+    dsirWeights(docs, idCol, textCol, isTarget, dim)
+      .select(col(idCol), col("logw"),
+        round(col("logw") - log(-log(u)), 6).as("score"))
+      .orderBy(desc("score"), col(idCol)).limit(k)
+  }
+
   /** Per-document repetition profile (the Gopher repetition rules, exact):
     * token count, distinct-token ratio, most-frequent-token share, and
     * most-frequent-bigram share. High top-shares flag boilerplate and

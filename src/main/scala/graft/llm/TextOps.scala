@@ -105,6 +105,23 @@ object TextOps {
       (acc, h) => transform(acc, (v, i) => when(i.cast("bigint") === h, v + 1L).otherwise(v)))
   }
 
+  /** Hashed n-gram bucket ids (unigrams + bigrams) in [0, dim) — the DSIR
+    * feature space ("Data Selection for Language Models via Importance
+    * Resampling", Xie et al. 2023, arXiv:2302.03169 §3: hashed n-grams into
+    * a fixed bucket count). One occurrence per token/bigram instance (NOT
+    * distinct), so bucket counts are the bag-of-ngrams the two multinomial
+    * models are fit on. In-row, zero shuffle, same shifted-slice bigram
+    * shape as [[wordBigrams]]; empty tokens filtered so the unigram and
+    * bigram universes agree with [[lmScore]]'s. */
+  def ngramBuckets(text: Column, dim: Int): Column = {
+    val ft = filter(spaceTokens(text), t => t =!= "")
+    val n = greatest(size(ft) - 1, lit(0))
+    val uni = transform(ft, t => wordHash(t) % dim)
+    val bi = zip_with(slice(ft, lit(1), n), slice(ft, lit(2), n),
+      (a, b) => ((wordHash(a) * 1000003L + wordHash(b)) % 2147483647L) % dim)
+    concat(uni, bi)
+  }
+
   /** Occurrence count of `kw` in `text` via length arithmetic — exact. */
   def occurrences(text: Column, kw: String): Column =
     ((length(text) - length(replace(text, lit(kw), lit("")))) / kw.length).cast("int")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
-import graft.llm.{Curation, Packing, TextOps}
+import graft.llm.{Curation, Packing, Sampling, TextOps}
 import graft.streaming.TwsUserStats
 
 /** Training-data preparation operators: sequence packing, eval-set
@@ -83,6 +83,61 @@ object TrainPrep {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
        |  FROM d JOIN w ON d.grp = w.grp)""".stripMargin
 
+  /** DSIR constants: feature buckets and the target domain slice. */
+  private val DsirDim = 64
+  private val DsirTarget = "src0"
+
+  /** [[graft.llm.TextOps.wordHash]] rendered over an arbitrary DuckDB
+    * expression (StarExt's WordHashSql is fixed to the alias `tok`). */
+  private def whSql(c: String) =
+    s"""(CAST(ascii(substr($c || '___', 1, 1))*65536
+       |  + ascii(substr($c || '___', 2, 1))*256
+       |  + ascii(substr($c || '___', 3, 1)) AS BIGINT)
+       |  + CAST(length($c) AS BIGINT)*16777216)""".stripMargin
+
+  /** Shared DSIR oracle front half: hashed unigram+bigram features, the
+    * two add-one multinomials (bucket spine so smoothing sees empty
+    * cells), per-bucket log ratios rounded to 9 (libm parity), and
+    * per-raw-doc weights `dwts(doc_id, logw)` rounded to 6 — the exact
+    * replay of [[graft.llm.Curation.dsirWeights]]. */
+  private val DsirCtes =
+    s"""dft AS (
+       |  SELECT doc_id, source = '$DsirTarget' AS is_t,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |duni AS (
+       |  SELECT doc_id, is_t, ${whSql("tok")} % $DsirDim AS j
+       |  FROM (SELECT doc_id, is_t, unnest(t) AS tok FROM dft)),
+       |dbi AS (
+       |  SELECT doc_id, is_t,
+       |    ((${whSql("t[CAST(i AS INT)]")} * 1000003
+       |      + ${whSql("t[CAST(i AS INT)+1]")}) % 2147483647) % $DsirDim AS j
+       |  FROM dft, unnest(range(1, len(t))) u(i)),
+       |dfeats AS (SELECT * FROM duni UNION ALL SELECT * FROM dbi),
+       |dcnt AS (
+       |  SELECT j, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+       |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
+       |  FROM dfeats GROUP BY 1),
+       |dspine AS (SELECT unnest(range(0, $DsirDim)) AS j),
+       |dfill AS (
+       |  SELECT s.j, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+       |  FROM dspine s LEFT JOIN dcnt c ON c.j = s.j),
+       |dtot AS (SELECT sum(tc) AS tn, sum(rc) AS rn FROM dfill),
+       |dlr AS (
+       |  SELECT j, CAST(round((ln((tc + 1.0) / (tn + $DsirDim))
+       |    - ln((rc + 1.0) / (rn + $DsirDim))) * 1000000000.0) AS BIGINT)
+       |    AS lrn
+       |  FROM dfill CROSS JOIN dtot),
+       |dwts AS (
+       |  SELECT d.doc_id,
+       |    CAST(round(coalesce(sum(lrn), 0) / 1000.0) AS BIGINT)
+       |      / 1000000.0 AS logw
+       |  FROM documents d
+       |  LEFT JOIN dfeats f ON f.doc_id = d.doc_id
+       |  LEFT JOIN dlr ON dlr.j = f.j
+       |  WHERE d.source <> '$DsirTarget'
+       |  GROUP BY 1)""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // Concat-and-chunk (GPT-style) packing: per-shard prefix sums place
@@ -135,6 +190,31 @@ object TrainPrep {
         |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
       Curation.contamination(Tables(s, d).documents, "doc_id", "text",
         col("doc_id") % 97 === 0)
+    },
+
+    // DSIR importance weights (arXiv:2302.03169): add-one multinomials
+    // over hashed unigram+bigram buckets, p̂ from the src0 target slice,
+    // q̂ from the rest; per-doc logw = Σ lr[bucket]. The model is
+    // dim-sized by construction (1-row broadcast array) — the contrast
+    // with x_text_lm_score's corpus-sized model join.
+    QDef("x_dsir_weights",
+      s"""WITH $DsirCtes
+         |SELECT doc_id, logw FROM dwts""".stripMargin) { (s, d) =>
+      Curation.dsirWeights(Tables(s, d).documents, "doc_id", "text",
+        col("source") === DsirTarget, DsirDim)
+    },
+
+    // ... and the DSIR cut: Gumbel top-k resampling (∝ exp(logw), without
+    // replacement), noise derived from the deterministic id hash so both
+    // engines draw the identical sample. TakeOrderedAndProject top-k.
+    QDef("x_dsir_resample",
+      s"""WITH $DsirCtes
+         |SELECT doc_id, logw,
+         |  round(logw - ln(-ln(((${Sampling.hashBucketSql("doc_id")}) + 0.5)
+         |    / 4294967296.0)), 6) AS score
+         |FROM dwts ORDER BY score DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+      Curation.dsirResample(Tables(s, d).documents, "doc_id", "text",
+        col("source") === DsirTarget, DsirDim, 50)
     },
 
     // Gopher-style repetition profile: distinct-token ratio and top

@@ -60,4 +60,37 @@ class R6OpsSpec extends SparkSpec {
     // doc2 (nll≈0.405) <= t1 -> head; doc1 (nll≈0.637) > t2 -> tail
     assert(got === Map(2L -> "head", 1L -> "tail"))
   }
+
+  // target docs speak "x y"; raw docs 10/11 mix target-ish and alien
+  // vocabulary, raw doc 12 is purely alien
+  val dsirDocs = Seq(
+    (1L, "x y x y", "tgt"),
+    (2L, "x y y x", "tgt"),
+    (10L, "x y q q", "raw"),
+    (11L, "q q x y", "raw"),
+    (12L, "q r q r", "raw")).toDF("doc_id", "text", "source")
+  val isTgt = col("source") === "tgt"
+
+  test("dsirWeights ranks target-like raw docs above alien ones") {
+    val w = Curation.dsirWeights(dsirDocs, "doc_id", "text", isTgt, 32)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(10L, 11L, 12L)) // raw slice only
+    assert(w(10L) > w(12L) && w(11L) > w(12L)) // target-like beats alien
+  }
+
+  test("dsirResample is deterministic and bounded by k") {
+    val s1 = Curation.dsirResample(dsirDocs, "doc_id", "text", isTgt, 32, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val s2 = Curation.dsirResample(dsirDocs, "doc_id", "text", isTgt, 32, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(s1.toSeq === s2.toSeq) // hash-derived Gumbel noise: replayable
+    assert(s1.length === 2)
+  }
+
+  test("dsirWeights of an empty doc is exactly 0") {
+    val d = Seq((1L, "x", "tgt"), (2L, "", "raw")).toDF("doc_id", "text", "source")
+    val w = Curation.dsirWeights(d, "doc_id", "text", col("source") === "tgt", 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w === Map(2L -> 0.0))
+  }
 }
