@@ -184,6 +184,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL dedup: filter a new batch against an EXISTING corpus —
+    * the daily-crawl posture, where re-deduplicating 100 TB to admit a
+    * 0.1 TB increment is not an option. A new document survives iff (a)
+    * its exact text does not already exist in the corpus and (b) it has
+    * no verified near-duplicate (Jaccard ≥ threshold) in the corpus.
+    * Within-batch duplicates are the batch operators' job
+    * ([[exactDedup]]/[[minHashNearDups]] over the batch) — this operator
+    * is deliberately one-directional so the two compose.
+    *
+    * Scale shape: the corpus never ships documents — only 16-byte md5
+    * keys (exact anti-join) and its LSH band table (band, sig, id), i.e.
+    * the SIGNATURE INDEX a production pipeline keeps precomputed and
+    * bucketed by (band, sig) so each increment joins against it with
+    * zero corpus-side work. Candidates are verified exactly, texts joined
+    * back only for documents that banded together; survivors come from an
+    * id-only anti-join, so batch bodies move once. */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val exactKeys = corpus
+      .select(md5(col(textCol).cast("binary")).as("text_key")).distinct()
+    val fresh = newDocs
+      .withColumn("text_key", md5(col(textCol).cast("binary")))
+      .join(exactKeys, Seq("text_key"), "left_anti").drop("text_key")
+    def bandsOf(df: DataFrame, as: String) = {
+      val sigs = pin(df.select(col(idCol).as(as),
+          graft.functions.MinHash16.minHash16(col(textCol)).as("mh"))
+        .filter(col("mh").isNotNull))
+      (0 until NumBands).map { b =>
+        val cols = (0 until RowsPerBand)
+          .map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
+        sigs.select(col(as), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+      }.reduce(_ union _)
+    }
+    val cand = bandsOf(fresh, "nid").join(bandsOf(corpus, "cid"), Seq("band", "sig"))
+      .select("nid", "cid").distinct()
+    val matched = cand
+      .join(fresh.select(col(idCol).as("nid"), col(textCol).as("ntxt")), "nid")
+      .join(corpus.select(col(idCol).as("cid"), col(textCol).as("ctxt")), "cid")
+      .select(col("nid"),
+        array_distinct(TextOps.wordTrigramHashes(col("ntxt"))).as("sh1"),
+        array_distinct(TextOps.wordTrigramHashes(col("ctxt"))).as("sh2"))
+      .select(col("nid"), size(array_intersect(col("sh1"), col("sh2"))).as("i"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .filter(round(col("i") / (col("n1") + col("n2") - col("i")), 6)
+        >= threshold)
+      .select(col("nid").as(idCol)).distinct()
+    fresh.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-dup pairs — the step that turns "pairs
     * found" into "documents deduplicated": A~B and B~C place A, B, C in one
     * component even when A≁C directly (transitive closure).

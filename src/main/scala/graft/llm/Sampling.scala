@@ -140,6 +140,36 @@ object Sampling {
       .select(col("a.anchor_id"), col("a.slot"), col("n.anchor_id").as("neg_id"))
   }
 
+  /** TEMPERATURE-based group rebalancing — the multilingual-pretraining
+    * recipe (mT5 / XLM-R: sample group g with probability ∝ n_g^α; α < 1
+    * flattens the size distribution toward low-resource groups, α = 1 is
+    * proportional, α = 0 is uniform-per-group). Given a document budget
+    * B, group g's keep-rate is `min(1, B·n_g^α / (Z·n_g))` with
+    * Z = Σ_h n_h^α, applied as the same deterministic hash-threshold
+    * filter as [[stratifiedSample]] — membership is a pure function of
+    * (id, group counts), so the sample replays and is monotone in B.
+    *
+    * Shape at scale: one group-count aggregate (map-side combined, KB
+    * result, pinned — two consumers), rates broadcast back onto the scan,
+    * per-row fate decided map-side. The float discipline: the rate is
+    * rounded to 9 decimals THEN floored to an integer threshold in both
+    * engines, so `pow`/sum ulp drift cannot move the integer boundary the
+    * hash is compared against. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    val counts = Dedup.pin(
+      df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n")))
+    val z = counts.agg(sum(pow(col("__n"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("__g"),
+        floor(round(least(lit(1.0),
+          lit(budget) * pow(col("__n"), alpha) / (col("__z") * col("__n"))), 9)
+          * lit(4294967296.0d)).cast("bigint").as("__t"))
+    df.join(broadcast(rates), col(groupCol) <=> col("__g"))
+      .filter(hashBucket(col(idCol)) < col("__t"))
+      .drop("__g", "__t")
+  }
+
   /** K-FOLD assignment for cross-validation: `fold = hash(id) mod k` —
     * the same scan-local, join-free, growth-stable contract as
     * [[assignSplit]] (a doc's fold depends only on its id, so folds are

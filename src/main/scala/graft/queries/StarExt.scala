@@ -281,6 +281,42 @@ object StarExt {
       (s, d) => Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
     },
 
+    // INCREMENTAL dedup: admit a new batch (doc_id % 5 = 0) against the
+    // existing corpus (the rest) — exact md5 anti-join, then cross-side
+    // LSH banding + exact-Jaccard verify ≥ 0.7. The corpus ships only its
+    // signature index, never documents. Survivor batch rows pass through.
+    QDef("x_dedup_incremental",
+      s"""WITH $WordShCte,
+         |$MhCte,
+         |$BandsCte,
+         |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |fresh AS (
+         |  SELECT b.* FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.text = b.text)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS nid, b.id AS cid FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.id % 5 = 0 AND b.id % 5 <> 0),
+         |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
+         |inter AS (
+         |  SELECT c.nid, c.cid, count(*) AS i FROM cand c
+         |  JOIN wsh s1 ON s1.id = c.nid
+         |  JOIN wsh s2 ON s2.id = c.cid AND s2.sh = s1.sh
+         |  GROUP BY 1, 2),
+         |matched AS (
+         |  SELECT DISTINCT nid FROM inter
+         |  JOIN sizes n1 ON n1.id = nid
+         |  JOIN sizes n2 ON n2.id = cid
+         |  WHERE round(i / (n1.n + n2.n - i), 6) >= 0.7)
+         |SELECT f.* FROM fresh f
+         |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.nid = f.doc_id)
+         |""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d).documents
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 0.7)
+    },
+
     // SimHash near-dups: 32-bit word-trigram fingerprints, 16-bit-half
     // banding, Hamming ≤ 3.
     QDef("x_dedup_simhash", {
@@ -970,6 +1006,27 @@ object StarExt {
         "lang", Map("en" -> 0.25, "de" -> 0.9, "fr" -> 0.9, "es" -> 0.9, "zh" -> 0.5),
         "doc_id")
         .select(col("doc_id"), col("lang"))
+    },
+
+    // Temperature sampling (mT5/XLM-R n^α recipe): keep-rate per source
+    // ∝ n^α / n against a 200-doc budget, α=0.5 — flattens the source
+    // distribution toward small sources. Rates are data-derived but the
+    // comparison is an INTEGER threshold (round-9 then floor in both
+    // engines), so pow/sum ulp drift can't move the boundary.
+    QDef("x_sample_temperature", {
+      val b = Sampling.hashBucketSql("doc_id")
+      s"""WITH tcnt AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
+         |tz AS (SELECT sum(pow(n, 0.5)) AS z FROM tcnt),
+         |tr AS (
+         |  SELECT g, CAST(floor(round(least(1.0,
+         |    200 * pow(n, 0.5) / (z * n)), 9) * 4294967296.0) AS BIGINT) AS t
+         |  FROM tcnt CROSS JOIN tz)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN tr ON tr.g = d.source
+         |WHERE $b < t""".stripMargin }) { (s, d) =>
+      Sampling.temperatureSample(Tables(s, d).documents, "source", "doc_id",
+        0.5, 200L)
+        .select(col("doc_id"), col("source"))
     },
 
     // Per-key cap: at most 30 docs per language, chosen by hash order —

@@ -87,6 +87,47 @@ class R6OpsSpec extends SparkSpec {
     assert(s1.length === 2)
   }
 
+  val corpusDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog while the calm cat sleeps near the stove"),
+    (3L, "completely different content about database query planning engines and their cost models"))
+    .toDF("doc_id", "text")
+  val batchDocs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog while the calm cat sleeps near the stove"), // exact dup of 1
+    (11L, "the quick brown fox jumps over the lazy dog while the calm cat sleeps near the oven"), // near dup of 1
+    (12L, "entirely novel text describing streaming watermarks and stateful aggregation semantics today"))
+    .toDF("doc_id", "text")
+
+  test("dedupAgainst drops exact and near corpus dups, keeps novel docs") {
+    val out = Dedup.dedupAgainst(batchDocs, corpusDocs, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(12L)) // 10 exact-dropped, 11 near-dropped
+  }
+
+  test("dedupAgainst is one-directional: within-batch dups both survive") {
+    val batch = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(batch, corpusDocs, "doc_id", "text", 0.5)
+    assert(out.count() === 2) // corpus has no match; batch-internal dedup is exactDedup's job
+  }
+
+  test("temperatureSample: alpha<1 saturates the small group, thins the large") {
+    val docs = (0L until 90L).map(i => (i, "big")) ++ (100L until 110L).map(i => (i, "small"))
+    val df = docs.toDF("doc_id", "grp")
+    // rates at B=50, alpha=0.5: r_small = 50*sqrt(10)/(Z*10) > 1 -> capped 1
+    // (all 10 kept, deterministically); r_big ~= 0.417 -> ~37 of 90 kept
+    val out = Sampling.temperatureSample(df, "grp", "doc_id", 0.5, 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "small") === 10)
+    val big = out.count(_._2 == "big")
+    assert(big > 20 && big < 55, s"big kept $big")
+    // budget >= N keeps everything, and the sample replays
+    assert(Sampling.temperatureSample(df, "grp", "doc_id", 0.5, 1000L).count() === 100)
+    val again = Sampling.temperatureSample(df, "grp", "doc_id", 0.5, 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === again.toSet)
+  }
+
   test("dsirWeights of an empty doc is exactly 0") {
     val d = Seq((1L, "x", "tgt"), (2L, "", "raw")).toDF("doc_id", "text", "source")
     val w = Curation.dsirWeights(d, "doc_id", "text", col("source") === "tgt", 8)
