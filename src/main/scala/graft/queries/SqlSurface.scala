@@ -226,6 +226,25 @@ object SqlSurface {
         SELECT doc_id, clean_text,
           CAST(length(text) - length(clean_text) AS BIGINT) AS removed_chars
         FROM stitched""")
+    },
+
+    // Temperature sampling as ONE SQL string: the n^0.5 rate fit, the
+    // round-9-then-floor integer thresholds, and the deterministic pmod
+    // hash filter all through the parser — same DuckDB oracle as the
+    // Dataset-API x_sample_temperature.
+    QDef("x_sql_temperature", StarExt.TemperatureOracle) { (s, d) =>
+      viewed(s, d, "documents")
+      s.sql("""
+        WITH tcnt AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
+        tz AS (SELECT sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM tcnt),
+        tr AS (
+          SELECT g, CAST(floor(round(least(1.0D,
+            200 * power(CAST(n AS DOUBLE), 0.5) / (z * n)), 9)
+            * 4294967296.0D) AS BIGINT) AS t
+          FROM tcnt CROSS JOIN tz)
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN tr ON tr.g = d.source
+        WHERE pmod(pmod(d.doc_id, 2147483648L) * 2654435761L, 4294967296L) < t""")
     }
   )
 }

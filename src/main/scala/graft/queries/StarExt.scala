@@ -205,6 +205,22 @@ object StarExt {
       |  CROSS JOIN vs
       |  GROUP BY 1)""".stripMargin
 
+  /** Shared temperature-sampling oracle (also the SQL-text twin's ground
+    * truth): per-source n^0.5 keep-rates against a 200-doc budget,
+    * compared as round-9-then-floor INTEGER thresholds. */
+  private[queries] val TemperatureOracle: String = {
+    val b = Sampling.hashBucketSql("doc_id")
+    s"""WITH tcnt AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
+       |tz AS (SELECT sum(pow(n, 0.5)) AS z FROM tcnt),
+       |tr AS (
+       |  SELECT g, CAST(floor(round(least(1.0,
+       |    200 * pow(n, 0.5) / (z * n)), 9) * 4294967296.0) AS BIGINT) AS t
+       |  FROM tcnt CROSS JOIN tz)
+       |SELECT d.doc_id, d.source FROM documents d
+       |JOIN tr ON tr.g = d.source
+       |WHERE $b < t""".stripMargin
+  }
+
   private def occSql(kw: String) =
     s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS INT)"
 
@@ -1013,17 +1029,7 @@ object StarExt {
     // distribution toward small sources. Rates are data-derived but the
     // comparison is an INTEGER threshold (round-9 then floor in both
     // engines), so pow/sum ulp drift can't move the boundary.
-    QDef("x_sample_temperature", {
-      val b = Sampling.hashBucketSql("doc_id")
-      s"""WITH tcnt AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
-         |tz AS (SELECT sum(pow(n, 0.5)) AS z FROM tcnt),
-         |tr AS (
-         |  SELECT g, CAST(floor(round(least(1.0,
-         |    200 * pow(n, 0.5) / (z * n)), 9) * 4294967296.0) AS BIGINT) AS t
-         |  FROM tcnt CROSS JOIN tz)
-         |SELECT d.doc_id, d.source FROM documents d
-         |JOIN tr ON tr.g = d.source
-         |WHERE $b < t""".stripMargin }) { (s, d) =>
+    QDef("x_sample_temperature", TemperatureOracle) { (s, d) =>
       Sampling.temperatureSample(Tables(s, d).documents, "source", "doc_id",
         0.5, 200L)
         .select(col("doc_id"), col("source"))

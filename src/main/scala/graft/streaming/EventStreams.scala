@@ -390,6 +390,48 @@ object EventStreams {
   def readForeachBatchOutput(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch")
 
+  /** Streaming ADMISSION CONTROL with a GROWING corpus — the streaming
+    * form of [[graft.llm.Dedup.dedupAgainst]], i.e. continuous-crawl
+    * ingestion: each micro-batch is (1) exact-deduped within itself
+    * (min-id per identical text), (2) admitted against the corpus AS OF
+    * this batch — exact md5 + LSH near-dup, one-directional — and (3) its
+    * survivors are appended to the corpus as partition `inc=<batchId>`,
+    * so a later increment duplicating an earlier admitted document is
+    * rejected. `foreachBatch` is the right vehicle: admission is
+    * inherently a per-increment BATCH decision (the candidate aggregation
+    * inside dedupAgainst would be unbounded state in a pure streaming
+    * plan), and the sink contract gives exactly-once — each batch
+    * OVERWRITES its own partition directory and reads the corpus
+    * EXCLUDING that partition, so a replayed batch reproduces the same
+    * admission decision instead of rejecting itself or double-admitting.
+    * At 100 TB the per-batch corpus re-read is the md5 key set and the
+    * signature index, never documents (see dedupAgainst's scaladoc); both
+    * are exactly what a production pipeline keeps as standing tables. */
+  def admitIncrements(stream: DataFrame, corpusDir: String, idCol: String,
+      textCol: String, threshold: Double, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val firstPerText = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(textCol)).orderBy(col(idCol))
+          val deduped = batch
+            .withColumn("__rn", row_number().over(firstPerText))
+            .filter(col("__rn") === 1).drop("__rn")
+          val corpus = spark.read.parquet(corpusDir)
+            .filter(col("inc") =!= lit(batchId.toString)).drop("inc")
+          graft.llm.Dedup.dedupAgainst(deduped, corpus, idCol, textCol, threshold)
+            .write.mode("overwrite").parquet(s"$corpusDir/inc=$batchId")
+        }
+      }
+      .start()
+
+  /** Read the admitted corpus (seed + all admitted increments). */
+  def admittedCorpus(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.read.parquet(corpusDir).drop("inc")
+
   /** Streaming APPEND into a catalog (DSv2) table through `foreachBatch` —
     * the "stream lands in a governed table" shape: each micro-batch runs
     * the connector's two-phase-commit write via `writeTo(table).append()`,
