@@ -465,6 +465,49 @@ object StarExt {
         .groupBy("predicted").agg(count(lit(1)).as("survivors"))
     },
 
+    // Round-6 curation pipeline composite: LM-perplexity gate (drop the
+    // tail tercile) → exact dedup → temperature n^0.5 rebalance to a
+    // 150-doc budget → per-source doc/token footprint. Every stage is an
+    // engine operator; the oracle replays the full chain (bigram-LM
+    // retrain, cuts, min-id dedup, post-filter rate fit, integer-
+    // threshold sample). Proves the round-6 ops COMPOSE.
+    QDef("x_pipeline_curation", {
+      val b = Sampling.hashBucketSql("kd2.doc_id")
+      s"""WITH $LmNllCtes,
+         |cuts AS (
+         |  SELECT round(quantile_cont(nll, CAST(1 AS DOUBLE)/3), 6) AS t1,
+         |    round(quantile_cont(nll, CAST(2 AS DOUBLE)/3), 6) AS t2
+         |  FROM nlls),
+         |keep AS (
+         |  SELECT doc_id FROM nlls CROSS JOIN cuts WHERE nll <= t2),
+         |kd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY text),
+         |kd2 AS (SELECT kd.* FROM kd JOIN ek USING (doc_id)),
+         |tcnt AS (SELECT source AS g, count(*) AS n FROM kd2 GROUP BY 1),
+         |tz AS (SELECT sum(pow(n, 0.5)) AS z FROM tcnt),
+         |tr AS (
+         |  SELECT g, CAST(floor(round(least(1.0,
+         |    150 * pow(n, 0.5) / (z * n)), 9) * 4294967296.0) AS BIGINT) AS t
+         |  FROM tcnt CROSS JOIN tz),
+         |samp AS (
+         |  SELECT kd2.* FROM kd2 JOIN tr ON tr.g = kd2.source
+         |  WHERE $b < t)
+         |SELECT source, count(*) AS docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+         |FROM samp GROUP BY source""".stripMargin }) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val keep = TextOps.ppxBuckets(docs, "doc_id", "text")
+        .filter(col("bucket") =!= "tail").select(col("id").as("doc_id"))
+      val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+      val deduped = kept.join(
+        Dedup.exactDedup(kept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Sampling.temperatureSample(deduped, "source", "doc_id", 0.5, 150L)
+        .groupBy("source").agg(count(lit(1)).as("docs"),
+          sum(size(TextOps.spaceTokens(col("text")))).cast("bigint").as("toks"))
+    },
+
     // Embedding near-dups: sign-LSH buckets (4 hyperplanes), in-bucket cosine.
     QDef("x_dedup_embedding", {
       val projs = (0 until 4).map { i =>
