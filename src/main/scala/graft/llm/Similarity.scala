@@ -257,6 +257,36 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Prototype-distance filtering (the D4 recipe — "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification",
+    * Tirumala et al. 2023, arXiv:2308.12284): cluster the embedding
+    * space, rank each vector by distance to its own prototype (centroid),
+    * and drop BOTH tails per cluster — the nearest `dropNear` fraction
+    * (template-like redundancy concentrated around the prototype) and the
+    * farthest `dropFar` fraction (outliers/noise). Keeps the diverse
+    * middle band. Returns (vec_id, centroid_id, dist2) for survivors.
+    *
+    * Scale shape: training is [[kmeans]] (pinned), assignment the
+    * map-only broadcast-centroid fold — the ranking window is the only
+    * corpus exchange, partitioned by cluster, so each sort is
+    * |clusterᵢ|-bounded (k scaled √n keeps them executor-sized, the same
+    * lever as [[semDedupPairs]]). Cut points are `floor(p·n)` INTEGER
+    * ranks — both engines compute the identical double product and
+    * floor, so membership is exact, not float-fuzzy. */
+  def prototypeFilter(corpus: DataFrame, k: Int, iters: Int,
+      dropNear: Double, dropFar: Double): DataFrame = {
+    val assigned = ivfAssign(corpus,
+      kmeans(corpus, k, iters).select(col("cluster_id").as("vec_id"), col("embedding")))
+    val byDist = Window.partitionBy("centroid_id")
+      .orderBy(col("dist2"), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(byDist))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("centroid_id")))
+      .filter(col("rk") > floor(lit(dropNear) * col("n")) &&
+        col("rk") <= col("n") - floor(lit(dropFar) * col("n")))
+      .select(col("vec_id"), col("centroid_id"), col("dist2"))
+  }
+
   /** SemDeDup pair finding ("SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then verify

@@ -288,6 +288,32 @@ object VectorQuant {
       Similarity.semDedupPairs(Tables(s, d).embeddings, 4, 2, 0.4)
     },
 
+    // Prototype-distance filtering (D4, arXiv:2308.12284): rank vectors
+    // by distance to their own k-means prototype, drop the nearest 10%
+    // (redundancy around the prototype) and farthest 10% (outliers) per
+    // cluster. Cut points are floor(p*n) INTEGER ranks in both engines.
+    QDef("x_prototype_filter",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.kmeansCtes(4, 2)},
+         |pfa AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      round(sum((v.e - c.c) * (v.e - c.c)), 6) AS d2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(sum((v.e - c.c) * (v.e - c.c)), 6), c.cid) AS rn
+         |    FROM ee v JOIN c2 c ON c.j = v.j
+         |    GROUP BY v.vec_id, c.cid) WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk,
+         |    count(*) OVER (PARTITION BY cid) AS n
+         |  FROM pfa)
+         |SELECT vec_id, cid AS centroid_id, d2 AS dist2 FROM ranked
+         |WHERE rk > floor(0.1 * n) AND rk <= n - floor(0.1 * n)""".stripMargin) {
+      (s, d) =>
+      Similarity.prototypeFilter(Tables(s, d).embeddings, 4, 2, 0.1, 0.1)
+    },
+
     // The SemDeDup CUT: transitive closure of the pairs (recursive CTE in
     // the oracle, pointer-jumping Dedup.clusters in the engine), keep the
     // min-id representative per semantic cluster, pass unpaired vectors

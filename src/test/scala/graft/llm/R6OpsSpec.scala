@@ -34,6 +34,25 @@ class R6OpsSpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("prototypeFilter drops both distance tails per cluster") {
+    // one tight cluster around (1,0) with a far outlier, k=1 so the
+    // cluster structure is trivial and ranks are hand-checkable
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), // prototype-adjacent after training
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.7f, 0.3f)),
+      (4L, Array(-5.0f, 5.0f))) // far outlier
+      .toDF("vec_id", "embedding")
+    val out = Similarity.prototypeFilter(vs, k = 1, iters = 1,
+      dropNear = 0.2, dropFar = 0.2).collect().map(_.getLong(0)).toSet
+    // n=5: drop rank 1 (nearest) and rank 5 (farthest outlier), keep 3
+    assert(out.size === 3)
+    assert(!out.contains(4L)) // the outlier is gone
+    // zero drop fractions pass everything through
+    assert(Similarity.prototypeFilter(vs, 1, 1, 0.0, 0.0).count() === 5)
+  }
+
   val docs = Seq(
     (1L, "a b a b"), // bigrams (a,b)x2, (b,a)x1
     (2L, "a b"), // bigram (a,b)x1
