@@ -245,6 +245,38 @@ object SqlSurface {
         SELECT d.doc_id, d.source FROM documents d
         JOIN tr ON tr.g = d.source
         WHERE pmod(pmod(d.doc_id, 2147483648L) * 2654435761L, 4294967296L) < t""")
+    },
+
+    // The CCNet bigram-LM quality score as ONE SQL string: token filter,
+    // shifted-slice bigrams through HOFs (filter/zip_with/slice in SQL
+    // text), the two count models, and the smoothed NLL — same DuckDB
+    // oracle as the Dataset-API x_text_lm_score.
+    QDef("x_sql_lm_score",
+      s"""WITH ${StarExt.LmNllCtes}
+         |SELECT doc_id, n_bigrams, nll FROM nlls""".stripMargin) { (s, d) =>
+      viewed(s, d, "documents")
+      s.sql("""
+        WITH ft AS (
+          SELECT doc_id, filter(split(text, ' '), x -> x != '') AS t
+          FROM documents),
+        toks AS (SELECT explode(t) AS w FROM ft),
+        uni AS (SELECT w, count(1) AS cw FROM toks GROUP BY w),
+        vs AS (SELECT count(1) AS v FROM uni),
+        bg AS (
+          SELECT doc_id, b.w1, b.w2 FROM (
+            SELECT doc_id, explode(zip_with(
+              slice(t, 1, greatest(size(t) - 1, 0)),
+              slice(t, 2, greatest(size(t) - 1, 0)),
+              (a, b) -> named_struct('w1', a, 'w2', b))) AS b FROM ft)),
+        model AS (SELECT w1, w2, count(1) AS cb FROM bg GROUP BY w1, w2),
+        docbg AS (SELECT doc_id, w1, w2, count(1) AS k
+          FROM bg GROUP BY doc_id, w1, w2)
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+          round(-sum(k * ln((cb + 1) / (cw + v))) / sum(k), 6) AS nll
+        FROM docbg JOIN model USING (w1, w2)
+        JOIN uni ON uni.w = docbg.w1
+        CROSS JOIN vs
+        GROUP BY doc_id""")
     }
   )
 }

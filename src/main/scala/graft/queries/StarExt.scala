@@ -184,7 +184,7 @@ object StarExt {
     * filter, bigram formation, and the smoothing arithmetic mirror the
     * engine expressions exactly (ln over exact integer-count rationals,
     * token-weighted mean rounded to 6). */
-  private val LmNllCtes =
+  private[queries] val LmNllCtes =
     """ft AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents),
