@@ -232,4 +232,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // random (id -> group) maps with skewed group sizes
+  private val groupedDocsGen: Gen[Map[Long, Int]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(0L, 400L), Gen.frequency(
+      5 -> Gen.const(0), 2 -> Gen.const(1), 1 -> Gen.const(2))))
+      .map(_.toMap)
+
+  test("property: temperatureSample is monotone in the budget") {
+    check(Gen.zip(groupedDocsGen, Gen.choose(5L, 25L), Gen.choose(26L, 80L)), 4) {
+      case (docs, b1, b2) =>
+        val df = docs.toSeq.map { case (id, g) => (id, s"g$g") }
+          .toDF("doc_id", "grp")
+        def ids(b: Long) = graft.llm.Sampling
+          .temperatureSample(df, "grp", "doc_id", 0.5, b)
+          .collect().map(_.getLong(0)).toSet
+        val (s1, s2) = (ids(b1), ids(b2))
+        s1.subsetOf(s2) // raising the budget only ever ADDS documents
+    }
+  }
+
+  // pseudo-docs over a tiny vocabulary so near-dups occur by chance
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+  private val corpusBatchGen: Gen[(List[String], List[String])] =
+    Gen.zip(
+      Gen.listOfN(5, Gen.listOfN(12, Gen.choose(0, 7)).map(_.map(vocab).mkString(" "))),
+      Gen.listOfN(8, Gen.listOfN(12, Gen.choose(0, 7)).map(_.map(vocab).mkString(" "))))
+
+  test("property: dedupAgainst admission is closed — re-admitting survivors " +
+      "against the grown corpus admits nothing") {
+    check(corpusBatchGen, 4) { case (corpusTexts, batchTexts) =>
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val admitted = graft.llm.Dedup
+        .dedupAgainst(batch, corpus, "doc_id", "text", 0.6)
+      val grown = corpus.unionByName(admitted)
+      graft.llm.Dedup
+        .dedupAgainst(admitted, grown, "doc_id", "text", 0.6).count() == 0L
+    }
+  }
+
+  test("property: prototypeFilter shrinks monotonically with the drop fractions") {
+    check(Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-10, 10))), 4) { raw =>
+      val vs = raw.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat / 10f).toArray) }
+        .toDF("vec_id", "embedding")
+      def ids(p: Double) = graft.llm.Similarity
+        .prototypeFilter(vs, k = 2, iters = 1, dropNear = p, dropFar = p)
+        .collect().map(_.getLong(0)).toSet
+      val (all, some) = (ids(0.0), ids(0.25))
+      all.size == 24 && some.subsetOf(all) && some.size < 24
+    }
+  }
 }
