@@ -105,6 +105,44 @@ object TextOps {
       (acc, h) => transform(acc, (v, i) => when(i.cast("bigint") === h, v + 1L).otherwise(v)))
   }
 
+  /** Gopher-style composite quality GATE with audit reasons ("Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * Rae et al. 2021, Table A1's document-filter family): token-count
+    * range, most-frequent-token share (repetition), mean word length
+    * band, and stopword presence — each failed rule contributes its name
+    * to a `reasons` string, `keep = (reasons = '')`. Emitting the
+    * reasons, not just the verdict, is the part a production pipeline
+    * needs: filter-rate dashboards are per-rule, and a rule misfiring on
+    * a domain shows up as its reason spiking.
+    *
+    * All four signals are IN-ROW (one pass over the token array, the
+    * top-share via a nested HOF over the distinct tokens — O(n·distinct)
+    * per document, zero shuffle, no explode): the corpus is scanned once
+    * and nothing moves. Rule comparisons run on exact int/int divisions
+    * (IEEE-identical across engines); the reported columns round to 6. */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 25, maxTokens: Int = 10000,
+      maxTopShare: Double = 0.12): DataFrame = {
+    val ft = spaceTokens(col(textCol))
+    val n = size(ft)
+    val sumLen = aggregate(transform(ft, t => length(t).cast("bigint")),
+      lit(0L), (a, b) => a + b)
+    val meanLen = sumLen.cast("double") / n
+    val topC = array_max(transform(array_distinct(ft),
+      w => size(filter(ft, x => x === w))))
+    val topShare = topC.cast("double") / n
+    val theCount = occurrences(col(textCol), " the ")
+    docs.select(col(idCol), n.as("n_tokens"),
+      round(topShare, 6).as("top_share"),
+      round(meanLen, 6).as("mean_word_len"),
+      concat_ws(",",
+        when(n < minTokens || n > maxTokens, lit("tokens")),
+        when(topShare > maxTopShare, lit("repetition")),
+        when(meanLen < 3.0 || meanLen > 10.0, lit("word_len")),
+        when(theCount < 1, lit("stopwords"))).as("reasons"))
+      .withColumn("keep", col("reasons") === "")
+  }
+
   /** Hashed n-gram bucket ids (unigrams + bigrams) in [0, dim) — the DSIR
     * feature space ("Data Selection for Language Models via Importance
     * Resampling", Xie et al. 2023, arXiv:2302.03169 §3: hashed n-grams into

@@ -465,6 +465,40 @@ object StarExt {
         .groupBy("predicted").agg(count(lit(1)).as("survivors"))
     },
 
+    // Gopher-rules composite gate (Rae et al. 2021): token range, top-
+    // word share, mean-word-length band, stopword presence — per-doc
+    // keep verdict + comma-joined failed-rule reasons (the auditability
+    // a production filter needs). All signals in-row, zero shuffle.
+    QDef("x_quality_gopher",
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS top_c,
+         |    CAST(sum(length(tok) * c) AS BIGINT) AS sum_len
+         |  FROM wc GROUP BY 1),
+         |g AS (
+         |  SELECT st.doc_id, CAST(n AS INT) AS n_tokens,
+         |    CAST(top_c AS DOUBLE) / n AS tops,
+         |    CAST(sum_len AS DOUBLE) / n AS ml,
+         |    ${occSql(" the ")} AS the_c
+         |  FROM st JOIN documents USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, n_tokens, tops, ml,
+         |    concat_ws(',',
+         |      CASE WHEN n_tokens < 25 OR n_tokens > 10000 THEN 'tokens' END,
+         |      CASE WHEN tops > 0.12 THEN 'repetition' END,
+         |      CASE WHEN ml < 3.0 OR ml > 10.0 THEN 'word_len' END,
+         |      CASE WHEN the_c < 1 THEN 'stopwords' END) AS reasons
+         |  FROM g)
+         |SELECT doc_id, n_tokens, round(tops, 6) AS top_share,
+         |  round(ml, 6) AS mean_word_len, reasons,
+         |  reasons = '' AS keep
+         |FROM r""".stripMargin) { (s, d) =>
+      TextOps.gopherGate(Tables(s, d).documents, "doc_id", "text")
+    },
+
     // Round-6 curation pipeline composite: LM-perplexity gate (drop the
     // tail tercile) → exact dedup → temperature n^0.5 rebalance to a
     // 150-doc budget → per-source doc/token footprint. Every stage is an

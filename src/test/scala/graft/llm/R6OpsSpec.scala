@@ -34,6 +34,26 @@ class R6OpsSpec extends SparkSpec {
     assert(out.count() === 4)
   }
 
+  test("gopherGate: each rule fires alone and reasons accumulate") {
+    val d = Seq(
+      (1L, ("the quick brown fox jumps over lazy dogs near " * 3).trim), // 27 toks, has 'the' -> keep
+      (2L, "the tiny doc here"), // too few tokens
+      (3L, "the " + ("spam " * 30).trim), // repetition (spam share ~0.97)
+      (4L, ("a b c d " * 8).trim + " the end padding words making tokens pass extra filler now ok")) // short words
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherGate(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(5), r.getString(4)))).toMap
+    assert(out(1L) === ((true, "")))
+    assert(out(2L)._2.contains("tokens"))
+    assert(out(3L)._2.contains("repetition"))
+    assert(out(4L)._2.contains("word_len"))
+    // a doc failing several rules lists them all, comma-joined in rule order
+    val multi = TextOps.gopherGate(
+      Seq((9L, "zz zz zz")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.getString(4)
+    assert(multi === "tokens,repetition,word_len,stopwords")
+  }
+
   test("prototypeFilter drops both distance tails per cluster") {
     // one tight cluster around (1,0) with a far outlier, k=1 so the
     // cluster structure is trivial and ranks are hand-checkable
