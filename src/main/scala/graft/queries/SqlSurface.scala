@@ -277,6 +277,66 @@ object SqlSurface {
         JOIN uni ON uni.w = docbg.w1
         CROSS JOIN vs
         GROUP BY doc_id""")
+    },
+
+    // DSIR importance weights as ONE SQL string: hashed unigram+bigram
+    // features through nested HOF lambdas, the two add-one multinomials
+    // with a sequence() bucket spine, nano-nat quantization, and the
+    // integer-space nano->micro rounding — same DuckDB oracle as the
+    // Dataset-API x_dsir_weights.
+    QDef("x_sql_dsir", {
+      s"""WITH ${TrainPrep.DsirCtes}
+         |SELECT doc_id, logw FROM dwts""".stripMargin }) { (s, d) =>
+      viewed(s, d, "documents")
+      s.sql("""
+        WITH ft AS (
+          SELECT doc_id, source, filter(split(text, ' '), x -> x != '') AS t
+          FROM documents),
+        fb AS (
+          SELECT doc_id, source = 'src0' AS is_t,
+            concat(
+              transform(t, tok ->
+                (CAST(ascii(substr(concat(tok, '___'), 1, 1))*65536
+                  + ascii(substr(concat(tok, '___'), 2, 1))*256
+                  + ascii(substr(concat(tok, '___'), 3, 1)) AS BIGINT)
+                  + CAST(length(tok) AS BIGINT)*16777216) % 64),
+              zip_with(
+                slice(t, 1, greatest(size(t) - 1, 0)),
+                slice(t, 2, greatest(size(t) - 1, 0)),
+                (a, b) ->
+                  (((CAST(ascii(substr(concat(a, '___'), 1, 1))*65536
+                    + ascii(substr(concat(a, '___'), 2, 1))*256
+                    + ascii(substr(concat(a, '___'), 3, 1)) AS BIGINT)
+                    + CAST(length(a) AS BIGINT)*16777216) * 1000003L
+                   + (CAST(ascii(substr(concat(b, '___'), 1, 1))*65536
+                    + ascii(substr(concat(b, '___'), 2, 1))*256
+                    + ascii(substr(concat(b, '___'), 3, 1)) AS BIGINT)
+                    + CAST(length(b) AS BIGINT)*16777216))
+                   % 2147483647L) % 64)) AS buckets
+          FROM ft),
+        feats AS (SELECT doc_id, is_t, explode(buckets) AS j FROM fb),
+        cnt AS (
+          SELECT j, sum(CASE WHEN is_t THEN 1L ELSE 0L END) AS tc,
+            sum(CASE WHEN is_t THEN 0L ELSE 1L END) AS rc
+          FROM feats GROUP BY j),
+        spine AS (SELECT explode(sequence(0L, 63L)) AS j),
+        fill AS (
+          SELECT s.j, coalesce(tc, 0L) AS tc, coalesce(rc, 0L) AS rc
+          FROM spine s LEFT JOIN cnt ON cnt.j = s.j),
+        tot AS (SELECT sum(tc) AS tn, sum(rc) AS rn FROM fill),
+        lr AS (
+          SELECT j, CAST(round((ln(CAST(tc + 1 AS DOUBLE) / (tn + 64))
+            - ln(CAST(rc + 1 AS DOUBLE) / (rn + 64))) * 1e9) AS BIGINT) AS lrn
+          FROM fill CROSS JOIN tot)
+        SELECT d.doc_id,
+          CAST(round(coalesce(sum(lrn), 0L) / 1000.0D) AS BIGINT) / 1000000.0D
+            AS logw
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, j FROM feats WHERE NOT is_t) f
+          ON f.doc_id = d.doc_id
+        LEFT JOIN lr ON lr.j = f.j
+        WHERE NOT (d.source = 'src0')
+        GROUP BY d.doc_id""")
     }
   )
 }

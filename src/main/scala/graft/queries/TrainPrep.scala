@@ -100,7 +100,7 @@ object TrainPrep {
     * cells), per-bucket log ratios rounded to 9 (libm parity), and
     * per-raw-doc weights `dwts(doc_id, logw)` rounded to 6 — the exact
     * replay of [[graft.llm.Curation.dsirWeights]]. */
-  private val DsirCtes =
+  private[queries] val DsirCtes =
     s"""dft AS (
        |  SELECT doc_id, source = '$DsirTarget' AS is_t,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
