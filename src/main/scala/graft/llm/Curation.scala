@@ -204,6 +204,80 @@ object Curation {
       .select("doc_id", "grp", "rn", "position")
   }
 
+  /** TOKEN-BUDGET selection: keep the highest-quality documents whose
+    * cumulative token count fits a global budget — the greedy prefix of
+    * the corpus under the total order (score DESC, id ASC). This is the
+    * "select the best N-billion tokens" step that follows scoring in a
+    * curation pipeline (quality-classifier selection as in GPT-3/CCNet
+    * pipelines; the prefix form of top-k under a token — not document —
+    * budget).
+    *
+    * The NAIVE plan is a global window cumsum over (score DESC, id) —
+    * a single-partition sort of the corpus, the exact funnel a 100 TB run
+    * cannot contain. This implementation is the two-pass histogram form
+    * of the same EXACT semantics:
+    *
+    *  1. quantize the score into `floor(score · bins)` — a BOUNDED key
+    *     space (≤ bins+1 cells regardless of corpus size) that is
+    *     MONOTONE in score, so bin order refines to score order and no
+    *     tie in exact score can cross a bin edge. One map-side-combined
+    *     aggregate → per-bin token totals (a KB frame).
+    *  2. prefix-sum the KB histogram (window over ≤ bins rows — the only
+    *     unpartitioned window, and it never sees corpus rows), classify
+    *     each bin: fully-kept (everything above it plus itself fits),
+    *     fully-dropped, or THE boundary bin (at most one straddles the
+    *     budget). Broadcast the ≤ bins-row verdict table.
+    *  3. fully-kept bins pass map-side on a fresh scan — no sort, no
+    *     shuffle. Only the boundary bin's documents (≈ corpus/bins worst
+    *     case) flow through an exact per-bin window ordered by
+    *     (score DESC, id) to take the prefix that fills the residual.
+    *
+    * The kept SET equals the naive global prefix exactly: bins partition
+    * the score axis, so every document of a higher bin precedes every
+    * document of a lower bin in (score DESC, id) order, and within the
+    * boundary bin the window replays the global order verbatim. If the
+    * boundary bin itself is too large to sort in one task, re-run the
+    * histogram inside it with finer bins — the recursion divides the
+    * residual by `bins` each level (documented in SCALE.md; one level is
+    * enough at any realistic skew: 100 TB / 1000 bins = 100 GB boundary).
+    *
+    * Null scores are excluded (a doc that cannot be ranked cannot be
+    * selected). Two corpus scans (verdict join + boundary pass share the
+    * first), both pure map-side — cheaper at scale than persisting the
+    * scored corpus to skip one columnar re-read.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+      tokCol: String, budget: Long, bins: Int = 1000): DataFrame = {
+    val d = docs
+      .select(col(idCol).as("doc_id"), col(scoreCol).as("score"),
+        col(tokCol).cast("bigint").as("toks"))
+      .filter(col("score").isNotNull)
+      .withColumn("__bin", floor(col("score") * bins).cast("bigint"))
+    val hist = d.groupBy("__bin").agg(sum("toks").as("__bt"))
+    // KB window: one row per occupied bin, never corpus rows
+    val before = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = hist
+      .withColumn("__before", coalesce(sum("__bt").over(before), lit(0L)))
+      .select(col("__bin").as("__b"), col("__before"),
+        (col("__before") + col("__bt") <= budget).as("__all"),
+        (col("__before") < budget && col("__before") + col("__bt") > budget)
+          .as("__bnd"))
+    val joined = d.join(broadcast(verdict), col("__bin") === col("__b"))
+    val keepAll = joined.filter(col("__all"))
+      .select("doc_id", "score", "toks")
+    // exact prefix inside the one straddling bin — window partitioned by
+    // the bin key, so it is NOT a global sort even here
+    val inBin = Window.partitionBy("__bin")
+      .orderBy(desc("score"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("__bnd"))
+      .withColumn("__cum", col("__before") + sum("toks").over(inBin))
+      .filter(col("__cum") <= budget)
+      .select("doc_id", "score", "toks")
+    keepAll.unionByName(boundary)
+  }
+
   /** Post-mix audit: per-group kept-document and token totals vs budget. */
   def mixStats(mixed: DataFrame): DataFrame =
     mixed.groupBy("grp", "grp_budget")

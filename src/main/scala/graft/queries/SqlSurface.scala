@@ -337,6 +337,45 @@ object SqlSurface {
         LEFT JOIN lr ON lr.j = f.j
         WHERE NOT (d.source = 'src0')
         GROUP BY d.doc_id""")
+    },
+
+    // Token-budget selection as ONE SQL string — the same two-pass
+    // histogram shape as Curation.budgetSelect (bounded floor(score·1000)
+    // bins, KB prefix-sum window, boundary-bin-only exact sort) pushed
+    // through the parser: CTEs, window frames over the histogram, a
+    // partitioned window inside the straddling bin, UNION ALL of the two
+    // keep paths. Same DuckDB oracle (naive global cumsum) as
+    // x_budget_select — the set equality is the point.
+    QDef("x_sql_budget", TrainPrep.BudgetOracle) { (s, d) =>
+      viewed(s, d, "documents")
+      s.sql("""
+        WITH sc AS (
+          SELECT doc_id,
+            round(CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INT)
+                / size(filter(split(text, ' '), x -> x != '')) * 0.5
+              + least(CAST(length(text) AS DOUBLE) / 1000, 1.0D) * 0.5, 6) AS score,
+            CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT) AS toks
+          FROM documents),
+        d AS (
+          SELECT doc_id, score, toks, CAST(floor(score * 1000) AS BIGINT) AS bin
+          FROM sc WHERE score IS NOT NULL),
+        h AS (SELECT bin, sum(toks) AS bt FROM d GROUP BY bin),
+        v AS (
+          SELECT bin, bt, coalesce(sum(bt) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS bef
+          FROM h),
+        m AS (
+          SELECT bin, bef, bef + bt <= 9000 AS keep_all,
+            bef < 9000 AND bef + bt > 9000 AS bnd
+          FROM v)
+        SELECT doc_id, score, toks FROM d JOIN m USING (bin) WHERE keep_all
+        UNION ALL
+        SELECT doc_id, score, toks FROM (
+          SELECT d.doc_id, d.score, d.toks,
+            bef + sum(toks) OVER (PARTITION BY bin ORDER BY score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d JOIN m USING (bin) WHERE bnd)
+        WHERE cum <= 9000""")
     }
   )
 }

@@ -221,7 +221,7 @@ object StarExt {
        |WHERE $b < t""".stripMargin
   }
 
-  private def occSql(kw: String) =
+  private[queries] def occSql(kw: String) =
     s"CAST((length(text) - length(replace(text, '$kw', ''))) / ${kw.length} AS INT)"
 
   private val WordHashSql =

@@ -18,6 +18,31 @@ object TrainPrep {
   /** Context-window size for both packing layouts (tokens). */
   private val WindowSize = 128
 
+  /** Global token budget for x_budget_select — ≈ a third of the sf0.01
+    * corpus (27k whitespace tokens), so full-keep bins, the boundary bin,
+    * and dropped bins all occur at every driver SF. */
+  private[queries] val BudgetTokens = 9000L
+
+  /** DuckDB oracle for token-budget selection — shared with the SQL-text
+    * twin `x_sql_budget` (SqlSurface). The oracle replays the NAIVE
+    * global-cumsum form; the engine's histogram form selects the same set
+    * by construction (bin key monotone in score). Window sum CAST back to
+    * BIGINT (DuckDB HUGEINT — the x_pack_chunks lesson). */
+  private[queries] val BudgetOracle: String = {
+    val nTok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    val quality = s"round(${StarExt.occSql(" the ")} / $nTok * 0.5" +
+      s" + least(CAST(length(text) AS DOUBLE) / 1000, 1.0) * 0.5, 6)"
+    s"""WITH s AS (
+       |  SELECT doc_id, $quality AS score, CAST($nTok AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, score, toks,
+       |    CAST(sum(toks) OVER (ORDER BY score DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM s WHERE score IS NOT NULL)
+       |SELECT doc_id, score, toks FROM c WHERE cum <= $BudgetTokens""".stripMargin
+  }
+
   /** DuckDB oracle for concat-and-chunk packing — shared with the SQL-text
     * twin `x_sql_pack_chunks` (SqlSurface). DuckDB `sum() OVER` returns
     * HUGEINT (int128) where Spark writes BIGINT and the driver hash is
@@ -215,6 +240,21 @@ object TrainPrep {
          |FROM dwts ORDER BY score DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
       Curation.dsirResample(Tables(s, d).documents, "doc_id", "text",
         col("source") === DsirTarget, DsirDim, 50)
+    },
+
+    // Token-budget selection (Curation.budgetSelect): the greedy
+    // highest-quality-first prefix under a 9000-token global budget. The
+    // engine runs the two-pass histogram form (bounded floor(score·1000)
+    // bins, KB prefix-sum window, broadcast verdicts, exact sort only
+    // inside the one boundary bin); the oracle replays the NAIVE global
+    // cumsum — the two are provably the same set because the bin key is
+    // monotone in score and score ties cannot cross a bin edge. Window
+    // sums CAST back to BIGINT (DuckDB HUGEINT, the x_pack_chunks lesson).
+    QDef("x_budget_select", BudgetOracle) { (s, d) =>
+      val scored = Tables(s, d).documents.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).as("t"))
+      Curation.budgetSelect(scored, "doc_id", "q", "t", BudgetTokens)
     },
 
     // Gopher-style repetition profile: distinct-token ratio and top

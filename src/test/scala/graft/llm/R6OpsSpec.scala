@@ -173,4 +173,56 @@ class R6OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w === Map(2L -> 0.0))
   }
+
+  // --- budgetSelect: histogram form vs the naive greedy prefix ---
+
+  /** Naive reference: cumulative sum over (score DESC, id ASC). */
+  private def naivePrefix(rows: Seq[(Long, Double, Long)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, _, t) =>
+      cum += t; if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  test("budgetSelect equals the naive global prefix, boundary bin included") {
+    // scores engineered so one bin (0.105 & 0.1051 share floor(s*1000)=105)
+    // straddles the budget and needs the exact in-bin prefix
+    val rows = Seq(
+      (1L, 0.9, 40L), (2L, 0.5, 30L), (3L, 0.105, 20L), (4L, 0.1051, 25L),
+      (5L, 0.1, 50L), (6L, 0.05, 10L))
+    val df = rows.toDF("doc_id", "score", "toks")
+    for (budget <- Seq(0L, 39L, 40L, 95L, 100L, 114L, 120L, 175L, 500L)) {
+      val got = Curation.budgetSelect(df, "doc_id", "score", "toks", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === naivePrefix(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("budgetSelect: score ties break by id, null scores excluded") {
+    val df = Seq((10L, Some(0.2), 5L), (2L, Some(0.2), 5L), (7L, Some(0.2), 5L),
+      (99L, None, 5L)).toDF("doc_id", "score", "toks")
+    val got = Curation.budgetSelect(df, "doc_id", "score", "toks", 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 7L)) // id order within the tied score
+  }
+
+  test("budgetSelect plan: histogram broadcast, no corpus-wide global sort") {
+    val df = (1L to 100L).map(i => (i, i / 1000.0, 3L)).toDF("doc_id", "score", "toks")
+    val plan = Curation.budgetSelect(df, "doc_id", "score", "toks", 50L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange")) // bin verdicts onto the scan
+    // the only unpartitioned exchanges are the KB histogram prefix-sum
+    // window (fed by the bin aggregate, never corpus rows) — it prints
+    // once per union branch pre-AQE; runtime exchange reuse collapses them
+    val sp = plan.linesIterator.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).toSeq
+    assert(sp.size <= 2)
+    // each such exchange consumes the bin aggregate, not corpus rows
+    val lines = plan.linesIterator.toVector
+    sp.foreach { case (_, i) =>
+      assert(lines.drop(i + 1).take(6).exists(_.contains("HashAggregate")),
+        s"SinglePartition exchange at line $i not fed by the histogram aggregate")
+    }
+    // ...while the boundary bin's exact window is hash-partitioned
+    assert(plan.contains("hashpartitioning(__bin"))
+  }
 }
