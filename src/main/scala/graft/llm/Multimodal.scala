@@ -211,6 +211,40 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** NEAR-duplicate variant of [[synthPatternPngTable]]: same block
+    * formula, but images with `id % 11 == 0` get block `id % 32` dimmed
+    * by 37 — a LOCAL edit (one logo/watermark block changed), so the
+    * perturbed image's aHash differs from its id%7 siblings' in the
+    * edited bit plus any blocks the −37/32 mean shift drags across the
+    * threshold: a genuinely NONZERO, small Hamming distance. All values
+    * stay in [3, 225] (no clamping) and PNG is lossless, so a SQL oracle
+    * replays every pixel, the exact dyadic mean, and each threshold bit. */
+  def synthNearDupPngTable(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.map { id =>
+          val g = (id % 7).toInt
+          val off = ((id / 7) % 3).toInt
+          val img = new java.awt.image.BufferedImage(32, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gr = img.createGraphics()
+          for (by <- 0 until 4; bx <- 0 until 8) {
+            val i = by * 8 + bx
+            val dim = if (id % 11 == 0 && i == (id % 32).toInt) 37 else 0
+            val v = 40 + g * 20 + ((i * 37 + g * 11) % 64) + off - dim
+            gr.setColor(new java.awt.Color(v, v, v))
+            gr.fillRect(bx * 4, by * 4, 4, 4)
+          }
+          gr.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
   /** 32-bit AVERAGE HASH (aHash) from REAL decoded pixels: partition the
     * image into an 8×4 block grid, bit i set iff block i's gray level
     * exceeds the image mean. The perceptual-dedup property under test:
@@ -244,6 +278,56 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "decoded", "phash")
+  }
+
+  /** PERCEPTUAL image near-dup summary — the image-modality member of the
+    * dedup family (text has MinHash/SimHash, embeddings have sign-LSH;
+    * this is the same banded-LSH shape over [[imageAHash]] bits). Bands
+    * the 32-bit aHash into four 8-bit slices and self-joins per slice:
+    * by pigeonhole, any pair within Hamming ≤ 3 shares at least one
+    * intact band, so for `maxHamming ≤ 3` the banding is EXACT, not
+    * approximate — candidates shrink by the band-bucket selectivity while
+    * recall stays 1.0. Candidates verify on the full 32-bit Hamming
+    * distance, then fold to one row per image: the min-id neighbor as the
+    * cluster representative and the neighbor count (on near-dup CLIQUES —
+    * re-encodes/brightness shifts of one source — min-neighbor equals the
+    * component min; for chained duplicates feed the pair list into
+    * [[Dedup.clusters]] exactly like the text path).
+    *
+    * Shape at 100 TB: decode + hash are scan-local mapPartitions
+    * (per-partition codec init); the hashed frame is 12 bytes/image and
+    * pinned ([[Dedup.pin]] — consumed by both join sides and the final
+    * left join); the self-join shuffles on (band, sig) — 1/4 of hash
+    * bytes per row × 4 replicas — never payload bytes; `bit_count(a^b)`
+    * is codegen'd integer arithmetic. Payloads are read ONCE, at the scan.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    require(maxHamming <= 3, s"4x8-bit banding is exact only to Hamming 3")
+    val hashed = Dedup.pin(imageAHash(media).filter(col("decoded"))
+      .select(col("media_id").as("id"), col("phash")))
+    val bands = hashed.select(col("id"), col("phash"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("sig"))): _*))
+      .as("bs"))
+      .select(col("id"), col("phash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = bands.as("l"); val r = bands.as("r")
+    val pairs = l.join(r, col("l.band") === col("r.band")
+        && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("d1"), col("r.id").as("d2"),
+        bit_count(expr("l.phash ^ r.phash")).as("hamming"))
+      .distinct() // a pair found by several bands collapses before the filter
+      .filter(col("hamming") <= maxHamming)
+    // one-pass symmetrization (explode, not union — the r5 lesson)
+    val nbrs = pairs.select(explode(array(
+        struct(col("d1").as("id"), col("d2").as("nb")),
+        struct(col("d2").as("id"), col("d1").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
+    hashed.join(nbrs, Seq("id"), "left")
+      .groupBy("id")
+      .agg(least(col("id"), coalesce(min(col("nb")), col("id"))).as("rep"),
+        count(col("nb")).as("n_nbrs"))
+      .select(col("id").as("media_id"), col("rep"), col("n_nbrs"))
   }
 
   /** Deterministic PNG fixture corpus for the image-decode oracle: every

@@ -1258,6 +1258,53 @@ object StarExt {
         .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keep_id"))
     },
 
+    // PERCEPTUAL image NEAR-dup (Multimodal.imageNearDups): 4×8-bit
+    // banded self-join over real-decode aHashes — exact to Hamming ≤ 3 by
+    // pigeonhole — on the perturbed-pattern corpus where id%11 images
+    // carry one dimmed block (a local watermark-style edit): byte dedup
+    // sees distinct files, exact-hash dedup (x_mm_phash) sees distinct
+    // hashes, only the Hamming band recovers the pair. The oracle replays
+    // pixels → exact dyadic mean → threshold bits → band join → popcount
+    // verify, all in integer arithmetic.
+    QDef("x_mm_neardup",
+      """WITH pe AS (
+        |  SELECT doc_id, unnest(generate_series(0, 31)) AS i FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |    40 + (doc_id % 7) * 20 + ((i * 37 + (doc_id % 7) * 11) % 64)
+        |      + (doc_id // 7) % 3
+        |      - CASE WHEN doc_id % 11 = 0 AND i = doc_id % 32
+        |             THEN 37 ELSE 0 END AS v
+        |  FROM pe),
+        |m AS (SELECT doc_id, sum(v) / 32.0 AS mv FROM b GROUP BY 1),
+        |h AS (
+        |  SELECT b.doc_id AS id,
+        |    CAST(sum(CASE WHEN v > mv THEN CAST(1 AS BIGINT) << i
+        |      ELSE 0 END) AS BIGINT) AS ph
+        |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1),
+        |bands AS (
+        |  SELECT id, ph, band, (ph >> (band * 8)) & 255 AS sig
+        |  FROM h, unnest(generate_series(0, 3)) u(band)),
+        |pairs AS (
+        |  SELECT DISTINCT l.id AS d1, r.id AS d2,
+        |    bit_count(xor(l.ph, r.ph)) AS hamming
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+        |  WHERE bit_count(xor(l.ph, r.ph)) <= 3),
+        |nbrs AS (
+        |  SELECT d1 AS id, d2 AS nb FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs)
+        |SELECT h.id AS media_id,
+        |  CAST(least(h.id, coalesce(min(nb), h.id)) AS BIGINT) AS rep,
+        |  CAST(count(nb) AS BIGINT) AS n_nbrs
+        |FROM h LEFT JOIN nbrs ON nbrs.id = h.id
+        |GROUP BY h.id""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      val media = Multimodal.synthNearDupPngTable(
+        Tables(s, d).documents.select(col("doc_id")))
+      Multimodal.imageNearDups(media, maxHamming = 3)
+    },
+
     // REAL audio decode (javax.sound) over a deterministic WAV corpus:
     // constant dyadic-amplitude 16-bit PCM, so format parameters AND the
     // RMS are exactly predictable (every intermediate a small integer over
