@@ -40,6 +40,56 @@ object Curation {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** FUZZY eval-set decontamination: training documents with a verified
+    * MinHash near-duplicate (exact trigram Jaccard ≥ threshold) in the
+    * held-out slice — the near-match complement of [[contamination]]'s
+    * exact n-gram report. Exact overlap catches verbatim benchmark leaks;
+    * this catches the paraphrased/re-wrapped copies (whitespace edits,
+    * shuffled boilerplate) that weaken an eval without sharing enough
+    * literal n-grams to trip the exact gate. Returns one row per
+    * contaminated training doc: match count and max Jaccard.
+    *
+    * Scale shape — deliberately DIFFERENT from [[Dedup.dedupAgainst]]'s
+    * corpus-vs-batch posture: the eval side is benchmarks (thousands of
+    * docs against billions), so its band table AND its texts broadcast;
+    * the corpus discovers candidates map-side on its own scan, and only
+    * the candidate train docs (a sliver when banding is selective) carry
+    * their trigram sets into the exact verify. The corpus never shuffles
+    * to find candidates — the one shuffle is the per-doc match aggregate.
+    */
+  def fuzzyContamination(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, threshold: Double): DataFrame = {
+    def bandsOf(df: DataFrame, as: String) = {
+      val sigs = Dedup.pin(df.select(col(idCol).as(as),
+          graft.functions.MinHash16.minHash16(col(textCol)).as("mh"))
+        .filter(col("mh").isNotNull))
+      (0 until Dedup.NumBands).map { b =>
+        val cols = (0 until Dedup.RowsPerBand)
+          .map(r => element_at(col("mh"), b * Dedup.RowsPerBand + r + 1))
+        sigs.select(col(as), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
+      }.reduce(_ union _)
+    }
+    val ev = docs.filter(isEval)
+    val tr = docs.filter(!isEval)
+    val cand = bandsOf(tr, "doc_id")
+      .join(broadcast(bandsOf(ev, "eid")), Seq("band", "sig"))
+      .select("doc_id", "eid").distinct()
+    val evTxt = ev.select(col(idCol).as("eid"), col(textCol).as("etxt"))
+    val trTxt = tr.select(col(idCol).as("doc_id"), col(textCol).as("ttxt"))
+    cand.join(broadcast(evTxt), "eid").join(trTxt, "doc_id")
+      .select(col("doc_id"), col("eid"),
+        array_distinct(TextOps.wordTrigramHashes(col("ttxt"))).as("s1"),
+        array_distinct(TextOps.wordTrigramHashes(col("etxt"))).as("s2"))
+      .select(col("doc_id"), col("eid"),
+        size(array_intersect(col("s1"), col("s2"))).as("i"),
+        size(col("s1")).as("n1"), size(col("s2")).as("n2"))
+      .select(col("doc_id"), col("eid"),
+        round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("max_jaccard"))
+  }
+
   /** DSIR bucket log-likelihood ratios ("Data Selection for Language Models
     * via Importance Resampling", Xie et al. 2023, arXiv:2302.03169): fit two
     * add-one-smoothed multinomials over the hashed n-gram buckets

@@ -98,7 +98,7 @@ object StarExt {
        |  FROM wsh GROUP BY id)""".stripMargin
   }
 
-  private val BandsCte = {
+  private[queries] val BandsCte = {
     val bands = (0 until Dedup.NumBands).map { b =>
       val sig = (0 until Dedup.RowsPerBand)
         .map(r => s"CAST(m${b * Dedup.RowsPerBand + r} AS VARCHAR)")

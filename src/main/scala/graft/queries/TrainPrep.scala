@@ -217,6 +217,41 @@ object TrainPrep {
         col("doc_id") % 97 === 0)
     },
 
+    // FUZZY decontamination (Curation.fuzzyContamination): train docs
+    // with a verified MinHash near-duplicate (trigram Jaccard >= 0.7) in
+    // the doc_id % 5 = 3 held-out slice — catches the paraphrased leaks
+    // the exact-ngram gate above can't. Eval bands + texts broadcast;
+    // candidates discovered map-side on the corpus scan. The oracle
+    // replays the same 16-hash signatures, 4x4 banding, and exact-Jaccard
+    // verify as the x_dedup_minhash_lsh oracle, restricted to cross-split
+    // candidate pairs.
+    QDef("x_contamination_fuzzy",
+      s"""WITH ${StarExt.WordShCte},
+         |${StarExt.MhCte},
+         |${StarExt.BandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.id AS did, b.id AS eid FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.id % 5 <> 3 AND b.id % 5 = 3),
+         |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
+         |inter AS (
+         |  SELECT c.did, c.eid, count(*) AS i FROM cand c
+         |  JOIN wsh s1 ON s1.id = c.did
+         |  JOIN wsh s2 ON s2.id = c.eid AND s2.sh = s1.sh
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT did, eid, round(i / (n1.n + n2.n - i), 6) AS j
+         |  FROM inter
+         |  JOIN sizes n1 ON n1.id = did
+         |  JOIN sizes n2 ON n2.id = eid
+         |  WHERE round(i / (n1.n + n2.n - i), 6) >= 0.7)
+         |SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+         |  max(j) AS max_jaccard
+         |FROM jac GROUP BY 1""".stripMargin) { (s, d) =>
+      Curation.fuzzyContamination(Tables(s, d).documents, "doc_id", "text",
+        col("doc_id") % 5 === 3, 0.7)
+    },
+
     // DSIR importance weights (arXiv:2302.03169): add-one multinomials
     // over hashed unigram+bigram buckets, p̂ from the src0 target slice,
     // q̂ from the rest; per-doc logw = Σ lr[bucket]. The model is

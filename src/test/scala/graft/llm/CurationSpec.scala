@@ -84,4 +84,32 @@ class CurationSpec extends SparkSpec {
     // "the" appears twice → its bucket holds at least 2 for doc 1
     assert(out.values.max >= 2)
   }
+
+  test("fuzzyContamination: near-copies of eval flagged, unrelated and eval rows not") {
+    import spark.implicits._
+    // 100 DISTINCT-PREFIX tokens (the word hash reads the first 3 chars +
+    // length, so `tok1..tok100` would collide); last one edited → trigram
+    // Jaccard = 97/99 ≈ 0.98 and all four bands match the deterministic
+    // signatures with near-certainty
+    val letters = (0 until 100).map(i => s"${('a' + i / 10).toChar}${('a' + i % 10).toChar}")
+    val base = letters.mkString(" ")
+    val nearCopy = (letters.dropRight(1) :+ "zz").mkString(" ")
+    val unrelated = (0 until 100)
+      .map(i => s"${('0' + i / 10).toChar}${('0' + i % 10).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, base, true), // eval
+      (2L, nearCopy, false), // train near-dup of eval -> flagged
+      (3L, unrelated, false), // train, unrelated
+      (4L, base, true) // a second eval doc identical to the first
+    ).toDF("doc_id", "text", "is_eval")
+    val out = Curation.fuzzyContamination(docs, "doc_id", "text",
+      col("is_eval"), 0.7).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(2L)) // only the near-copy, only train side
+    assert(out(2L)._1 === 2L) // it matches BOTH eval copies
+    assert(out(2L)._2 > 0.8 && out(2L)._2 < 1.0)
+    // a stricter threshold clears the report
+    assert(Curation.fuzzyContamination(docs, "doc_id", "text",
+      col("is_eval"), 0.999).count() === 0L)
+  }
 }
