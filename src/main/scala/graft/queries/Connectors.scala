@@ -54,6 +54,26 @@ object Connectors {
         .agg(count(lit(1)).as("cnt"), sum(col("id")).as("total"))
     },
 
+    // AGGREGATE pushdown (SupportsPushDownAggregates, COMPLETE form): the
+    // ungrouped count/min/max/sum over the filtered interval collapses to
+    // a one-row, one-partition planning-time answer — no row generation,
+    // no HashAggregate in the plan (asserted by GraftRangeSourceSpec).
+    // The real-world shape: a warehouse connector answering count(*) from
+    // catalog stats instead of scanning 100 TB.
+    QDef("x_dsv2_agg_pushdown",
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(range) AS BIGINT) AS min_id,
+        |  CAST(max(range) AS BIGINT) AS max_id,
+        |  CAST(sum(range) AS BIGINT) AS total
+        |FROM range(1000, 99000)""".stripMargin) { (s, _) =>
+      s.read.format("graft-range")
+        .option("start", "0").option("end", "1000000").option("slices", "64")
+        .load()
+        .filter(col("id") >= 1000 && col("id") < 99000)
+        .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("total"))
+    },
+
     // WRITE path roundtrip through the V2 commit protocol
     // (graft.sources.GraftTsvSource): land a per-nation aggregate via
     // task-temp files + driver-side publish, then read it back through the

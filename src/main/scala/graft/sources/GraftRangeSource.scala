@@ -72,7 +72,9 @@ final class GraftRangeTable(start: Long, end: Long, slices: Int)
 final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   // the residual interval after pushdown, always within [start, end)
   private var lo = start
@@ -80,6 +82,38 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
   private var pushed = Array.empty[Filter]
   private var required = GraftRangeSource.Schema
   private var limit = Long.MaxValue
+  private var aggs: Option[Seq[AggregateFunc]] = None
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  /** COUNT(*) / COUNT(id) / MIN(id) / MAX(id) / SUM(id) over an integer
+    * interval have CLOSED FORMS — the aggregate never touches a row.
+    * DISTINCT variants are equivalent here because ids are unique by
+    * construction. Ungrouped only: a GROUP BY would need per-group state
+    * the interval arithmetic can't shortcut. */
+  private def canPush(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count => isId(c.column)
+      case m: Min => isId(m.column)
+      case m: Max => isId(m.column)
+      case s: Sum => isId(s.column)
+      case _ => false
+    }
+
+  /** COMPLETE pushdown: the "scan" is one planning-time-computed row and
+    * Spark removes its aggregate entirely — the strongest form of the
+    * contract (a real warehouse connector answers from catalog stats or
+    * zone maps the same way). This is what turns `SELECT count(*) FROM
+    * fact WHERE id < k` from a 100 TB scan into a metadata lookup. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canPush(agg) && { aggs = Some(agg.aggregateExpressions.toSeq); true }
 
   /** LIMIT k truncates the residual interval itself — the source generates
     * k rows TOTAL instead of every executor generating its slice and the
@@ -122,8 +156,59 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
   override def build(): Scan = {
     val cappedHi = if (limit == Long.MaxValue) hi
       else math.min(hi, lo + math.max(0L, limit))
-    new GraftRangeScan(start, end, slices, lo, cappedHi, required)
+    aggs match {
+      case Some(fs) => new GraftRangeAggScan(lo, cappedHi, fs)
+      case None => new GraftRangeScan(start, end, slices, lo, cappedHi, required)
+    }
   }
+}
+
+/** The aggregate-pushdown result scan: ONE partition, ONE row, every value
+  * computed from the residual interval [lo, hi) at planning time — no row
+  * generation, no shuffle, no aggregate exec. Empty intervals yield SQL
+  * semantics: count 0, min/max/sum NULL. */
+final class GraftRangeAggScan(lo: Long, hi: Long,
+    fs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private val n = math.max(0L, hi - lo)
+
+  override def readSchema(): StructType = StructType(fs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeAggScan interval=[$lo,$hi) PushedAggregates=[${fs.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeSlice(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // closed forms; sum via BigInt so (lo+hi-1)*n can't overflow midway
+    val values: Array[Any] = fs.map {
+      case _: CountStar => n
+      case _: Count => n
+      case _: Min => if (n > 0) lo else null
+      case _: Max => if (n > 0) hi - 1 else null
+      case _: Sum =>
+        if (n > 0) ((BigInt(lo) + BigInt(hi - 1)) * n / 2).toLong else null
+    }.toArray
+    new GraftRangeAggReaderFactory(values)
+  }
+}
+
+final class GraftRangeAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
 }
 
 /** One fixed slice of the ORIGINAL range, clipped to the pushed interval —

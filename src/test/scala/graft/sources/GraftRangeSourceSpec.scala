@@ -104,6 +104,38 @@ class GraftRangeSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("aggregate pushdown: count/min/max/sum collapse to a one-row scan, no agg exec") {
+    val df = read(0, 1000000, 64)
+      .filter(col("id") >= 1000 && col("id") < 99000)
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("total"))
+    val plan = df.queryExecution.executedPlan.toString
+    // COMPLETE pushdown: the aggregate node is gone from the physical plan
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+    assert(plan.contains("GraftRangeAggScan"), plan.take(1500))
+    val r = df.collect().head
+    val n = 98000L
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === 1000L)
+    assert(r.getLong(2) === 98999L)
+    assert(r.getLong(3) === (1000L + 98999L) * n / 2)
+  }
+
+  test("aggregate pushdown: empty interval yields count 0 and NULL min/max/sum") {
+    val df = read(0, 1000, 8).filter(col("id") >= 500 && col("id") < 500)
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+        sum(col("id")).as("total"))
+    val r = df.collect().head
+    assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("aggregate pushdown declines grouped or non-id aggregates") {
+    // GROUP BY payload: not pushable — plan keeps a real aggregate
+    val grouped = read(0, 100, 4).groupBy(col("payload")).agg(count(lit(1)))
+    assert(grouped.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(grouped.count() === 100L) // each payload unique
+  }
+
   test("reported statistics let Catalyst auto-broadcast a small connector table") {
     // post-pushdown stats: 100 rows * 24B — far under the broadcast threshold
     val scan = scanOf(read(0, 1000000, 8).filter(col("id") < 100))
