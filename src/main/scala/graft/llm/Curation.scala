@@ -292,9 +292,11 @@ object Curation {
     * enough at any realistic skew: 100 TB / 1000 bins = 100 GB boundary).
     *
     * Null scores are excluded (a doc that cannot be ranked cannot be
-    * selected). Two corpus scans (verdict join + boundary pass share the
-    * first), both pure map-side — cheaper at scale than persisting the
-    * scored corpus to skip one columnar re-read.
+    * selected). Corpus reads: one for the histogram (the duplicated
+    * broadcast-verdict subtree collapses to a ReusedExchange under AQE)
+    * plus one per union branch — three cheap pruned columnar scans, no
+    * shuffle of corpus rows anywhere; cheaper at scale than persisting
+    * the scored corpus to save re-reads.
     */
   def budgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
       tokCol: String, budget: Long, bins: Int = 1000): DataFrame = {
