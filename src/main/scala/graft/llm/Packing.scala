@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,4 +106,34 @@ object Packing {
       .agg((max("bin_id") + 1).as("n_windows"), sum("toks").as("n_tokens"))
       .withColumn("utilization",
         col("n_tokens").cast("double") / (col("n_windows") * cap))
+
+  /** LENGTH-BUCKETED batching audit: assign every document to the
+    * power-of-two bucket `cap = smallest 2^k ≥ tokens` and report, per
+    * bucket, the count, true token mass, padded cost (`n_docs · cap` —
+    * what a dataloader batching this bucket at its cap actually feeds the
+    * model), and the padding waste ratio. This is the tokenizer-aware
+    * batching decision: batching everything at the global max wastes
+    * `1 − Σtoks/(N·max)` of compute; bucketing bounds waste below 50%
+    * per bucket by construction (cap < 2·tokens).
+    *
+    * The cap is INTEGER arithmetic on both engines — `(t & (t−1)) = 0`
+    * detects exact powers of two and `1 << length(bin(t))` rounds up
+    * otherwise; no float `log2` whose `ceil` could tie-break differently
+    * across engines at exact powers. Empty documents (0 tokens) are
+    * excluded — they have no batch to join.
+    *
+    * Scale shape: scan-local arithmetic into a partial/final aggregate
+    * over ≤ ~40 distinct caps — the shuffle carries one row per bucket
+    * per task. */
+  def lengthBuckets(docs: DataFrame, tokens: Column): DataFrame =
+    docs.select(tokens.cast("bigint").as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("bucket_cap",
+        when(expr("(toks & (toks - 1)) = 0"), col("toks"))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(toks)))")))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("padded", col("n_docs") * col("bucket_cap"))
+      .withColumn("waste_ratio",
+        round(lit(1.0) - col("n_tokens").cast("double") / col("padded"), 6))
 }

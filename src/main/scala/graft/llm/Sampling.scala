@@ -53,6 +53,49 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** 31-ary polynomial hash of a STRING group key over its first 8 chars
+    * + length, into [0, 2^31) — unrolled (no loops) so the identical
+    * expression renders in DuckDB ([[groupHashBucketSql]]). 8 chars
+    * disambiguates real group keys (sources, domains, languages); the
+    * 3-char word hash used for shingles is too collision-prone to route
+    * whole groups. Null groups hash like the empty string. */
+  def groupHashBucket(g: Column): Column = {
+    val padded = rpad(coalesce(g, lit("")), 8, "_")
+    val poly = (1 to 8)
+      .map(i => ascii(substring(padded, i, 1)).cast("bigint")
+        * lit(math.pow(31, i - 1).toLong))
+      .reduce(_ + _) + length(coalesce(g, lit(""))).cast("bigint") * lit(2147483659L)
+    hashBucket(pmod(poly, lit(2147483648L)))
+  }
+
+  /** DuckDB rendering of [[groupHashBucket]] — kept beside the Scala so
+    * the two can only drift in one place. */
+  def groupHashBucketSql(gExpr: String): String = {
+    val poly = (1 to 8)
+      .map(i => s"CAST(ascii(substr(rpad(coalesce($gExpr, ''), 8, '_'), $i, 1))" +
+        s" AS BIGINT) * ${math.pow(31, i - 1).toLong}")
+      .mkString(" + ")
+    hashBucketSql(s"(($poly + length(coalesce($gExpr, '')) * 2147483659) % 2147483648)")
+  }
+
+  /** GROUP-aware split assignment (the GroupKFold posture): every document
+    * of a group lands in the SAME split, because the hash is taken over
+    * the GROUP key, not the doc id. This is the leakage defense
+    * [[assignSplit]] cannot give: near-duplicates concentrate within
+    * sources/domains/crawl-snapshots, so id-hashed splits scatter a
+    * duplicate cluster across train AND test — group-hashed splits can't.
+    * Same scan-local, join-free, growth-stable contract as assignSplit
+    * (a new doc of a known group joins its group's split; test membership
+    * never changes when trainPct grows). */
+  def assignSplitByGroup(df: DataFrame, groupCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = groupHashBucket(col(groupCol))
+    df.withColumn("split",
+      when(b < lit(Full / 100 * trainPct), "train")
+        .when(b < lit(Full / 100 * (trainPct + valPct)), "val")
+        .otherwise("test"))
+  }
+
   /** Per-stratum deterministic downsampling: keep a row iff its hash
     * bucket clears the stratum's fraction threshold. The scan-local form
     * of `df.stat.sampleBy`, minus the nondeterminism: same input → same

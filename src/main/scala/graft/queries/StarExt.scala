@@ -1084,6 +1084,24 @@ object StarExt {
         .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("docs"))
     },
 
+    // GROUP-aware split (Sampling.assignSplitByGroup): the whole SOURCE
+    // hashes to one split — the GroupKFold leakage defense (near-dups
+    // concentrate within sources; id-hashed splits scatter a duplicate
+    // cluster across train AND test). Per-(source, split) counts prove
+    // both the unrolled 31-ary string hash and that every source lands in
+    // exactly one split.
+    QDef("x_split_group", {
+      val b = Sampling.groupHashBucketSql("source")
+      s"""SELECT source,
+         |  CASE WHEN $b < ${4294967296L / 100 * 80} THEN 'train'
+         |       WHEN $b < ${4294967296L / 100 * 90} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS docs
+         |FROM documents GROUP BY 1, 2""".stripMargin }) { (s, d) =>
+      Sampling.assignSplitByGroup(Tables(s, d).documents, "source")
+        .groupBy(col("source"), col("split")).agg(count(lit(1)).as("docs"))
+    },
+
     // Deterministic stratified downsampling: per-language keep fractions
     // (en thinned hard, the rest kept high) — the anti-dominance rebalance
     // before training. Row-identical to the oracle because membership is a

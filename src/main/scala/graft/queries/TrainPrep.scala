@@ -199,6 +199,30 @@ object TrainPrep {
           size(TextOps.spaceTokens(col("text"))), WindowSize), WindowSize)
     },
 
+    // Length-bucketed batching audit (Packing.lengthBuckets): power-of-two
+    // caps from INTEGER bit arithmetic (no float log2 tie risk), per-bucket
+    // doc/token/padded-cost/waste accounting — the tokenizer-aware batching
+    // decision. Scan-local math into a ~10-key aggregate.
+    QDef("x_pack_length_buckets",
+      """WITH d AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN (toks & (toks - 1)) = 0 THEN toks
+        |         ELSE CAST(CAST(1 AS BIGINT) << length(bin(toks)) AS BIGINT)
+        |         END AS bucket_cap, toks
+        |  FROM d WHERE toks > 0)
+        |SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) * bucket_cap AS BIGINT) AS padded,
+        |  round(1.0 - CAST(sum(toks) AS DOUBLE) / (count(*) * bucket_cap), 6)
+        |    AS waste_ratio
+        |FROM b GROUP BY 1""".stripMargin) { (s, d) =>
+      Packing.lengthBuckets(Tables(s, d).documents,
+        TextOps.tokenCount(col("text")))
+    },
+
     // Eval-set decontamination: train docs sharing >=1 word trigram with
     // the held-out split (doc_id % 97 — a fixed pseudo-benchmark), with
     // the distinct shared-ngram count. Eval n-grams broadcast; the corpus

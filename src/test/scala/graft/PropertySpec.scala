@@ -275,6 +275,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: budgetSelect == naive greedy prefix on random scored corpora") {
+    // scores quantized to 2 decimals force heavy bin collisions AND exact
+    // ties; budgets span empty → boundary-heavy → keep-all
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 99), Gen.choose(1L, 20L))),
+      Gen.choose(0L, 500L))
+    check(gen, 8) { case (rows, budget) =>
+      val data = rows.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s / 100.0, t) }
+      val df = data.toDF("doc_id", "score", "toks")
+      val got = graft.llm.Curation
+        .budgetSelect(df, "doc_id", "score", "toks", budget)
+        .collect().map(_.getLong(0)).toSet
+      var cum = 0L
+      val want = data.sortBy { case (id, s, _) => (-s, id) }
+        .flatMap { case (id, _, t) => cum += t
+          if (cum <= budget) Some(id) else None }.toSet
+      got == want
+    }
+  }
+
+  test("property: budgetSelect kept tokens are maximal — adding the best " +
+      "dropped doc would break the budget") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 50), Gen.choose(1L, 30L)))
+    check(gen, 6) { rows =>
+      val data = rows.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s / 50.0, t) }
+      val df = data.toDF("doc_id", "score", "toks")
+      val budget = 100L
+      val kept = graft.llm.Curation
+        .budgetSelect(df, "doc_id", "score", "toks", budget)
+        .collect().map(_.getLong(0)).toSet
+      val keptToks = data.collect { case (id, _, t) if kept(id) => t }.sum
+      // the FIRST doc in rank order not kept (if any) must not fit
+      val firstDropped = data.sortBy { case (id, s, _) => (-s, id) }
+        .find { case (id, _, _) => !kept(id) }
+      keptToks <= budget && firstDropped.forall {
+        case (_, _, t) => keptToks + t > budget }
+    }
+  }
+
   test("property: prototypeFilter shrinks monotonically with the drop fractions") {
     check(Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-10, 10))), 4) { raw =>
       val vs = raw.zipWithIndex

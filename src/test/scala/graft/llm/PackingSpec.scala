@@ -69,4 +69,22 @@ class PackingSpec extends SparkSpec {
     assert(r.getLong(2) === 16L)      // tokens
     assert(r.getDouble(3) === 0.8)    // 16 / 20
   }
+
+  test("lengthBuckets: power-of-two caps, waste bounded below 1/2, empties excluded") {
+    // toks 1, 2 (exact powers stay), 3 -> 4, 5 -> 8, 8 -> 8, 1000 -> 1024, 0 -> dropped
+    val docs = Seq(1L, 2L, 3L, 5L, 8L, 1000L, 0L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "toks")
+    val out = Packing.lengthBuckets(docs, col("toks")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L, 8L, 1024L))
+    assert(out(8L) === ((2L, 13L, 16L, round6(1 - 13.0 / 16)))) // docs 5 & 8
+    assert(out(1024L)._4 === round6(1 - 1000.0 / 1024))
+    // every cap is a power of two and every bucket wastes < 50%
+    assert(out.keys.forall(c => (c & (c - 1)) == 0))
+    assert(out.values.forall(_._4 < 0.5))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -135,4 +135,32 @@ class SamplingSpec extends SparkSpec {
       .select("copy").collect().map(_.getLong(0)).sorted
     assert(copies.toSeq === (1L to 15L))
   }
+
+  test("assignSplitByGroup: a group is never torn across splits; growing " +
+      "trainPct never touches test") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"grp${i % 23}"))
+      .toDF("doc_id", "src")
+    def splits(trainPct: Int) = Sampling
+      .assignSplitByGroup(docs, "src", trainPct, 10)
+      .select("src", "split", "doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val s80 = splits(80)
+    // one split per group
+    assert(s80.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+    // all three splits occur over 23 groups
+    assert(s80.map(_._2).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // contamination safety: docs in test at 80% are still in test at 85%
+    val test80 = s80.collect { case (_, "test", id) => id }.toSet
+    val test85 = splits(85).collect { case (_, "test", id) => id }.toSet
+    assert(test85.subsetOf(test80))
+    // distinct group keys sharing an 8-char prefix + length still split
+    // (hash covers prefix AND length; true prefix-collisions are accepted)
+    val longs = Seq((1L, "aaaaaaaaX"), (2L, "aaaaaaaaY"), (3L, "aaaaaaaaXZ"))
+      .toDF("doc_id", "src")
+    val got = Sampling.assignSplitByGroup(longs, "src").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === got(2L)) // same prefix + same length -> same bucket
+    assert(got.size === 3)
+  }
 }
