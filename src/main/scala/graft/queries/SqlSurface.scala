@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
+import graft.llm.Sampling
 
 /** SQL-TEXT twins of flagship queries: each runs entirely as a
   * `spark.sql(...)` string over temp views, proving the engine's full SQL
@@ -337,6 +338,27 @@ object SqlSurface {
         LEFT JOIN lr ON lr.j = f.j
         WHERE NOT (d.source = 'src0')
         GROUP BY d.doc_id""")
+    },
+
+    // Group-aware split through the parser: the unrolled 31-ary string
+    // hash + threshold CASE is dialect-portable SQL, so the SAME text that
+    // serves as the DuckDB oracle runs as Spark SQL — the twin is literal.
+    QDef("x_sql_split_group", {
+      val b = Sampling.groupHashBucketSql("source")
+      s"""SELECT source,
+         |  CASE WHEN $b < ${4294967296L / 100 * 80} THEN 'train'
+         |       WHEN $b < ${4294967296L / 100 * 90} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS docs
+         |FROM documents GROUP BY 1, 2""".stripMargin }) { (s, d) =>
+      viewed(s, d, "documents")
+      val b = Sampling.groupHashBucketSql("source")
+      s.sql(s"""SELECT source,
+        CASE WHEN $b < ${4294967296L / 100 * 80} THEN 'train'
+             WHEN $b < ${4294967296L / 100 * 90} THEN 'val'
+             ELSE 'test' END AS split,
+        count(*) AS docs
+        FROM documents GROUP BY 1, 2""")
     },
 
     // Token-budget selection as ONE SQL string — the same two-pass

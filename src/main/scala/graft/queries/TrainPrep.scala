@@ -316,6 +316,71 @@ object TrainPrep {
       Curation.budgetSelect(scored, "doc_id", "q", "t", BudgetTokens)
     },
 
+    // PRETRAIN-PREP pipeline composite: Gopher quality gate → fuzzy
+    // (MinHash) eval decontamination — BOTH the eval slice and its
+    // verified near-dups leave the pool — → token-budget selection of the
+    // best 6000 tokens. Chains the round-6 batch-2 operators end-to-end;
+    // the oracle replays the full cascade (gopher rules, signature
+    // banding + exact-Jaccard cross-split pairs, naive budget cumsum), so
+    // equality proves the STAGES compose, not just each stage alone.
+    QDef("x_pipeline_pretrain", {
+      val nTok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+      val quality = s"round(${StarExt.occSql(" the ")} / $nTok * 0.5" +
+        s" + least(CAST(length(text) AS DOUBLE) / 1000, 1.0) * 0.5, 6)"
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+         |st AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS top_c,
+         |    CAST(sum(length(tok) * c) AS BIGINT) AS sum_len
+         |  FROM wc GROUP BY 1),
+         |gr AS (
+         |  SELECT st.doc_id,
+         |    CASE WHEN n < 25 OR n > 10000 THEN 1 ELSE 0 END
+         |      + CASE WHEN CAST(top_c AS DOUBLE) / n > 0.12 THEN 1 ELSE 0 END
+         |      + CASE WHEN CAST(sum_len AS DOUBLE) / n < 3.0
+         |             OR CAST(sum_len AS DOUBLE) / n > 10.0 THEN 1 ELSE 0 END
+         |      + CASE WHEN ${StarExt.occSql(" the ")} < 1 THEN 1 ELSE 0 END
+         |      AS fails
+         |  FROM st JOIN documents USING (doc_id)),
+         |docsrc AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN gr ON gr.doc_id = d.doc_id AND gr.fails = 0),
+         |${StarExt.minhashPairsCtes(0.7)},
+         |cont AS (
+         |  SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d2 ELSE d1 END AS doc_id
+         |  FROM pairs WHERE (d1 % 5 = 3) <> (d2 % 5 = 3)),
+         |train AS (
+         |  SELECT s.doc_id, s.text FROM docsrc s
+         |  WHERE s.doc_id % 5 <> 3
+         |    AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = s.doc_id)),
+         |sc AS (
+         |  SELECT doc_id, $quality AS score, CAST($nTok AS BIGINT) AS toks
+         |  FROM train),
+         |cum AS (
+         |  SELECT doc_id, score, toks,
+         |    CAST(sum(toks) OVER (ORDER BY score DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+         |  FROM sc WHERE score IS NOT NULL)
+         |SELECT doc_id, score, toks FROM cum WHERE c <= 6000""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val kept = docs.join(
+        TextOps.gopherGate(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      val contaminated = Curation
+        .fuzzyContamination(kept, "doc_id", "text", col("doc_id") % 5 === 3, 0.7)
+        .select("doc_id")
+      val train = kept.filter(col("doc_id") % 5 =!= 3)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val scored = train.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).as("t"))
+      Curation.budgetSelect(scored, "doc_id", "q", "t", 6000L)
+    },
+
     // Gopher-style repetition profile: distinct-token ratio and top
     // word/bigram shares per document, exact int/int divisions.
     QDef("x_text_repetition",
