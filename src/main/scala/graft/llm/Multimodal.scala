@@ -303,21 +303,9 @@ object Multimodal {
     */
   def imageNearDups(media: DataFrame, maxHamming: Int)
       (implicit spark: SparkSession): DataFrame = {
-    require(maxHamming <= 3, s"4x8-bit banding is exact only to Hamming 3")
     val hashed = Dedup.pin(imageAHash(media).filter(col("decoded"))
       .select(col("media_id").as("id"), col("phash")))
-    val bands = hashed.select(col("id"), col("phash"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("sig"))): _*))
-      .as("bs"))
-      .select(col("id"), col("phash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val l = bands.as("l"); val r = bands.as("r")
-    val pairs = l.join(r, col("l.band") === col("r.band")
-        && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("d1"), col("r.id").as("d2"),
-        bit_count(expr("l.phash ^ r.phash")).as("hamming"))
-      .distinct() // a pair found by several bands collapses before the filter
-      .filter(col("hamming") <= maxHamming)
+    val pairs = hashNearDupPairs(hashed, maxHamming)
     // one-pass symmetrization (explode, not union — the r5 lesson)
     val nbrs = pairs.select(explode(array(
         struct(col("d1").as("id"), col("d2").as("nb")),
@@ -328,6 +316,29 @@ object Multimodal {
       .agg(least(col("id"), coalesce(min(col("nb")), col("id"))).as("rep"),
         count(col("nb")).as("n_nbrs"))
       .select(col("id").as("media_id"), col("rep"), col("n_nbrs"))
+  }
+
+  /** Banded Hamming pair generation over a precomputed `(id, phash)` frame
+    * (32-bit hashes): four 8-bit band slices, self-join per slice,
+    * popcount verify. EXACT for `maxHamming ≤ 3` — any pair differing in
+    * ≤ 3 bits leaves at least one of the four bands untouched
+    * (pigeonhole), so banding prunes candidates without losing a single
+    * true pair; PropertySpec mechanizes this claim over random hashes.
+    * Returns (d1 < d2, hamming). */
+  def hashNearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4x8-bit banding is exact only to Hamming 3")
+    val bands = hashed.select(col("id"), col("phash"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("sig"))): _*))
+      .as("bs"))
+      .select(col("id"), col("phash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band")
+        && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("d1"), col("r.id").as("d2"),
+        bit_count(expr("l.phash ^ r.phash")).as("hamming"))
+      .distinct() // a pair found by several bands collapses before the filter
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Deterministic PNG fixture corpus for the image-decode oracle: every

@@ -316,6 +316,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: banded Hamming pairs are EXACT to distance 3 on random 32-bit hashes") {
+    // random base hashes + random ≤3-bit perturbations: every true pair
+    // (hamming ≤ 3) must be found; every reported pair must verify
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 0xFFFFFFFFL), Gen.listOfN(3, Gen.choose(0, 31))))
+    check(gen, 6) { raw =>
+      val hashes = raw.zipWithIndex.flatMap { case ((h, flips), i) =>
+        val perturbed = flips.distinct.take(3)
+          .foldLeft(h)((acc, b) => acc ^ (1L << b))
+        Seq((i.toLong * 2, h), (i.toLong * 2 + 1, perturbed))
+      }
+      val df = hashes.toDF("id", "phash")
+      val got = graft.llm.Multimodal.hashNearDupPairs(df, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+      got == want
+    }
+  }
+
   test("property: prototypeFilter shrinks monotonically with the drop fractions") {
     check(Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-10, 10))), 4) { raw =>
       val vs = raw.zipWithIndex
