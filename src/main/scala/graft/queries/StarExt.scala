@@ -1389,6 +1389,18 @@ object StarExt {
       (s, d) => EventStreams.tumblingAgg(Tables(s, d).events)
     },
 
+    // Distinct users per hour — the dedup→agg chained-stateful pair
+    // (EventStreams.distinctUsersPerWindow); exact distinct through a
+    // stateful dropDuplicates, no sketch. Batch run of the same code;
+    // StreamingParitySpec proves the stream side bit-equal.
+    QDef("x_stream_distinct",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+        |FROM events GROUP BY 1, 2""".stripMargin) {
+      (s, d) => EventStreams.distinctUsersPerWindow(Tables(s, d).events)
+    },
+
     // Batch equivalent of the sliding-window aggregation (1h / 30m).
     QDef("x_stream_sliding",
       """WITH w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, event_type, value

@@ -63,6 +63,28 @@ object EventStreams {
       .select(col("window.start").as("hour_start"),
         col("n_user_windows"), col("total_events"))
 
+  /** DISTINCT users per tumbling window — the "hourly unique visitors"
+    * query, as the OTHER chained-stateful-operator pair ([[
+    * chainedWindowsAgg]] chains agg→agg; this chains DEDUP→agg): a
+    * stateful `dropDuplicates` keyed on (user, window) admits each user's
+    * first event per window, and the downstream windowed count — exact
+    * distinct, no approx sketch — sees exactly one row per (user,
+    * window). ONE watermark bounds both operators' state: dedup state is
+    * O(active users per in-flight window), agg state O(in-flight
+    * windows), both evicted as event time passes. The same code runs
+    * batch (dropDuplicates = exact distinct) and stream — the twin
+    * contract every x_stream query keeps. */
+  def distinctUsersPerWindow(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"), window(col("ts"), width).as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("distinct_users"))
+
   /** Sliding windows (width/slide) — each event lands in width/slide windows. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -614,6 +614,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed(ts("2024-01-01 10:00:00")) === ((4L, 5L)))
   }
 
+  test("distinct users per window: stream dedup→agg chain equals batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EventRow(1L, ts("2024-01-01 10:01:00"), 100L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:40:00"), 100L, "view", 2.0), // same user, same hour
+      EventRow(3L, ts("2024-01-01 10:03:00"), 101L, "click", 3.0),
+      EventRow(4L, ts("2024-01-01 11:05:00"), 100L, "click", 4.0), // same user, NEXT hour
+      EventRow(5L, ts("2024-01-01 11:06:00"), 102L, "view", 5.0))
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.distinctUsersPerWindow(stream.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("distinct_test")
+      .outputMode("append").start()
+    // duplicates split ACROSS micro-batches: dedup state must carry over
+    stream.addData(data.take(2): _*); q.processAllAvailable()
+    stream.addData(data.drop(2): _*); q.processAllAvailable()
+    stream.addData(EventRow(9L, ts("2024-01-01 14:00:00"), 999L, "click", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("distinct_test").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = EventStreams.distinctUsersPerWindow(data.toDF()).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed(ts("2024-01-01 10:00:00")) === 2L) // users 100, 101
+    assert(streamed(ts("2024-01-01 11:00:00")) === 2L) // 100 counts AGAIN, + 102
+  }
+
   test("chained stateful windows: straggler inside the inner grace after " +
       "the hourly rollup already saw the hour") {
     import spark.implicits._
