@@ -19,17 +19,28 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   lazy val documents: DataFrame  = t("documents")
   lazy val embeddings: DataFrame = t("embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. The session sets `spark.sql.legacy.parquet.nanosAsLong` (see
-    * Verify/Bench), so `ts` arrives as nanos-since-epoch LONG; rebuild the
-    * µs timestamp with integer division (`div` — a double division would lose
-    * precision above 2^53 ns). DuckDB's reader truncates ns→µs the same way.
+  /** The driver has shipped events.ts in three parquet flavors across
+    * regenerations, so normalize all of them to `TimestampType` here — every
+    * downstream `unix_micros`/window/watermark site assumes it:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; the session
+    *    sets `spark.sql.legacy.parquet.nanosAsLong` (see Verify/Bench), so
+    *    `ts` arrives as nanos-since-epoch LONG. Rebuild the µs timestamp with
+    *    integer division (`div` — a double division would lose precision
+    *    above 2^53 ns). DuckDB's reader truncates ns→µs the same way.
+    *  - µs `isAdjustedToUTC=false`: Spark reads TIMESTAMP_NTZ, which Spark 4
+    *    time functions (`unix_micros`, watermarks) reject. Cast to TIMESTAMP —
+    *    a pure reinterpretation under the session's UTC timezone (the same
+    *    pattern ops/AsOfJoin.scala uses), matching DuckDB's naive-µs view.
+    *  - µs `isAdjustedToUTC=true`: already `TimestampType`; pass through.
     */
   lazy val events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

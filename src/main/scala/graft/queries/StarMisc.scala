@@ -99,7 +99,8 @@ object StarMisc {
         .select(col("event_id"), col("user_id"),
           ntile(4).over(w).as("quartile"),
           round(cume_dist().over(w), 6).as("cd"),
-          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("gap_us"))
+          (graft.functions.TimeCols.eventMicros(lead(col("ts"), 1).over(w))
+            - graft.functions.TimeCols.eventMicros(col("ts"))).as("gap_us"))
     },
 
     // Analytic windows over event sequences: per-user running sum and delta
@@ -285,8 +286,8 @@ object StarMisc {
       val iv = Tables(s, d).events
         .filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("s"),
-          (unix_micros(col("ts")) + 600000000L).as("t"))
+          graft.functions.TimeCols.eventMicros(col("ts")).as("s"),
+          (graft.functions.TimeCols.eventMicros(col("ts")) + 600000000L).as("t"))
       IntervalJoin.overlapPairs(iv, iv, "event_id", "s", "t",
         cellMicros = 600000000L,
         extraPred = col("l.event_id") < col("r.event_id") &&

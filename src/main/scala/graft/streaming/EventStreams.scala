@@ -31,17 +31,34 @@ final case class AsOfState(probes: List[(Long, Long)],
   */
 object EventStreams {
 
+  /** Normalize event-time columns to `TimestampType` at the operator
+    * boundary: TIMESTAMP_NTZ inputs (e.g. a source written with naive µs
+    * timestamps — the round-6 testdata flavor) are cast — a pure
+    * reinterpretation under the session's UTC zone — so watermarks,
+    * `window()`, and `unix_micros` behave identically for every input
+    * flavor, batch and stream alike. Columns absent or already
+    * TIMESTAMP pass through untouched. */
+  private def normTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) &&
+          d.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(c, col(c).cast("timestamp"))
+      else d
+    }
+
   /** Tumbling-window counts/sums per event type. Watermark bounds state:
     * late events beyond `watermark` are dropped, windows finalize and emit
     * (append mode), so state size is O(active windows), not O(stream). */
-  def tumblingAgg(events: DataFrame, width: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+  def tumblingAgg(eventsIn: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val events = normTs(eventsIn, "ts")
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
+  }
 
   /** CHAINED stateful aggregations in ONE streaming query — Spark 4's
     * multiple-stateful-operator support: 5-minute tumbling per-user counts
@@ -54,7 +71,7 @@ object EventStreams {
     * State: O(active 5-min windows · users) + O(active hours) — both
     * watermark-evicted. */
   def chainedWindowsAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    normTs(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("c5"))
@@ -76,7 +93,7 @@ object EventStreams {
     * contract every x_stream query keeps. */
   def distinctUsersPerWindow(events: DataFrame, width: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    events
+    normTs(events, "ts")
       .withWatermark("ts", watermark)
       .select(col("ts"), col("user_id"), window(col("ts"), width).as("w"))
       .dropDuplicates("user_id", "w")
@@ -88,7 +105,7 @@ object EventStreams {
   /** Sliding windows (width/slide) — each event lands in width/slide windows. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    events
+    normTs(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width, slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
@@ -106,12 +123,14 @@ object EventStreams {
     * Scale shape: two per-user window functions + one hash aggregate, all
     * partitioned by user_id — a single shuffle of the events (AQE handles
     * hot users via skew splitting). */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeBatch(eventsIn: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val events = normTs(eventsIn, "ts")
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id")
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
     val flagged = events
-      .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("gap", graft.functions.TimeCols.eventMicros(col("ts"))
+        - lag(graft.functions.TimeCols.eventMicros(col("ts")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("gap").isNull || col("gap") > gapMicros, 1).otherwise(0))
     flagged
@@ -177,8 +196,9 @@ object EventStreams {
     * oracle row checks; MemoryStream parity is in EventStreamsSpec.
     *
     * `delay_us` is exact integer microseconds (hash-safe cross-engine). */
-  def intervalJoin(views: DataFrame, clicks: DataFrame,
+  def intervalJoin(viewsIn: DataFrame, clicksIn: DataFrame,
       maxDelayMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val views = normTs(viewsIn, "ts"); val clicks = normTs(clicksIn, "ts")
     val v = views.select(col("event_id").as("view_id"),
         col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -190,7 +210,8 @@ object EventStreams {
           col("click_ts") >= col("view_ts") &&
           col("click_ts") <= col("view_ts") + expr(s"interval $maxDelayMinutes minutes"))
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
-        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+        (graft.functions.TimeCols.eventMicros(col("click_ts"))
+          - graft.functions.TimeCols.eventMicros(col("view_ts"))).as("delay_us"))
   }
 
   /** Stream-stream LEFT OUTER interval join — [[intervalJoin]] plus the
@@ -203,8 +224,9 @@ object EventStreams {
     * mechanism. The batch twin (watermarks no-op) is the `x_stream_outer`
     * oracle row; MemoryStream parity incl. the late-null case is in
     * EventStreamsSpec. */
-  def intervalJoinOuter(views: DataFrame, clicks: DataFrame,
+  def intervalJoinOuter(viewsIn: DataFrame, clicksIn: DataFrame,
       maxDelayMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val views = normTs(viewsIn, "ts"); val clicks = normTs(clicksIn, "ts")
     val v = views.select(col("event_id").as("view_id"),
         col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -217,7 +239,8 @@ object EventStreams {
           col("click_ts") <= col("view_ts") + expr(s"interval $maxDelayMinutes minutes"),
         "left_outer")
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
-        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+        (graft.functions.TimeCols.eventMicros(col("click_ts"))
+          - graft.functions.TimeCols.eventMicros(col("view_ts"))).as("delay_us"))
   }
 
   /** Stream-static enrichment join: each micro-batch of the stream joins
@@ -242,7 +265,7 @@ object EventStreams {
     * unbounded stream-stream join. */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
+    normTs(events, "ts").withWatermark("ts", watermark)
       .dropDuplicates(keyCols :+ "ts")
 
   /** Bounded-state dedup for redeliveries whose event time JITTERS between
@@ -256,7 +279,7 @@ object EventStreams {
     * a month of uptime at 100 TB/day and one that OOMs. */
   def dedupStreamJittered(events: DataFrame, keyCols: Seq[String],
       watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
+    normTs(events, "ts").withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   private def toMicros(t: Timestamp): Long = {

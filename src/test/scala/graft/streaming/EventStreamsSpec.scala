@@ -773,4 +773,61 @@ class EventStreamsSpec extends SparkSpec {
       }
     }
   }
+
+  test("TIMESTAMP_NTZ input: tumbling + chained pair match the TIMESTAMP batch results") {
+    // The round-6 testdata regeneration delivered events.ts as TIMESTAMP_NTZ
+    // and broke every unix_micros/watermark site. The streaming operators
+    // now normalize at the entry point (EventStreams.normTs); this pins the
+    // parity contract: an NTZ stream (LocalDateTime encoder) must produce
+    // byte-identical results — and a TIMESTAMP output schema — vs the same
+    // rows as TIMESTAMP batch input.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ntzRows = rows.map(e => NtzEventRow(e.event_id,
+      e.ts.toLocalDateTime, e.user_id, e.event_type, e.value))
+    // precondition: the encoder really produces NTZ (else this test is vacuous)
+    assert(ntzRows.toDF().schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+
+    val stream = MemoryStream[NtzEventRow]
+    val q1 = EventStreams.startToMemory(
+      EventStreams.tumblingAgg(stream.toDF(), "1 hour", "2 hours"), "ntz_tumbling")
+    // chained stateful operators demand APPEND mode (see the chained test
+    // above): zero watermark delay + a far-future sentinel finalize both
+    // operators' windows
+    val q2 = EventStreams.chainedWindowsAgg(stream.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ntz_chained")
+      .outputMode("append").start()
+    stream.addData(ntzRows: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val sentinel = NtzEventRow(9L,
+      ts("2024-01-02 23:50:00").toLocalDateTime, 999L, "click", 0.0)
+    stream.addData(sentinel)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val streamedTumbling = spark.table("ntz_tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val streamedChained = spark.table("ntz_chained").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q1.stop(); q2.stop()
+    // output schema is TIMESTAMP regardless of the input flavor
+    assert(EventStreams.tumblingAgg(ntzRows.toDF()).schema("window_start").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+
+    // tumbling runs Complete mode → its output includes the sentinel's
+    // window; chained runs append → the sentinel's own (unfinalized) hour
+    // never emits, so its batch twin excludes the sentinel (the same
+    // comparison the TIMESTAMP chained test makes)
+    val batchRows = rows :+ EventRow(9L, ts("2024-01-02 23:50:00"), 999L, "click", 0.0)
+    val batchTumbling = EventStreams.tumblingAgg(batchRows.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val batchChained = EventStreams.chainedWindowsAgg(rows.toDF()).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamedTumbling === batchTumbling)
+    assert(streamedChained === batchChained)
+  }
 }
+
+/** EventRow with a `LocalDateTime` event time — Spark encodes it as
+  * TIMESTAMP_NTZ, the round-6 testdata flavor. */
+final case class NtzEventRow(event_id: Long, ts: java.time.LocalDateTime,
+    user_id: Long, event_type: String, value: Double)
