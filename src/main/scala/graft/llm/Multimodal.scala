@@ -178,9 +178,10 @@ object Multimodal {
       }
   }
 
-  /** Structured-PNG fixture for the PERCEPTUAL-HASH oracle: a 32×16 image
-    * of 8×4 constant-color 4-pixel blocks. Block i's gray level is the
-    * pure function `40 + (id%7)·20 + ((i·37 + (id%7)·11) % 64) + (id/7)%3`
+  /** Structured-PNG fixture for the PERCEPTUAL-HASH oracle: a 32×32 image
+    * of 8×8 constant-color 4-pixel blocks (the standard 64-bit aHash
+    * geometry). Block i's gray level is the pure function
+    * `40 + (id%7)·20 + ((i·37 + (id%7)·11) % 64) + (id/7)%3`
     * — images sharing `id % 7` have the SAME block pattern shifted by a
     * small UNIFORM brightness offset (the id/7 term), i.e. perceptual
     * near-duplicates whose bytes (and md5) differ. Max value 225, so no
@@ -194,10 +195,10 @@ object Multimodal {
         it.map { id =>
           val g = (id % 7).toInt
           val off = ((id / 7) % 3).toInt
-          val img = new java.awt.image.BufferedImage(32, 16,
+          val img = new java.awt.image.BufferedImage(32, 32,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val gr = img.createGraphics()
-          for (by <- 0 until 4; bx <- 0 until 8) {
+          for (by <- 0 until 8; bx <- 0 until 8) {
             val i = by * 8 + bx
             val v = 40 + g * 20 + ((i * 37 + g * 11) % 64) + off
             gr.setColor(new java.awt.Color(v, v, v))
@@ -212,10 +213,10 @@ object Multimodal {
   }
 
   /** NEAR-duplicate variant of [[synthPatternPngTable]]: same block
-    * formula, but images with `id % 11 == 0` get block `id % 32` dimmed
+    * formula, but images with `id % 11 == 0` get block `id % 64` dimmed
     * by 37 — a LOCAL edit (one logo/watermark block changed), so the
     * perturbed image's aHash differs from its id%7 siblings' in the
-    * edited bit plus any blocks the −37/32 mean shift drags across the
+    * edited bit plus any blocks the −37/64 mean shift drags across the
     * threshold: a genuinely NONZERO, small Hamming distance. All values
     * stay in [3, 225] (no clamping) and PNG is lossless, so a SQL oracle
     * replays every pixel, the exact dyadic mean, and each threshold bit. */
@@ -227,12 +228,12 @@ object Multimodal {
         it.map { id =>
           val g = (id % 7).toInt
           val off = ((id / 7) % 3).toInt
-          val img = new java.awt.image.BufferedImage(32, 16,
+          val img = new java.awt.image.BufferedImage(32, 32,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val gr = img.createGraphics()
-          for (by <- 0 until 4; bx <- 0 until 8) {
+          for (by <- 0 until 8; bx <- 0 until 8) {
             val i = by * 8 + bx
-            val dim = if (id % 11 == 0 && i == (id % 32).toInt) 37 else 0
+            val dim = if (id % 11 == 0 && i == (id % 64).toInt) 37 else 0
             val v = 40 + g * 20 + ((i * 37 + g * 11) % 64) + off - dim
             gr.setColor(new java.awt.Color(v, v, v))
             gr.fillRect(bx * 4, by * 4, 4, 4)
@@ -245,15 +246,18 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
-  /** 32-bit AVERAGE HASH (aHash) from REAL decoded pixels: partition the
-    * image into an 8×4 block grid, bit i set iff block i's gray level
-    * exceeds the image mean. The perceptual-dedup property under test:
-    * a uniform brightness shift moves every block AND the mean by the
-    * same amount, so the hash is EXACTLY invariant — brightness-shifted
-    * re-encodes (different bytes, different md5) collapse to one hash,
-    * which is what byte-level dedup can never do. Block gray is read as
-    * the raw blue channel integer and the mean is Σv/32 (exact dyadic),
-    * so the strict `>` resolves identically in the SQL oracle.
+  /** 64-bit AVERAGE HASH (aHash) from REAL decoded pixels: partition the
+    * image into an 8×8 block grid (the standard perceptual-hash width —
+    * 64 bits is what real pHash/dHash implementations emit), bit i set iff
+    * block i's gray level exceeds the image mean. The perceptual-dedup
+    * property under test: a uniform brightness shift moves every block AND
+    * the mean by the same amount, so the hash is EXACTLY invariant —
+    * brightness-shifted re-encodes (different bytes, different md5)
+    * collapse to one hash, which is what byte-level dedup can never do.
+    * Block gray is read as the raw blue channel integer and the mean is
+    * Σv/64 (exact dyadic), so the strict `>` resolves identically in the
+    * SQL oracle (which builds the hash as HUGEINT and folds to signed
+    * BIGINT — bit 63 makes the Long negative on both engines).
     * Undecodable payloads yield `decoded=false, phash=-1`. */
   def imageAHash(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -264,16 +268,19 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
-          if (img == null || img.getWidth < 32 || img.getHeight < 16)
+          if (img == null || img.getWidth < 32 || img.getHeight < 32)
             (id, false, -1L)
           else {
-            val vs = Array.tabulate(32) { i =>
+            val vs = Array.tabulate(64) { i =>
               img.getRGB((i % 8) * 4, (i / 8) * 4) & 0xff
             }
-            val mean = vs.sum / 32.0
-            val hash = vs.zipWithIndex.collect {
-              case (v, i) if v > mean => 1L << i
-            }.sum
+            val mean = vs.sum / 64.0
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (vs(i) > mean) hash |= 1L << i
+              i += 1
+            }
             (id, true, hash)
           }
         }
@@ -283,11 +290,11 @@ object Multimodal {
   /** PERCEPTUAL image near-dup summary — the image-modality member of the
     * dedup family (text has MinHash/SimHash, embeddings have sign-LSH;
     * this is the same banded-LSH shape over [[imageAHash]] bits). Bands
-    * the 32-bit aHash into four 8-bit slices and self-joins per slice:
+    * the 64-bit aHash into four 16-bit slices and self-joins per slice:
     * by pigeonhole, any pair within Hamming ≤ 3 shares at least one
     * intact band, so for `maxHamming ≤ 3` the banding is EXACT, not
     * approximate — candidates shrink by the band-bucket selectivity while
-    * recall stays 1.0. Candidates verify on the full 32-bit Hamming
+    * recall stays 1.0. Candidates verify on the full 64-bit Hamming
     * distance, then fold to one row per image: the min-id neighbor as the
     * cluster representative and the neighbor count (on near-dup CLIQUES —
     * re-encodes/brightness shifts of one source — min-neighbor equals the
@@ -295,10 +302,11 @@ object Multimodal {
     * [[Dedup.clusters]] exactly like the text path).
     *
     * Shape at 100 TB: decode + hash are scan-local mapPartitions
-    * (per-partition codec init); the hashed frame is 12 bytes/image and
+    * (per-partition codec init); the hashed frame is 16 bytes/image and
     * pinned ([[Dedup.pin]] — consumed by both join sides and the final
-    * left join); the self-join shuffles on (band, sig) — 1/4 of hash
-    * bytes per row × 4 replicas — never payload bytes; `bit_count(a^b)`
+    * left join); the band self-join runs over DISTINCT hashes bucketed by
+    * (band, 16-bit sig) — 262,144 buckets, exact-dup cliques pre-collapsed
+    * (see [[hashNearDupPairs]]) — never payload bytes; `bit_count(a^b)`
     * is codegen'd integer arithmetic. Payloads are read ONCE, at the scan.
     */
   def imageNearDups(media: DataFrame, maxHamming: Int)
@@ -319,26 +327,59 @@ object Multimodal {
   }
 
   /** Banded Hamming pair generation over a precomputed `(id, phash)` frame
-    * (32-bit hashes): four 8-bit band slices, self-join per slice,
-    * popcount verify. EXACT for `maxHamming ≤ 3` — any pair differing in
-    * ≤ 3 bits leaves at least one of the four bands untouched
-    * (pigeonhole), so banding prunes candidates without losing a single
-    * true pair; PropertySpec mechanizes this claim over random hashes.
-    * Returns (d1 < d2, hamming). */
+    * (64-bit hashes): four 16-bit band slices, self-join per slice over
+    * DISTINCT hashes, popcount verify, then expand back to id pairs.
+    * EXACT for `maxHamming ≤ 3` — any pair differing in ≤ 3 bits leaves
+    * at least one of the four bands untouched (pigeonhole), so banding
+    * prunes candidates without losing a single true pair; PropertySpec
+    * mechanizes this claim over random 64-bit hashes.
+    *
+    * Two scale levers vs the naive per-id band join (the round-6 weak):
+    *  - 16-bit bands: 65,536 sigs per band → 262,144 (band, sig) buckets
+    *    (vs 1,024 with 8-bit bands over a 32-bit hash), so per-bucket
+    *    density — and the quadratic per-bucket candidate count — drops
+    *    256×. SCALE.md carries the density math at 10⁹ images.
+    *  - the self-join runs over DISTINCT hash values, not ids: exact-dup
+    *    cliques (the dominant mass of a real image corpus — re-encodes,
+    *    thumbnails, mirrors of one source) collapse to ONE row before any
+    *    bucket forms, so a 10⁶-copy viral image contributes one bucket row
+    *    instead of a 10¹²-pair self-join. Same-hash id pairs re-enter at
+    *    the end as Hamming-0 rows via a per-hash-group self-join, and
+    *    cross-hash candidates expand through the (hash → ids) map — both
+    *    joins keyed on the full 64-bit hash.
+    *
+    * Returns (d1 < d2, hamming). The id-pair OUTPUT is still quadratic in
+    * clique size by definition; [[imageNearDups]]-style consumers that
+    * only need per-id aggregates should aggregate per hash group instead
+    * of materializing clique pairs when that matters. */
   def hashNearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, s"4x8-bit banding is exact only to Hamming 3")
-    val bands = hashed.select(col("id"), col("phash"), explode(array(
+    require(maxHamming <= 3, s"4x16-bit banding is exact only to Hamming 3")
+    val ids = Dedup.pin(hashed.select(col("id"), col("phash")))
+    val hashes = Dedup.pin(ids.select("phash").distinct())
+    val bands = hashes.select(col("phash"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("sig"))): _*))
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as("sig"))): _*))
       .as("bs"))
-      .select(col("id"), col("phash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("phash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.band") === col("r.band")
-        && col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("d1"), col("r.id").as("d2"),
+    // hash-level near-dup pairs, canonicalized h1 < h2 (hash VALUE order)
+    val hashPairs = l.join(r, col("l.band") === col("r.band")
+        && col("l.sig") === col("r.sig") && col("l.phash") < col("r.phash"))
+      .select(col("l.phash").as("h1"), col("r.phash").as("h2"),
         bit_count(expr("l.phash ^ r.phash")).as("hamming"))
       .distinct() // a pair found by several bands collapses before the filter
       .filter(col("hamming") <= maxHamming)
+    // cross-hash id pairs: expand (h1, h2) through the hash → ids map
+    val a = ids.select(col("id").as("ia"), col("phash").as("h1"))
+    val b = ids.select(col("id").as("ib"), col("phash").as("h2"))
+    val cross = hashPairs.join(a, "h1").join(b, "h2")
+      .select(least(col("ia"), col("ib")).as("d1"),
+        greatest(col("ia"), col("ib")).as("d2"), col("hamming"))
+    // same-hash id pairs (Hamming 0): per-clique self-join on the full hash
+    val same = ids.as("x").join(ids.as("y"),
+        col("x.phash") === col("y.phash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"), lit(0).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** Deterministic PNG fixture corpus for the image-decode oracle: every

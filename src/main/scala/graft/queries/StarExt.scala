@@ -1242,7 +1242,7 @@ object StarExt {
           round(col("mean_luma"), 6).as("luma"))
     },
 
-    // PERCEPTUAL image dedup: 32-bit average-hash over REAL decoded pixels
+    // PERCEPTUAL image dedup: 64-bit average-hash over REAL decoded pixels
     // (Multimodal.imageAHash) of a structured-PNG corpus where ids sharing
     // id%7 are the same pattern under a uniform brightness shift —
     // different bytes, different md5, SAME aHash (the shift moves every
@@ -1250,21 +1250,27 @@ object StarExt {
     // Grouping by the hash is the dedup byte-level hashing cannot do; the
     // oracle replays block values, mean, and threshold bits from the
     // fixture formula — no image decode needed on the SQL side because
-    // PNG is lossless.
+    // PNG is lossless. Bit 63 makes the signed hash negative: the oracle
+    // accumulates in HUGEINT (BIGINT << 63 overflows in DuckDB) and folds
+    // to the two's-complement BIGINT Spark's Long arithmetic produces.
     QDef("x_mm_phash",
       """WITH pe AS (
-        |  SELECT doc_id, unnest(generate_series(0, 31)) AS i FROM documents),
+        |  SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents),
         |b AS (
         |  SELECT doc_id, i,
         |    40 + (doc_id % 7) * 20 + ((i * 37 + (doc_id % 7) * 11) % 64)
         |      + (doc_id // 7) % 3 AS v
         |  FROM pe),
-        |m AS (SELECT doc_id, sum(v) / 32.0 AS mv FROM b GROUP BY 1),
-        |h AS (
+        |m AS (SELECT doc_id, sum(v) / 64.0 AS mv FROM b GROUP BY 1),
+        |hs AS (
         |  SELECT b.doc_id,
-        |    CAST(sum(CASE WHEN v > mv THEN CAST(1 AS BIGINT) << i
-        |      ELSE 0 END) AS BIGINT) AS phash
-        |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1)
+        |    sum(CASE WHEN v > mv THEN CAST(1 AS HUGEINT) << i
+        |      ELSE 0 END) AS s
+        |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1),
+        |h AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808
+        |      THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash
+        |  FROM hs)
         |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
         |  min(doc_id) AS keep_id
         |FROM h GROUP BY 1""".stripMargin) { (s, d) =>
@@ -1276,32 +1282,39 @@ object StarExt {
         .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("keep_id"))
     },
 
-    // PERCEPTUAL image NEAR-dup (Multimodal.imageNearDups): 4×8-bit
-    // banded self-join over real-decode aHashes — exact to Hamming ≤ 3 by
-    // pigeonhole — on the perturbed-pattern corpus where id%11 images
-    // carry one dimmed block (a local watermark-style edit): byte dedup
-    // sees distinct files, exact-hash dedup (x_mm_phash) sees distinct
-    // hashes, only the Hamming band recovers the pair. The oracle replays
-    // pixels → exact dyadic mean → threshold bits → band join → popcount
-    // verify, all in integer arithmetic.
+    // PERCEPTUAL image NEAR-dup (Multimodal.imageNearDups): 4×16-bit
+    // banded self-join over real-decode 64-bit aHashes — exact to
+    // Hamming ≤ 3 by pigeonhole — on the perturbed-pattern corpus where
+    // id%11 images carry one dimmed block (a local watermark-style edit):
+    // byte dedup sees distinct files, exact-hash dedup (x_mm_phash) sees
+    // distinct hashes, only the Hamming band recovers the pair. The oracle
+    // replays pixels → exact dyadic mean → threshold bits (HUGEINT-built,
+    // folded to signed BIGINT) → band join → popcount verify, all in
+    // integer arithmetic. The engine side collapses exact-dup cliques to
+    // distinct hashes before banding (same id-pair output, corpus-scale
+    // bucket density — see Multimodal.hashNearDupPairs + SCALE.md).
     QDef("x_mm_neardup",
       """WITH pe AS (
-        |  SELECT doc_id, unnest(generate_series(0, 31)) AS i FROM documents),
+        |  SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents),
         |b AS (
         |  SELECT doc_id, i,
         |    40 + (doc_id % 7) * 20 + ((i * 37 + (doc_id % 7) * 11) % 64)
         |      + (doc_id // 7) % 3
-        |      - CASE WHEN doc_id % 11 = 0 AND i = doc_id % 32
+        |      - CASE WHEN doc_id % 11 = 0 AND i = doc_id % 64
         |             THEN 37 ELSE 0 END AS v
         |  FROM pe),
-        |m AS (SELECT doc_id, sum(v) / 32.0 AS mv FROM b GROUP BY 1),
-        |h AS (
+        |m AS (SELECT doc_id, sum(v) / 64.0 AS mv FROM b GROUP BY 1),
+        |hs AS (
         |  SELECT b.doc_id AS id,
-        |    CAST(sum(CASE WHEN v > mv THEN CAST(1 AS BIGINT) << i
-        |      ELSE 0 END) AS BIGINT) AS ph
+        |    sum(CASE WHEN v > mv THEN CAST(1 AS HUGEINT) << i
+        |      ELSE 0 END) AS s
         |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1),
+        |h AS (
+        |  SELECT id, CAST(CASE WHEN s >= 9223372036854775808
+        |      THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ph
+        |  FROM hs),
         |bands AS (
-        |  SELECT id, ph, band, (ph >> (band * 8)) & 255 AS sig
+        |  SELECT id, ph, band, (ph >> (band * 16)) & 65535 AS sig
         |  FROM h, unnest(generate_series(0, 3)) u(band)),
         |pairs AS (
         |  SELECT DISTINCT l.id AS d1, r.id AS d2,

@@ -316,11 +316,12 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: banded Hamming pairs are EXACT to distance 3 on random 32-bit hashes") {
+  test("property: banded Hamming pairs are EXACT to distance 3 on random 64-bit hashes") {
     // random base hashes + random ≤3-bit perturbations: every true pair
-    // (hamming ≤ 3) must be found; every reported pair must verify
+    // (hamming ≤ 3) must be found; every reported pair must verify.
+    // Full signed-Long range: bit 63 (the sign bit) must band correctly.
     val gen = Gen.listOfN(12,
-      Gen.zip(Gen.choose(0L, 0xFFFFFFFFL), Gen.listOfN(3, Gen.choose(0, 31))))
+      Gen.zip(Gen.choose(Long.MinValue, Long.MaxValue), Gen.listOfN(3, Gen.choose(0, 63))))
     check(gen, 6) { raw =>
       val hashes = raw.zipWithIndex.flatMap { case ((h, flips), i) =>
         val perturbed = flips.distinct.take(3)

@@ -490,12 +490,12 @@ class MultimodalSpec extends SparkSpec {
     assert(!r.getBoolean(1) && r.getLong(2) === -1L)
   }
 
-  /** A 32×16 block-pattern PNG with explicit per-block gray levels. */
+  /** A 32×32 block-pattern PNG with explicit per-block gray levels. */
   private def blockPng(vals: Array[Int]): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(32, 16,
+    val img = new java.awt.image.BufferedImage(32, 32,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val gr = img.createGraphics()
-    for (by <- 0 until 4; bx <- 0 until 8) {
+    for (by <- 0 until 8; bx <- 0 until 8) {
       val v = vals(by * 8 + bx)
       gr.setColor(new java.awt.Color(v, v, v))
       gr.fillRect(bx * 4, by * 4, 4, 4)
@@ -510,10 +510,10 @@ class MultimodalSpec extends SparkSpec {
     implicit val sp = spark
     import spark.implicits._
     // base: alternating far-apart levels -> bits robust to small mean shifts
-    val base = Array.tabulate(32)(i => if (i % 2 == 0) 40 else 200)
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 40 else 200)
     val dup = base.clone() // byte-identical pattern, same hash
     val near = base.clone(); near(0) = 200 // one block flipped: Hamming 1
-    val far = Array.tabulate(32)(i => if (i % 2 == 0) 200 else 40) // inverted
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 200 else 40) // inverted
     val media = Seq(1L -> base, 2L -> dup, 3L -> near, 9L -> far)
       .map { case (id, vs) => (id, blockPng(vs)) }.toDF("media_id", "payload")
     val out = graft.llm.Multimodal.imageNearDups(media, maxHamming = 3)
@@ -528,7 +528,7 @@ class MultimodalSpec extends SparkSpec {
     implicit val sp = spark
     import spark.implicits._
     val media = Seq(
-      (1L, blockPng(Array.fill(32)(120))),
+      (1L, blockPng(Array.fill(64)(120))),
       (2L, "garbage".getBytes("UTF-8"))).toDF("media_id", "payload")
     val out = graft.llm.Multimodal.imageNearDups(media, maxHamming = 3)
     assert(out.collect().map(_.getLong(0)).toSet === Set(1L))
