@@ -130,6 +130,47 @@ object GraphMetrics {
     visited
   }
 
+  /** Single-source shortest paths over positively-weighted directed edges
+    * (`src`, `dst`, `w`): minimum total weight from `source` to every
+    * reachable vertex (unreachable absent; the source at 0).
+    *
+    * Delta-style Bellman-Ford — the Pregel SSSP shape: each round relaxes
+    * ONLY the frontier (vertices whose distance improved last round)
+    * against the edge list, folds candidate distances into the running
+    * minimum, and stops when no distance improves. Parallel edges collapse
+    * to their min weight first (only the lightest copy can ever be on a
+    * shortest path). Per-round work is frontier×out-edges, not |V|×|E| —
+    * the distributed win over textbook Bellman-Ford; rounds ≤ the longest
+    * shortest-path hop count. `localCheckpoint` per round truncates
+    * lineage exactly like [[bfsHops]]. Positive weights make each
+    * improvement final-monotone, so the fixpoint is Dijkstra-exact. */
+  def sssp(edgesW: DataFrame, source: Long): DataFrame = {
+    val spark = edgesW.sparkSession
+    import spark.implicits._
+    val e = edgesW
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint()
+    var frontier = dist
+    while (!frontier.isEmpty) {
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), (frontier("dist") + e("w")).as("nd"))
+        .groupBy("id").agg(min(col("nd")).as("nd"))
+      val old = dist.select(col("id").as("oid"), col("dist").as("old"))
+      val improved = cand.join(old, cand("id") === old("oid"), "left")
+        .filter(col("old").isNull || col("nd") < col("old"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint()
+      dist = dist.unionByName(improved)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    dist
+  }
+
   // ---- GraphX cross-check implementations (integer vertex ids) ----
 
   private def toGraphX(spark: SparkSession, edges: DataFrame): Graph[Int, Int] = {

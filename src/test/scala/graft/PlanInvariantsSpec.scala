@@ -41,7 +41,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // tailored assertion that it is fed by the bin aggregate, never
     // corpus rows)
     "x_contamination_fuzzy", "x_mm_neardup", "x_pack_length_buckets",
-    "x_split_group", "x_stream_distinct")
+    "x_split_group", "x_stream_distinct",
+    // round 7 (x_bpe_pairs and x_rrf_fusion are excluded BY DESIGN: their
+    // final rank windows sort bounded aggregates — charset²-sized pair
+    // counts / two 10-row rank lists — never corpus rows, the same
+    // carve-out as x_budget_select's histogram window)
+    "x_funnel_steps", "x_cdc_apply", "x_snapshot_diff", "x_drift_psi")
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

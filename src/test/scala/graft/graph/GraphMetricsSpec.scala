@@ -103,4 +103,37 @@ class GraphMetricsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(df === gx)
   }
+
+  def wEdges(triples: (Long, Long, Long)*): DataFrame = triples.toDF("src", "dst", "w")
+
+  test("sssp: a longer-hop lighter path beats the direct heavy edge; parallel edges take min weight") {
+    // 1→4 direct costs 10, but 1→2→3→4 costs 1+1+1 = 3; the duplicate
+    // heavy 1→2 edge (w=9) must lose to the light copy.
+    val e = wEdges((1L, 4L, 10L), (1L, 2L, 1L), (1L, 2L, 9L),
+      (2L, 3L, 1L), (3L, 4L, 1L), (8L, 9L, 1L), (5L, 1L, 2L))
+    val d = GraphMetrics.sssp(e, source = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("sssp: a later round can still improve an earlier settled-looking distance") {
+    // 0→3 cheap-looking two-hop (5+5) vs a 4-hop chain of 1s (total 4):
+    // the chain's improvement arrives at round 4 and must overwrite.
+    val e = wEdges((0L, 9L, 5L), (9L, 3L, 5L),
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 8L, 1L), (8L, 3L, 1L))
+    val d = GraphMetrics.sssp(e, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(3L) === 4L)
+    assert(d(9L) === 5L)
+  }
+
+  test("sssp: with unit weights it equals bfsHops on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.fill(80)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val hops = GraphMetrics.bfsHops(edges(raw: _*), source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphMetrics.sssp(wEdges(raw.map { case (s, t) => (s, t, 1L) }: _*),
+      source = 0L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === hops)
+  }
 }
