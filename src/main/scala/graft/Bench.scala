@@ -16,9 +16,25 @@ object Bench {
     // noop sink executes the FULL physical plan (a bare count() would let
     // Catalyst prune every projection and under-measure — VERDICT r1 §9).
     val subset = args.toSet // optional query-name filter for local iteration
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Decode-heavy queries (image/audio/video codecs + the synth fixture
+    // generators) run LAST as their own family: two driver rounds in a row
+    // showed 2-6× in-run inflation for mm-family queries landing mid-run
+    // (residue from other queries' shuffle/broadcast refs the cleaner
+    // hasn't collected yet competing with codec buffers — BENCH_NOTES r5/r6).
+    // Alphabetical order within each family keeps run-over-run comparability.
+    def family(name: String): Int = if (name.startsWith("x_mm_")) 1 else 0
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (family(n), n) }
+    val firstMm = ordered.indexWhere { case (n, _) => family(n) == 1 }
+    val results = ordered
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .zipWithIndex.map { case ((name, fn), i) =>
+      if (i == firstMm) {
+        // family boundary: drop finished queries' shuffle/broadcast/
+        // checkpoint refs NOW so the decode family starts from a clean
+        // heap instead of paying earlier queries' collection debt
+        System.gc()
+        Thread.sleep(200) // let the ContextCleaner drain its ref queue
+      }
       val t0 = System.nanoTime()
       // failed queries record -1 (and land in "failed") so a broken query
       // can never silently contribute a plausible-looking time to the total

@@ -91,6 +91,10 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val md = java.security.MessageDigest.getInstance("MD5")
           val digest = md.digest(bytes).map("%02x".format(_)).mkString
@@ -163,6 +167,10 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
           val decoded = splitMjpeg(bytes).iterator.map { frame =>
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
@@ -192,6 +200,10 @@ object Multimodal {
     ids.select(col(ids.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val g = (id % 7).toInt
           val off = ((id / 7) % 3).toInt
@@ -225,6 +237,10 @@ object Multimodal {
     ids.select(col(ids.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val g = (id % 7).toInt
           val off = ((id / 7) % 3).toInt
@@ -264,6 +280,10 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -394,6 +414,10 @@ object Multimodal {
     ids.select(col(ids.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           if (id % 5 == 0) (id, s"not a png payload #$id".getBytes("UTF-8"))
           else {
@@ -460,6 +484,10 @@ object Multimodal {
     ids.select(col(ids.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           if (id % 5 == 0) (id, s"not an mjpeg payload #$id".getBytes("UTF-8"))
           else {
@@ -537,6 +565,10 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
+        // in-memory payloads: ImageIO's default disk cache writes a temp
+        // file per decoded stream — pure overhead here, and temp-dir churn
+        // under 32 concurrent decode tasks
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes, kind) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
