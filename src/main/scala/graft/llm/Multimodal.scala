@@ -372,15 +372,39 @@ object Multimodal {
     * clique size by definition; [[imageNearDups]]-style consumers that
     * only need per-id aggregates should aggregate per hash group instead
     * of materializing clique pairs when that matters. */
-  def hashNearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+  def hashNearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame =
+    hashNearDupPairs(hashed, maxHamming, maxBucket = Int.MaxValue)
+
+  /** [[hashNearDupPairs]] with a per-bucket density cap — the df-cap escape
+    * hatch for DEGENERATE corpora (solid-color frames, near-constant
+    * thumbnails) where one (band, sig) bucket of distinct hashes would
+    * otherwise quadratically dominate: buckets holding more than
+    * `maxBucket` DISTINCT hashes are removed from the candidate join by a
+    * broadcast anti-join before any pairing (the hot set is tiny by Zipf —
+    * the same mitigation as hot shingles, Dedup.keptShingles). Below the
+    * cap the result is bit-identical to the uncapped computation; when the
+    * cap engages, pairs whose ONLY intact band was hot are missed — a
+    * measured recall trade documented in SCALE.md, chosen over the job
+    * dying. Exact-dup (Hamming-0) pairs are NEVER affected: they pair on
+    * the full hash, not through a band bucket. */
+  def hashNearDupPairs(hashed: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, s"4x16-bit banding is exact only to Hamming 3")
     val ids = Dedup.pin(hashed.select(col("id"), col("phash")))
     val hashes = Dedup.pin(ids.select("phash").distinct())
-    val bands = hashes.select(col("phash"), explode(array(
+    val bandsAll = hashes.select(col("phash"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as("sig"))): _*))
       .as("bs"))
       .select(col("phash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands =
+      if (maxBucket == Int.MaxValue) bandsAll
+      else {
+        val pinned = Dedup.pin(bandsAll)
+        val hot = pinned.groupBy("band", "sig")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .select("band", "sig")
+        pinned.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      }
     val l = bands.as("l"); val r = bands.as("r")
     // hash-level near-dup pairs, canonicalized h1 < h2 (hash VALUE order)
     val hashPairs = l.join(r, col("l.band") === col("r.band")

@@ -36,6 +36,22 @@ object R7Ops {
          |      * (tf$tag$i * 2.2) / (tf$tag$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin
     }.mkString("\n    + ")
 
+  /** Binary-heap hierarchy walk + per-depth rollup — portable recursive
+    * CTE text shared verbatim by the Spark query and the DuckDB oracle
+    * (`CAST(floor(k / 2) AS BIGINT)` instead of the engines' differing
+    * integer-division operators). */
+  private[queries] val RecursiveSql =
+    """WITH RECURSIVE chain(id, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS id, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.c_custkey AS id, ch.depth + 1 AS depth
+      |  FROM customer c JOIN chain ch
+      |    ON CAST(floor(c.c_custkey / 2) AS BIGINT) = ch.id
+      |  WHERE c.c_custkey > 1)
+      |SELECT depth, count(*) AS n, round(sum(b.c_acctbal), 4) AS bal
+      |FROM chain JOIN customer b ON b.c_custkey = chain.id
+      |GROUP BY depth""".stripMargin
+
   /** The funnel CTE chain (view → click → purchase, strictly ordered per
     * user) — portable SQL, shared verbatim by the DuckDB oracle and the
     * `x_sql_funnel` Spark-SQL twin. */
@@ -338,6 +354,49 @@ object R7Ops {
         .orderBy(col("rrf").desc, col("id"))
       fused.orderBy(col("rrf").desc, col("id")).limit(10)
         .withColumn("rank", row_number().over(wTop))
+    },
+
+    // Gaps-and-islands: longest consecutive-DAY activity streak per user —
+    // the canonical window-function idiom (distinct days → row_number →
+    // day − rn = island key → island lengths). Distinct from sessionize
+    // (calendar-day islands, not ts-gap sessions). All three phases are
+    // user-partitioned: one shuffle on user_id, then window + two hash
+    // aggregates on the same key — no global sort anywhere.
+    QDef("x_streaks",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS rn
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, day - rn AS isl, count(*) AS len
+        |  FROM r GROUP BY user_id, day - rn)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY user_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      Tables(s, d).events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), date_sub(col("day"), col("rn")).as("isl"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest"), sum(col("len")).as("active_days"))
+    },
+
+    // RECURSIVE CTE through Spark's OWN SQL engine (WITH RECURSIVE landed
+    // in Spark 4) — a binary-heap customer hierarchy (parent k = ⌊k/2⌋,
+    // strictly decreasing → acyclic, so UNION ALL recursion terminates)
+    // rolled up by depth. ONE portable SQL text serves as both the Spark
+    // query and the DuckDB oracle, pinning the two engines' recursive-CTE
+    // semantics against each other. round(,4) sums are tie-safe: acctbal
+    // has 2 decimals, so no sum can land on a 4th-decimal rounding
+    // boundary.
+    QDef("x_sql_recursive", R7Ops.RecursiveSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "customer")
+      s.sql(R7Ops.RecursiveSql)
     },
 
     // EXACT per-group percentiles (Spark `percentile`, linear

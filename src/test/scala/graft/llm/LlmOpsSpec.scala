@@ -524,6 +524,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(9L) === ((9L, 0L))) // inverted image: no neighbors, own rep
   }
 
+  test("hashNearDupPairs hot-bucket cap: capped result is a subset; only pairs " +
+      "whose every intact band is hot are lost; below the cap it is identical") {
+    import spark.implicits._
+    // expand bit k of i into nibble k (0x0/0xF): filler uppers are pairwise
+    // Hamming >= 4 apart, so fillers never pair with each other
+    def expand(i: Int): Long =
+      (0 until 5).map(k => if ((i >> k & 1) == 1) 0xFL << (4 * k) else 0L).sum
+    // 20 distinct hashes all sharing band-0 sig 0x1234 -> a hot bucket
+    val filler = (0 until 20).map(i => (100L + i, (expand(i) << 16) | 0x1234L))
+    val a = (0xABCDEL << 16) | 0x1234L
+    val b = a ^ (1L << 16) ^ (1L << 32) ^ (1L << 48) // Hamming 3, ONLY band 0 intact
+    val c = (0xEDCBAL << 16) | 0x1234L
+    val dd = c ^ 1L // Hamming 1 in band 0 -> bands 1-3 intact
+    val rows = filler ++ Seq((1L, a), (2L, b), (3L, c), (4L, dd))
+    val df = rows.toDF("id", "phash")
+    def pairs(cap: Int) = graft.llm.Multimodal.hashNearDupPairs(df, 3, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val want = (for {
+      (x, hx) <- rows; (y, hy) <- rows if x < y
+      if java.lang.Long.bitCount(hx ^ hy) <= 3
+    } yield (x, y)).toSet
+    assert(uncapped === want) // exactness, cap disengaged
+    assert(pairs(1000) === want) // cap above every bucket: identical
+    val capped = pairs(10) // hot (band0, 0x1234) bucket (23 hashes) removed
+    assert(capped.subsetOf(uncapped))
+    assert(!capped.contains((1L, 2L))) // its only intact band was hot
+    assert(capped.contains((3L, 4L))) // found through bands 1-3
+  }
+
   test("imageNearDups: undecodable payloads are excluded, not paired") {
     implicit val sp = spark
     import spark.implicits._
