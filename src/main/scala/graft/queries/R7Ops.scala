@@ -399,6 +399,42 @@ object R7Ops {
       s.sql(R7Ops.RecursiveSql)
     },
 
+    // Streaming drift monitor, batch twin (EventStreams.driftPsiStream —
+    // same code path; watermark is a no-op in batch): per-day PSI of each
+    // window's value distribution against the whole corpus's reference
+    // histogram. The chained agg→agg stateful pair where the SECOND agg
+    // folds bin counts into a bounded map column and the PSI is scalar
+    // algebra against the broadcast reference — no grid join, no third
+    // stateful operator. MemoryStream parity in EventStreamsSpec.
+    QDef("x_stream_psi",
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+        |    least(greatest(CAST(floor(value / 50) AS INT), 0), 9) AS bin
+        |  FROM events),
+        |cnt AS (SELECT ws, event_type, bin, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |n AS (SELECT ws, event_type, sum(c) AS n FROM cnt GROUP BY 1, 2),
+        |rc AS (SELECT event_type, bin, count(*) AS c FROM e GROUP BY 1, 2),
+        |rn AS (SELECT event_type, sum(c) AS rn FROM rc GROUP BY 1),
+        |grid AS (
+        |  SELECT n.ws, n.event_type, b.bin, n.n, rn.rn
+        |  FROM n CROSS JOIN unnest(generate_series(0, 9)) b(bin)
+        |  JOIN rn ON rn.event_type = n.event_type),
+        |terms AS (
+        |  SELECT g.ws, g.event_type,
+        |    (coalesce(c.c, 0) + 1.0) / (g.n + 10.0) AS p,
+        |    (coalesce(r.c, 0) + 1.0) / (g.rn + 10.0) AS q
+        |  FROM grid g
+        |  LEFT JOIN cnt c ON c.ws = g.ws AND c.event_type = g.event_type
+        |    AND c.bin = g.bin
+        |  LEFT JOIN rc r ON r.event_type = g.event_type AND r.bin = g.bin)
+        |SELECT ws AS window_start, event_type,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      graft.streaming.EventStreams.driftPsiStream(ev,
+        graft.streaming.EventStreams.referenceHistogram(ev))
+    },
+
     // EXACT per-group percentiles (Spark `percentile`, linear
     // interpolation) — the small-group complement of x_sketch_quantile's
     // mergeable KLL posture: per-group exact sorts are fine when groups

@@ -102,6 +102,62 @@ object EventStreams {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("distinct_users"))
 
+  /** Laplace-smoothed reference histogram for [[driftPsiStream]]: per
+    * event_type, the 10-bin probability vector of `value` over a STATIC
+    * reference corpus — `q[b] = (c_b + 1)/(N + 10)`, bins
+    * `clamp(⌊value/50⌋, 0, 9)`. |types| rows of 10 doubles: KB-sized by
+    * construction, always broadcastable. */
+  def referenceHistogram(events: DataFrame): DataFrame = {
+    val cnt = events.select(col("event_type"),
+        least(greatest(floor(col("value") / 50).cast("int"), lit(0)), lit(9)).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    cnt.groupBy("event_type")
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("cm"),
+        sum(col("c")).as("n"))
+      .select(col("event_type"), expr(
+        "transform(sequence(0, 9), b -> (coalesce(element_at(cm, b), 0L) + 1.0D) / (n + 10.0D))")
+        .as("q"))
+  }
+
+  /** STREAMING distribution-drift monitor: per tumbling window and
+    * event_type, the population-stability index of the window's `value`
+    * distribution against a static reference histogram
+    * ([[referenceHistogram]]) — the data-quality tripwire a continuously
+    * ingesting training pipeline runs in-flight ("did this hour's data
+    * shift?"), alerting per window instead of per offline audit.
+    *
+    * The third chained-stateful-pair shape: agg→agg like
+    * [[chainedWindowsAgg]], but the second aggregate FOLDS the per-bin
+    * counts into a map column (`map_from_entries(collect_list(…))` — at
+    * most 10 entries per group, bounded by construction), and the PSI is
+    * then pure scalar algebra: a higher-order `aggregate` over the
+    * 10-bin grid against the BROADCAST reference vector. Missing bins
+    * fall out of `coalesce(element_at(cm, b), 0)` — no grid join, no
+    * third stateful operator. One watermark bounds both aggs' state;
+    * the stream side never shuffles more than (window, type, bin)
+    * count rows. Same body runs batch for the `x_stream_psi` oracle. */
+  def driftPsiStream(eventsIn: DataFrame, refProbs: DataFrame,
+      width: String = "1 day", watermark: String = "2 hours"): DataFrame = {
+    val events = normTs(eventsIn, "ts")
+    val cnt = events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), width).as("w"), col("event_type"),
+        least(greatest(floor(col("value") / 50).cast("int"), lit(0)), lit(9)).as("bin"))
+      .groupBy(col("w"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val hist = cnt.groupBy(col("w"), col("event_type"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("cm"),
+        sum(col("c")).as("n"))
+    hist.join(broadcast(refProbs), Seq("event_type"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        round(expr(
+          """aggregate(sequence(0, 9), 0D, (acc, b) ->
+            |  acc + ((coalesce(element_at(cm, b), 0L) + 1.0D) / (n + 10.0D)
+            |           - element_at(q, b + 1))
+            |      * ln((coalesce(element_at(cm, b), 0L) + 1.0D) / (n + 10.0D)
+            |           / element_at(q, b + 1)))""".stripMargin), 6).as("psi"))
+  }
+
   /** Sliding windows (width/slide) — each event lands in width/slide windows. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -774,6 +774,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("driftPsiStream: streamed per-window PSI equals the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two days with DIFFERENT value mixes vs the overall reference: day 1
+    // low values (bin 0), day 2 high values (bin 9) — nonzero PSI both days
+    val data = Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "click", 10.0),
+      EventRow(2L, ts("2024-01-01 11:00:00"), 100L, "click", 20.0),
+      EventRow(3L, ts("2024-01-01 12:00:00"), 101L, "click", 30.0),
+      EventRow(4L, ts("2024-01-02 10:00:00"), 100L, "click", 460.0),
+      EventRow(5L, ts("2024-01-02 11:00:00"), 101L, "click", 470.0),
+      EventRow(6L, ts("2024-01-01 10:30:00"), 102L, "view", 100.0),
+      EventRow(7L, ts("2024-01-02 10:30:00"), 102L, "view", 250.0))
+    val ref = EventStreams.referenceHistogram(data.toDF()).localCheckpoint()
+    val stream = MemoryStream[EventRow]
+    // chained stateful aggs demand append mode: zero watermark delay + a
+    // far-future sentinel finalize both operators' windows
+    val q = EventStreams.driftPsiStream(stream.toDF(), ref, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("psi_test")
+      .outputMode("append").start()
+    // micro-batches split BY DAY: with a zero watermark delay, a day-1
+    // straggler arriving after any day-2 event would be dropped as late
+    val (day1, day2) = data.partition(_.ts.before(ts("2024-01-02 00:00:00")))
+    stream.addData(day1: _*); q.processAllAvailable()
+    stream.addData(day2: _*); q.processAllAvailable()
+    stream.addData(EventRow(9L, ts("2024-01-05 00:00:00"), 999L, "click", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("psi_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2)).toMap
+    q.stop()
+    val batch = EventStreams.driftPsiStream(data.toDF(), ref).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(streamed === batch)
+    // day-1 clicks sit in bin 0 where the click reference splits 3/2 over
+    // bins 0 and 9 — drift must be strictly positive on both days
+    assert(batch((ts("2024-01-01 00:00:00"), "click")) > 0.0)
+    assert(batch((ts("2024-01-02 00:00:00"), "click")) > 0.0)
+  }
+
   test("TIMESTAMP_NTZ input: tumbling + chained pair match the TIMESTAMP batch results") {
     // The round-6 testdata regeneration delivered events.ts as TIMESTAMP_NTZ
     // and broke every unix_micros/watermark site. The streaming operators
