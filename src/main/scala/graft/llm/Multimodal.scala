@@ -537,6 +537,68 @@ object Multimodal {
       }.toDF("media_id", "payload")
   }
 
+  /** MJPEG fixture WITH SCENE CHANGES for the cut-detection oracle: frame
+    * i of video `id` is a constant-gray JPEG at level 160 when
+    * `(id + i) % 3 == 0`, else 64 — so the exact cut positions (and count)
+    * are a pure function of the id, predictable in SQL without decoding.
+    * The 96-level jumps dwarf JPEG quantization error (±2/frame), so a
+    * threshold of 16 classifies every frame pair deterministically.
+    * Every 5th id is a garbage payload (mixed-corpus posture). */
+  def synthSceneMjpegTable(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          if (id % 5 == 0) (id, s"not an mjpeg payload #$id".getBytes("UTF-8"))
+          else {
+            val n = (2 + id % 4).toInt
+            val w = (8 + (id % 3) * 8).toInt
+            val h = (8 + (id % 2) * 8).toInt
+            val buf = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < n) {
+              val v = if ((id + i) % 3 == 0) 160 else 64
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              g.setColor(new java.awt.Color(v, v, v))
+              g.fillRect(0, 0, w, h)
+              g.dispose()
+              javax.imageio.ImageIO.write(img, "jpg", buf)
+              i += 1
+            }
+            (id, buf.toByteArray)
+          }
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** Scene-cut detection over REAL decoded video frames: a cut between
+    * consecutive frames when mean luminance jumps by more than
+    * `threshold`. Decode is the scan-local [[decodeVideoFrames]]
+    * mapPartitions; the lag/compare runs under ONE shuffle on media_id
+    * (per-video frame counts are bounded — a video's frames sort within
+    * its partition, never globally). Undecodable payloads surface as
+    * `decoded = false, n_frames = -1, cuts = -1`. */
+  def sceneCuts(media: DataFrame, threshold: Double = 16.0)
+      (implicit spark: SparkSession): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    decodeVideoFrames(media).toDF()
+      .withColumn("prev", lag(col("mean_luma"), 1).over(w))
+      .withColumn("cut",
+        when(col("decoded") && col("prev").isNotNull &&
+          abs(col("mean_luma") - col("prev")) > threshold, 1L).otherwise(0L))
+      .groupBy("media_id")
+      .agg(first(col("decoded")).as("decoded"), // uniform within a video
+        count(lit(1)).as("nf"), sum(col("cut")).as("sc"))
+      .select(col("media_id"), col("decoded"),
+        when(col("decoded"), col("nf")).otherwise(lit(-1L)).as("n_frames"),
+        when(col("decoded"), col("sc")).otherwise(lit(-1L)).as("cuts"))
+  }
+
   /** REAL audio decode via `javax.sound.sampled` (JDK-built-in WAV/AU/AIFF
     * readers — no external library): sample rate, channel count, frame
     * length, and RMS amplitude (computed for 16-bit signed PCM, the WAV

@@ -435,6 +435,115 @@ object R7Ops {
         graft.streaming.EventStreams.referenceHistogram(ev))
     },
 
+    // Video scene-cut detection (Multimodal.sceneCuts) over a REAL MJPEG
+    // decode of the scene fixture — frame grays are a pure function of
+    // (id, frame index), so the oracle predicts the exact cut count
+    // without decoding: a cut between frames i-1, i iff exactly one of
+    // them is a bright frame, i.e. (id+i)%3==0 OR (id+i-1)%3==0 (consecutive
+    // residues can't both be 0). 96-level jumps vs ±2 JPEG quantization
+    // make threshold 16 deterministic.
+    QDef("x_mm_scenes",
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS garbage,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS n
+        |  FROM documents),
+        |cut AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN ((doc_id + i) % 3 = 0) OR ((doc_id + i - 1) % 3 = 0)
+        |        THEN 1 ELSE 0 END) AS cuts
+        |  FROM p, unnest(generate_series(1, CAST(n - 1 AS INT))) t(i)
+        |  WHERE NOT garbage GROUP BY doc_id)
+        |SELECT p.doc_id AS media_id, NOT p.garbage AS decoded,
+        |  CASE WHEN p.garbage THEN CAST(-1 AS BIGINT) ELSE p.n END AS n_frames,
+        |  CASE WHEN p.garbage THEN CAST(-1 AS BIGINT)
+        |       ELSE CAST(coalesce(cut.cuts, 0) AS BIGINT) END AS cuts
+        |FROM p LEFT JOIN cut ON cut.doc_id = p.doc_id""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      import graft.llm.Multimodal
+      Multimodal.sceneCuts(Multimodal.synthSceneMjpegTable(
+        Tables(s, d).documents.select(col("doc_id"))))
+    },
+
+    // Matryoshka-truncation recall@5: top-k over the FIRST 16 of 64
+    // embedding dims (cosine is scale-invariant, so truncation needs no
+    // renormalization for ranking) vs the full-dim brute-force truth —
+    // the evaluation behind MRL-style "cheap first pass at 1/4 the
+    // bytes". Same crossJoin-broadcast + bounded-window machinery as the
+    // x_sim family; the hits join touches only two k-sized rank lists.
+    QDef("x_sim_matryoshka",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.NormsCte},
+         |bdots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |bscored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+         |brute AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM bscored) WHERE rn <= 5),
+         |et AS (
+         |  SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |    CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) AS e
+         |  FROM embeddings, unnest(range(0, 16)) t(j)),
+         |tnorms AS (SELECT vec_id, sum(e * e) AS n2 FROM et GROUP BY vec_id),
+         |tdots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+         |  FROM et q JOIN et c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |tscored AS (
+         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+         |  FROM tdots JOIN tnorms nq ON nq.vec_id = qid JOIN tnorms nc ON nc.vec_id = cid),
+         |ttop AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM tscored) WHERE rn <= 5),
+         |h AS (
+         |  SELECT f.qid, count(*) AS hits
+         |  FROM brute f JOIN ttop t ON t.qid = f.qid AND t.cid = f.cid
+         |  GROUP BY f.qid)
+         |SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(coalesce(h.hits, 0) / 5.0, 6) AS recall
+         |FROM (SELECT DISTINCT qid FROM brute) q
+         |LEFT JOIN h ON h.qid = q.qid""".stripMargin) { (s, d) =>
+      import graft.llm.Similarity
+      val emb = Tables(s, d).embeddings
+      val q = emb.filter(col("vec_id") < 10)
+      val full = Similarity.cosineTopK(q, emb, 5).select(col("qid"), col("cid"))
+      val tq = q.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding"))
+      val tc = emb.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding"))
+      val trunc = Similarity.cosineTopK(tq, tc, 5)
+        .select(col("qid").as("tqid"), col("cid").as("tcid"))
+      val hits = full.join(trunc,
+          col("qid") === col("tqid") && col("cid") === col("tcid"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      full.select("qid").distinct().join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("hits"),
+          round(coalesce(col("h"), lit(0L)) / 5.0, 6).as("recall"))
+    },
+
+    // l-diversity audit — k-anonymity's companion (x_k_anonymity counts
+    // group SIZE; this counts DISTINCT sensitive values per
+    // quasi-identifier group): a group can be large yet still leak if
+    // everyone shares the sensitive attribute. floor-bucketed balance
+    // brackets as the sensitive value (floor, not round — immune to the
+    // engines' differing half-rounding modes). One partial/final
+    // aggregate with distinct — no second shuffle.
+    QDef("x_l_diversity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(DISTINCT floor(c_acctbal / 100)) AS BIGINT) AS l,
+        |  count(DISTINCT floor(c_acctbal / 100)) < 3 AS risky
+        |FROM customer GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables(s, d).customer
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(countDistinct(floor(col("c_acctbal") / 100)).as("l"))
+        .withColumn("risky", col("l") < 3)
+    },
+
     // EXACT per-group percentiles (Spark `percentile`, linear
     // interpolation) — the small-group complement of x_sketch_quantile's
     // mergeable KLL posture: per-group exact sorts are fine when groups
