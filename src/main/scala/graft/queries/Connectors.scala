@@ -74,6 +74,31 @@ object Connectors {
           max(col("id")).as("max_id"), sum(col("id")).as("total"))
     },
 
+    // GROUP-BY aggregate pushdown (complete form): with the `buckets`
+    // option the source exposes a derived `bucket` column (id % buckets)
+    // and answers GROUP BY bucket in closed form — each residue class of
+    // the pushed interval is an arithmetic progression, so the "scan" IS
+    // |buckets| planning-time rows and Spark removes its aggregate
+    // entirely (asserted by GraftRangeSourceSpec). The real-world shape:
+    // a partitioned warehouse table answering per-partition counts from
+    // catalog stats without touching data.
+    QDef("x_dsv2_group_pushdown",
+      """SELECT CAST(range % 16 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(range) AS BIGINT) AS min_id,
+        |  CAST(max(range) AS BIGINT) AS max_id,
+        |  CAST(sum(range) AS BIGINT) AS total
+        |FROM range(1000, 99000) GROUP BY 1""".stripMargin) { (s, _) =>
+      s.read.format("graft-range")
+        .option("start", "0").option("end", "1000000").option("slices", "64")
+        .option("buckets", "16")
+        .load()
+        .filter(col("id") >= 1000 && col("id") < 99000)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("total"))
+    },
+
     // WRITE path roundtrip through the V2 commit protocol
     // (graft.sources.GraftTsvSource): land a per-nation aggregate via
     // task-temp files + driver-side publish, then read it back through the

@@ -36,6 +36,22 @@ object R7Ops {
          |      * (tf$tag$i * 2.2) / (tf$tag$i + 1.2 * (0.25 + 0.75 * dl / avgdl))""".stripMargin
     }.mkString("\n    + ")
 
+  /** The changelog-apply query as portable SQL — shared verbatim by the
+    * DuckDB oracle (for both x_cdc_apply and its SQL twin) and the
+    * `x_sql_cdc` Spark-SQL run. */
+  private[queries] val CdcSql =
+    """WITH log AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, value, op,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM log)
+      |SELECT user_id, value AS last_value, CAST(n_ops AS BIGINT) AS n_ops
+      |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** Binary-heap hierarchy walk + per-depth rollup — portable recursive
     * CTE text shared verbatim by the Spark query and the DuckDB oracle
     * (`CAST(floor(k / 2) AS BIGINT)` instead of the engines' differing
@@ -51,6 +67,61 @@ object R7Ops {
       |SELECT depth, count(*) AS n, round(sum(b.c_acctbal), 4) AS bal
       |FROM chain JOIN customer b ON b.c_custkey = chain.id
       |GROUP BY depth""".stripMargin
+
+  /** Unrolled 3-iteration logistic-GD oracle for `x_quality_train` — the
+    * DuckDB replay of [[graft.llm.Classifier.trainLogisticHashed]]'s exact
+    * integer-nano trajectory (same hashing as the x_feature_hash oracle,
+    * rational fast-sigmoid link, BIGINT gradient sums). */
+  private val QualityTrainSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""s$i AS (
+         |  SELECT c.doc_id, CAST(sum(c.cnt * w.wn) AS BIGINT) AS dot
+         |  FROM c JOIN $prev w ON w.j = c.j GROUP BY 1),
+         |p$i AS (
+         |  SELECT doc_id, CAST(floor((0.5 + (dot/1e9) / (2.0*(1.0+abs(dot/1e9))))
+         |    * 1e9 + 0.5) AS BIGINT) AS p
+         |  FROM s$i),
+         |g$i AS (
+         |  SELECT c.j, sum((p.p - lab.y * 1000000000) * c.cnt) AS gs
+         |  FROM c JOIN p$i p ON p.doc_id = c.doc_id
+         |  JOIN lab ON lab.doc_id = c.doc_id GROUP BY 1),
+         |w$i AS (
+         |  SELECT w.j, CAST(w.wn - CAST(floor(coalesce(g.gs, 0)
+         |      / (2.0 * (SELECT n FROM nn)) + 0.5) AS BIGINT) AS BIGINT) AS wn
+         |  FROM w${i - 1} w LEFT JOIN g$i g ON g.j = w.j)""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |hh AS (SELECT doc_id,
+       |  ascii(substr(t || '___', 1, 1)) * 65536
+       |    + ascii(substr(t || '___', 2, 1)) * 256
+       |    + ascii(substr(t || '___', 3, 1)) + length(t) * 16777216 AS wh
+       |  FROM tok),
+       |c AS (SELECT doc_id, CAST(wh % 16 AS INT) AS j,
+       |  CAST(count(*) AS BIGINT) AS cnt FROM hh GROUP BY 1, 2),
+       |lab AS (SELECT doc_id,
+       |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0
+       |       THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |w0 AS (SELECT CAST(j AS INT) AS j, CAST(0 AS BIGINT) AS wn
+       |  FROM (SELECT unnest(range(0, 16)) AS j)),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |sf AS (
+       |  SELECT c.doc_id, CAST(sum(c.cnt * w.wn) AS BIGINT) AS dot
+       |  FROM c JOIN w3 w ON w.j = c.j GROUP BY 1),
+       |pf AS (
+       |  SELECT doc_id, CAST(floor((0.5 + (dot/1e9) / (2.0*(1.0+abs(dot/1e9))))
+       |    * 1e9 + 0.5) AS BIGINT) AS p
+       |  FROM sf)
+       |SELECT d.doc_id, coalesce(pf.p, 500000000) AS p_nano,
+       |  coalesce(pf.p, 500000000) > 500000000 AS flagged
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN pf ON pf.doc_id = d.doc_id""".stripMargin
+  }
 
   /** The funnel CTE chain (view → click → purchase, strictly ordered per
     * user) — portable SQL, shared verbatim by the DuckDB oracle and the
@@ -113,18 +184,7 @@ object R7Ops {
     // per-key window (row_number + count) — the last-writer-wins merge that
     // at 100 TB runs per key-partition with AQE skew splitting; contrast
     // x_scd2_merge, which keeps the full history instead of the tip.
-    QDef("x_cdc_apply",
-      """WITH log AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, value, op,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS n_ops
-        |  FROM log)
-        |SELECT user_id, value AS last_value, CAST(n_ops AS BIGINT) AS n_ops
-        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+    QDef("x_cdc_apply", R7Ops.CdcSql) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
@@ -135,6 +195,14 @@ object R7Ops {
         .withColumn("n_ops", count(lit(1)).over(wAll))
         .filter(col("rn") === 1 && col("op") =!= "D")
         .select(col("user_id"), col("value").as("last_value"), col("n_ops"))
+    },
+
+    // The changelog apply as ONE Spark-SQL string — same portable text IS
+    // the oracle (the x_sql_* parser/analyzer-parity contract, here for
+    // desc-ordered windows + frameless count over partition).
+    QDef("x_sql_cdc", R7Ops.CdcSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(R7Ops.CdcSql)
     },
 
     // Snapshot diff — added/removed/changed rows between two table
@@ -542,6 +610,18 @@ object R7Ops {
         .groupBy("c_nationkey", "c_mktsegment")
         .agg(countDistinct(floor(col("c_acctbal") / 100)).as("l"))
         .withColumn("risky", col("l") < 3)
+    },
+
+    // In-engine quality-classifier TRAINING (Classifier.trainLogisticHashed):
+    // 3 full-batch logistic-GD iterations over hashed features, then score
+    // every document — the filter-model step of a curation pipeline run as
+    // DataFrame jobs. Integer-nano sums + a rational fast-sigmoid make the
+    // whole trajectory bit-exact across engines (no exp, no order-dependent
+    // float sums); the oracle unrolls the identical 3 iterations in SQL.
+    QDef("x_quality_train", QualityTrainSql) { (s, d) =>
+      graft.llm.Classifier.trainLogisticHashed(
+        Tables(s, d).documents, "doc_id", "text",
+        labelWord = "spark", dim = 16, iters = 3)._2
     },
 
     // EXACT per-group percentiles (Spark `percentile`, linear

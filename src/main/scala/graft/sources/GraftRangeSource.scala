@@ -44,32 +44,43 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftRangeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-range"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftRangeSource.Schema
+    GraftRangeSource.schemaFor(Option(options.get("buckets")).map(_.toInt))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftRangeTable(
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      Option(properties.get("buckets")).map(_.toInt))
 }
 
 object GraftRangeSource {
   val Schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
+
+  /** With the `buckets` option the table exposes a derived `bucket`
+    * column (`id % buckets`) — the grouping key the GROUP-BY aggregate
+    * pushdown answers in closed form. Absent the option, the schema is
+    * unchanged so existing readers see no new column. */
+  def schemaFor(buckets: Option[Int]): StructType =
+    if (buckets.isDefined) Schema.add(StructField("bucket", IntegerType, nullable = false))
+    else Schema
 }
 
-final class GraftRangeTable(start: Long, end: Long, slices: Int)
+final class GraftRangeTable(start: Long, end: Long, slices: Int,
+    buckets: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range[$start,$end)"
-  override def schema(): StructType = GraftRangeSource.Schema
+  override def schema(): StructType = GraftRangeSource.schemaFor(buckets)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(start, end, slices)
+    new GraftRangeScanBuilder(start, end, slices, buckets)
 }
 
-final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
+final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int,
+    buckets: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -80,23 +91,33 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
   private var lo = start
   private var hi = end
   private var pushed = Array.empty[Filter]
-  private var required = GraftRangeSource.Schema
+  private var required = GraftRangeSource.schemaFor(buckets)
   private var limit = Long.MaxValue
   private var aggs: Option[Seq[AggregateFunc]] = None
+  private var grouped = false
 
-  private def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+  private def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+      name: String) =
     e match {
-      case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+      case r: NamedReference => r.fieldNames.sameElements(Array(name))
       case _ => false
     }
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    isCol(e, "id")
 
   /** COUNT(*) / COUNT(id) / MIN(id) / MAX(id) / SUM(id) over an integer
     * interval have CLOSED FORMS — the aggregate never touches a row.
     * DISTINCT variants are equivalent here because ids are unique by
-    * construction. Ungrouped only: a GROUP BY would need per-group state
-    * the interval arithmetic can't shortcut. */
-  private def canPush(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+    * construction. Grouping is accepted ONLY on the derived `bucket`
+    * column (= id % buckets): each residue class of [lo, hi) is an
+    * arithmetic progression with its own closed forms, so the grouped
+    * aggregate is |buckets| rows of planning-time arithmetic — the V2
+    * analogue of answering GROUP BY from per-partition catalog stats. */
+  private def canPush(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.isEmpty ||
+      (buckets.isDefined && agg.groupByExpressions.length == 1 &&
+        isCol(agg.groupByExpressions.head, "bucket"))
+    groupOk && agg.aggregateExpressions.forall {
       case _: CountStar => true
       case c: Count => isId(c.column)
       case m: Min => isId(m.column)
@@ -104,6 +125,7 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
       case s: Sum => isId(s.column)
       case _ => false
     }
+  }
 
   /** COMPLETE pushdown: the "scan" is one planning-time-computed row and
     * Spark removes its aggregate entirely — the strongest form of the
@@ -113,7 +135,11 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
   override def supportCompletePushDown(agg: Aggregation): Boolean = canPush(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    canPush(agg) && { aggs = Some(agg.aggregateExpressions.toSeq); true }
+    canPush(agg) && {
+      aggs = Some(agg.aggregateExpressions.toSeq)
+      grouped = agg.groupByExpressions.nonEmpty
+      true
+    }
 
   /** LIMIT k truncates the residual interval itself — the source generates
     * k rows TOTAL instead of every executor generating its slice and the
@@ -157,8 +183,12 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
     val cappedHi = if (limit == Long.MaxValue) hi
       else math.min(hi, lo + math.max(0L, limit))
     aggs match {
+      case Some(fs) if grouped =>
+        new GraftRangeGroupedAggScan(lo, cappedHi, buckets.get, fs)
       case Some(fs) => new GraftRangeAggScan(lo, cappedHi, fs)
-      case None => new GraftRangeScan(start, end, slices, lo, cappedHi, required)
+      case None =>
+        new GraftRangeScan(start, end, slices, lo, cappedHi, required,
+          buckets.getOrElse(0))
     }
   }
 }
@@ -196,17 +226,65 @@ final class GraftRangeAggScan(lo: Long, hi: Long,
       case _: Sum =>
         if (n > 0) ((BigInt(lo) + BigInt(hi - 1)) * n / 2).toLong else null
     }.toArray
-    new GraftRangeAggReaderFactory(values)
+    new GraftRangeAggReaderFactory(Array(values))
   }
 }
 
-final class GraftRangeAggReaderFactory(values: Array[Any])
+/** GROUP-BY-pushdown result scan: one row per NON-EMPTY residue class of
+  * `id % buckets` over [lo, hi). Each class is the arithmetic progression
+  * x0, x0+B, …, x1, so count/min/max/sum are planning-time arithmetic —
+  * |buckets| rows materialize, zero id rows, no aggregate exec (complete
+  * pushdown form). Row layout per the V2 contract: grouping columns
+  * first, then the aggregate columns in pushed order. */
+final class GraftRangeGroupedAggScan(lo: Long, hi: Long, nBuckets: Int,
+    fs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  override def readSchema(): StructType = StructType(
+    StructField("bucket", IntegerType, nullable = false) +: fs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeGroupedAggScan interval=[$lo,$hi) buckets=$nBuckets " +
+      s"PushedAggregates=[${fs.mkString(", ")}] PushedGroupBy=[bucket]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeSlice(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val b = nBuckets.toLong
+    val rows = (0 until nBuckets).iterator.flatMap { r =>
+      // first/last member of residue class r inside [lo, hi)
+      val x0 = lo + java.lang.Math.floorMod(r - lo, b)
+      if (x0 >= hi) None
+      else {
+        val x1 = x0 + ((hi - 1 - x0) / b) * b
+        val n = (x1 - x0) / b + 1
+        val aggVals: Seq[Any] = fs.map {
+          case _: CountStar => n
+          case _: Count => n
+          case _: Min => x0
+          case _: Max => x1
+          case _: Sum => ((BigInt(x0) + BigInt(x1)) * n / 2).toLong
+        }
+        Some((r +: aggVals).toArray[Any])
+      }
+    }.toArray
+    new GraftRangeAggReaderFactory(rows)
+  }
+}
+
+final class GraftRangeAggReaderFactory(rows: Array[Array[Any]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toIndexedSeq)
       override def close(): Unit = ()
     }
 }
@@ -217,7 +295,8 @@ final class GraftRangeAggReaderFactory(values: Array[Any])
 final case class RangeSlice(lo: Long, hi: Long) extends InputPartition
 
 final class GraftRangeScan(start: Long, end: Long, slices: Int,
-    lo0: Long, hi0: Long, required: StructType) extends Scan with Batch
+    lo0: Long, hi0: Long, required: StructType, nBuckets: Int = 0)
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   // runtime filtering narrows these AFTER planning (see filter below)
@@ -283,7 +362,7 @@ final class GraftRangeScan(start: Long, end: Long, slices: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRangeReaderFactory(required)
+    new GraftRangeReaderFactory(required, nBuckets)
 }
 
 /** Row- AND columnar-capable reader factory. The columnar path fills
@@ -293,7 +372,7 @@ final class GraftRangeScan(start: Long, end: Long, slices: Int,
   * no per-row virtual calls, no InternalRow boxing, and the downstream
   * stage reads vectors. `BatchScanExec` flips to columnar automatically
   * when every split supports it. */
-final class GraftRangeReaderFactory(required: StructType)
+final class GraftRangeReaderFactory(required: StructType, nBuckets: Int = 0)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = true
@@ -306,6 +385,7 @@ final class GraftRangeReaderFactory(required: StructType)
       private val fields: Array[Long => Any] = required.fieldNames.map {
         case "id" => (id: Long) => id
         case "payload" => (id: Long) => UTF8String.fromString(s"row-$id")
+        case "bucket" => (id: Long) => java.lang.Math.floorMod(id, nBuckets.toLong).toInt
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
       override def next(): Boolean = { cur += 1; cur < s.hi }
@@ -337,6 +417,13 @@ final class GraftRangeReaderFactory(required: StructType)
             while (i < n) {
               val b = s"row-${cur + i}".getBytes("UTF-8")
               vectors(vi).putByteArray(i, b, 0, b.length); i += 1
+            }
+          case ("bucket", vi) =>
+            var i = 0
+            while (i < n) {
+              vectors(vi).putInt(i,
+                java.lang.Math.floorMod(cur + i, nBuckets.toLong).toInt)
+              i += 1
             }
           case (other, _) => throw new IllegalArgumentException(s"unknown column $other")
         }

@@ -653,6 +653,43 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainLogisticHashed: gradient descent separates the classes and moves weights") {
+    // positives repeat the label word; negatives share a disjoint vocabulary
+    // (distinct <=3-char prefixes — the wordHash gotcha)
+    val docs = ((1 to 20).map(i => (i.toLong, s"alpha beta spark gamma d$i")) ++
+      (21 to 40).map(i => (i.toLong, s"omega zeta kappa n$i")))
+      .toDF("doc_id", "text")
+    val (w, scores) = graft.llm.Classifier.trainLogisticHashed(
+      docs, "doc_id", "text", labelWord = "spark", dim = 16, iters = 3)
+    assert(w.exists(_ != 0L), "weights never moved")
+    val byClass = scores.withColumn("pos", col("doc_id") <= 20)
+      .groupBy("pos").agg(org.apache.spark.sql.functions.avg(col("p_nano")).as("p"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byClass(true) > byClass(false),
+      s"positives must score higher: $byClass")
+    // determinism: a second run reproduces the exact weights (integer-nano
+    // sums are order-free, so partial-aggregation order can't drift them)
+    val (w2, _) = graft.llm.Classifier.trainLogisticHashed(
+      docs, "doc_id", "text", labelWord = "spark", dim = 16, iters = 3)
+    assert(w.toSeq == w2.toSeq)
+  }
+
+  test("trainLogisticHashed: featureless (null-text) documents score exactly 0.5") {
+    // empty text is NOT featureless — split('', ' ') yields one empty
+    // token, which hashes like any other (cross-engine consistent); only
+    // a null text produces no feature rows and takes the σ̃(0) default
+    val docs = Seq((1L, Some("spark alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val (_, scores) = graft.llm.Classifier.trainLogisticHashed(
+      docs, "doc_id", "text", labelWord = "spark", dim = 16, iters = 2)
+    val m = scores.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) === 500000000L)
+  }
+}
+
 class PqSpec extends SparkSpec {
   import spark.implicits._
 

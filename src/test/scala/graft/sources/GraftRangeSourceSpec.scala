@@ -136,6 +136,44 @@ class GraftRangeSourceSpec extends SparkSpec {
     assert(grouped.count() === 100L) // each payload unique
   }
 
+  private def readBucketed(start: Long, end: Long, slices: Int, buckets: Int) =
+    spark.read.format("graft-range")
+      .option("start", start.toString).option("end", end.toString)
+      .option("slices", slices.toString).option("buckets", buckets.toString)
+      .load()
+
+  test("GROUP BY bucket pushes down completely: per-residue closed forms, no agg exec") {
+    val df = readBucketed(0, 1000000, 64, buckets = 7)
+      .filter(col("id") >= 10 && col("id") < 1000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("total"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+    assert(plan.contains("GraftRangeGroupedAggScan"), plan.take(1500))
+    val got = df.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute-force oracle over the same interval
+    val want = (10L until 1000L).groupBy(id => (id % 7).toInt).map { case (b, ids) =>
+      b -> ((ids.size.toLong, ids.min, ids.max, ids.sum))
+    }
+    assert(got === want)
+  }
+
+  test("bucket column reads correctly when NOT aggregated (derived id % buckets)") {
+    val rows = readBucketed(0, 20, 4, buckets = 3)
+      .select(col("id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows === (0L until 20L).map(id => id -> (id % 3).toInt).toMap)
+  }
+
+  test("grouped pushdown declines a second grouping column: plan keeps its aggregate") {
+    val df = readBucketed(0, 100, 4, buckets = 5)
+      .groupBy(col("bucket"), col("payload")).agg(count(lit(1)))
+    assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(df.count() === 100L)
+  }
+
   test("reported statistics let Catalyst auto-broadcast a small connector table") {
     // post-pushdown stats: 100 rows * 24B — far under the broadcast threshold
     val scan = scanOf(read(0, 1000000, 8).filter(col("id") < 100))
