@@ -624,6 +624,27 @@ object R7Ops {
         labelWord = "spark", dim = 16, iters = 3)._2
     },
 
+    // Observable metrics (`df.observe`): the production data-quality hook —
+    // named aggregate metrics computed DURING the pass (no second scan, no
+    // separate count job) and delivered to QueryExecutionListeners /
+    // StreamingQueryListeners. The observation rides the same physical
+    // plan; the query's RESULT is unchanged (oracle-checked here), and
+    // R7OpsSpec asserts the emitted metrics equal the aggregate's truth.
+    // At 100 TB this is how a pipeline audits row counts and null rates
+    // without doubling its scans.
+    QDef("x_observe",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem
+        .observe("lineitem_audit",
+          count(lit(1)).as("rows_seen"),
+          sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("null_prices"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+
     // EXACT per-group percentiles (Spark `percentile`, linear
     // interpolation) — the small-group complement of x_sketch_quantile's
     // mergeable KLL posture: per-group exact sorts are fine when groups
