@@ -339,6 +339,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sssp equals reference Dijkstra on random weighted digraphs (cycles included)") {
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L), Gen.choose(1L, 20L)))
+    check(gen, 6) { raw =>
+      val edges = raw.map { case (s, t, w) => (s, t, w) }
+      // in-memory Dijkstra over the collapsed (min-weight) edge set
+      val adj = edges.groupBy(e => (e._1, e._2))
+        .map { case ((s, t), es) => (s, t, es.map(_._3).min) }
+        .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.Map(0L -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(
+        Ordering.by[(Long, Long), Long](_._1).reverse)
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+        }
+      }
+      val got = GraphMetrics.sssp(edges.toDF("src", "dst", "w"), source = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == dist.toMap
+    }
+  }
+
   test("property: prototypeFilter shrinks monotonically with the drop fractions") {
     check(Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-10, 10))), 4) { raw =>
       val vs = raw.zipWithIndex
