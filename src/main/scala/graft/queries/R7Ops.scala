@@ -454,6 +454,51 @@ object R7Ops {
         .agg(max(col("len")).as("longest"), sum(col("len")).as("active_days"))
     },
 
+    // The streaks query through Spark's SQL parser (date_sub has no DuckDB
+    // counterpart, so the twin keeps its own text against the SAME oracle
+    // as x_streaks — the usual twin contract when dialects diverge).
+    QDef("x_sql_streaks",
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS rn
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, day - rn AS isl, count(*) AS len
+        |  FROM r GROUP BY user_id, day - rn)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY user_id""".stripMargin) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql("""WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, date_sub(day, rn) AS isl, count(*) AS len
+        |  FROM r GROUP BY user_id, date_sub(day, rn))
+        |SELECT user_id, max(len) AS longest, sum(len) AS active_days
+        |FROM st GROUP BY user_id""".stripMargin)
+    },
+
+    // Exact percentiles through the SQL parser: Spark's percentile() in a
+    // SQL string vs DuckDB quantile_cont — the array-literal D-suffix trap
+    // (a bare 0.5 in SQL text is DECIMAL) exercised on purpose.
+    QDef("x_sql_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag,
+        |  round(percentile(l_quantity, 0.5D), 6) AS p50,
+        |  round(percentile(l_quantity, 0.9D), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    },
+
     // RECURSIVE CTE through Spark's OWN SQL engine (WITH RECURSIVE landed
     // in Spark 4) — a binary-heap customer hierarchy (parent k = ⌊k/2⌋,
     // strictly decreasing → acyclic, so UNION ALL recursion terminates)
