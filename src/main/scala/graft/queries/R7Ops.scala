@@ -669,6 +669,30 @@ object R7Ops {
         labelWord = "spark", dim = 16, iters = 3)._2
     },
 
+    // MULTIMODAL curation composite — the image-side twin of the text
+    // pipelines: decode → 64-bit aHash → banded near-dup → keep only
+    // cluster representatives (rep == id) → join their caption documents
+    // for downstream text stats. Proves the round's multimodal operators
+    // COMPOSE; the oracle replays the whole chain through the shared
+    // NearDupCtes block plus the survivor filter and the caption join.
+    // Shape at 100 TB: payloads read once at the decode scan; everything
+    // after moves 16-byte hash rows; the caption join is key-equi on the
+    // id both sides are already partitioned by.
+    QDef("x_pipeline_multimodal",
+      s"""WITH ${StarExt.NearDupCtes}
+         |SELECT f.media_id, d.lang, d.n_chars, f.n_nbrs
+         |FROM folded f JOIN documents d ON d.doc_id = f.media_id
+         |WHERE f.rep = f.media_id""".stripMargin) { (s, d) =>
+      implicit val sp = s
+      import graft.llm.Multimodal
+      val docs = Tables(s, d).documents
+      val nd = Multimodal.imageNearDups(
+        Multimodal.synthNearDupPngTable(docs.select(col("doc_id"))), maxHamming = 3)
+      nd.filter(col("rep") === col("media_id"))
+        .join(docs, col("media_id") === col("doc_id"))
+        .select(col("media_id"), col("lang"), col("n_chars"), col("n_nbrs"))
+    },
+
     // Observable metrics (`df.observe`): the production data-quality hook —
     // named aggregate metrics computed DURING the pass (no second scan, no
     // separate count job) and delivered to QueryExecutionListeners /

@@ -118,6 +118,51 @@ object StarExt {
   private[queries] val NormsCte =
     "norms AS (SELECT vec_id, sum(e * e) AS n2 FROM ee GROUP BY vec_id)"
 
+  /** The perceptual-near-dup oracle pipeline over the perturbed-pattern PNG
+    * fixture (see Multimodal.synthNearDupPngTable): pixels → exact dyadic
+    * mean → 64 threshold bits (HUGEINT-built, folded to the signed BIGINT
+    * Spark's Long produces) → 4×16-bit band join → popcount verify →
+    * per-media (rep, n_nbrs) fold. Shared by `x_mm_neardup` and the
+    * `x_pipeline_multimodal` composite. */
+  private[queries] val NearDupCtes =
+    """pe AS (
+      |  SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents),
+      |b AS (
+      |  SELECT doc_id, i,
+      |    40 + (doc_id % 7) * 20 + ((i * 37 + (doc_id % 7) * 11) % 64)
+      |      + (doc_id // 7) % 3
+      |      - CASE WHEN doc_id % 11 = 0 AND i = doc_id % 64
+      |             THEN 37 ELSE 0 END AS v
+      |  FROM pe),
+      |m AS (SELECT doc_id, sum(v) / 64.0 AS mv FROM b GROUP BY 1),
+      |hs AS (
+      |  SELECT b.doc_id AS id,
+      |    sum(CASE WHEN v > mv THEN CAST(1 AS HUGEINT) << i
+      |      ELSE 0 END) AS s
+      |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1),
+      |h AS (
+      |  SELECT id, CAST(CASE WHEN s >= 9223372036854775808
+      |      THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ph
+      |  FROM hs),
+      |bands AS (
+      |  SELECT id, ph, band, (ph >> (band * 16)) & 65535 AS sig
+      |  FROM h, unnest(generate_series(0, 3)) u(band)),
+      |pairs AS (
+      |  SELECT DISTINCT l.id AS d1, r.id AS d2,
+      |    bit_count(xor(l.ph, r.ph)) AS hamming
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+      |  WHERE bit_count(xor(l.ph, r.ph)) <= 3),
+      |nbrs AS (
+      |  SELECT d1 AS id, d2 AS nb FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |folded AS (
+      |  SELECT h.id AS media_id,
+      |    CAST(least(h.id, coalesce(min(nb), h.id)) AS BIGINT) AS rep,
+      |    CAST(count(nb) AS BIGINT) AS n_nbrs
+      |  FROM h LEFT JOIN nbrs ON nbrs.id = h.id
+      |  GROUP BY h.id)""".stripMargin
+
   /** CTE chain producing MinHash-LSH verified near-dup `pairs(d1, d2)` at
     * the given Jaccard threshold — the shared front half of the clustering
     * and pipeline oracles (identical logic to the x_dedup_minhash_lsh
@@ -1294,42 +1339,8 @@ object StarExt {
     // distinct hashes before banding (same id-pair output, corpus-scale
     // bucket density — see Multimodal.hashNearDupPairs + SCALE.md).
     QDef("x_mm_neardup",
-      """WITH pe AS (
-        |  SELECT doc_id, unnest(generate_series(0, 63)) AS i FROM documents),
-        |b AS (
-        |  SELECT doc_id, i,
-        |    40 + (doc_id % 7) * 20 + ((i * 37 + (doc_id % 7) * 11) % 64)
-        |      + (doc_id // 7) % 3
-        |      - CASE WHEN doc_id % 11 = 0 AND i = doc_id % 64
-        |             THEN 37 ELSE 0 END AS v
-        |  FROM pe),
-        |m AS (SELECT doc_id, sum(v) / 64.0 AS mv FROM b GROUP BY 1),
-        |hs AS (
-        |  SELECT b.doc_id AS id,
-        |    sum(CASE WHEN v > mv THEN CAST(1 AS HUGEINT) << i
-        |      ELSE 0 END) AS s
-        |  FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1),
-        |h AS (
-        |  SELECT id, CAST(CASE WHEN s >= 9223372036854775808
-        |      THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ph
-        |  FROM hs),
-        |bands AS (
-        |  SELECT id, ph, band, (ph >> (band * 16)) & 65535 AS sig
-        |  FROM h, unnest(generate_series(0, 3)) u(band)),
-        |pairs AS (
-        |  SELECT DISTINCT l.id AS d1, r.id AS d2,
-        |    bit_count(xor(l.ph, r.ph)) AS hamming
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
-        |  WHERE bit_count(xor(l.ph, r.ph)) <= 3),
-        |nbrs AS (
-        |  SELECT d1 AS id, d2 AS nb FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs)
-        |SELECT h.id AS media_id,
-        |  CAST(least(h.id, coalesce(min(nb), h.id)) AS BIGINT) AS rep,
-        |  CAST(count(nb) AS BIGINT) AS n_nbrs
-        |FROM h LEFT JOIN nbrs ON nbrs.id = h.id
-        |GROUP BY h.id""".stripMargin) { (s, d) =>
+      s"""WITH ${StarExt.NearDupCtes}
+         |SELECT media_id, rep, n_nbrs FROM folded""".stripMargin) { (s, d) =>
       implicit val sp = s
       val media = Multimodal.synthNearDupPngTable(
         Tables(s, d).documents.select(col("doc_id")))
