@@ -87,4 +87,19 @@ class TablesEventsContractSpec extends SparkSpec {
   test("TIMESTAMP(NANOS) flavor resolves to TimestampType with exact µs") {
     check(writeNanos(), "ns")
   }
+
+  test("canary: driver testdata date columns arrive as timestamp-ish types, not LongType") {
+    // the round-6 events.ts break generalized: if a regeneration flips
+    // l_shipdate / o_orderdate to TIMESTAMP(NANOS), the session's
+    // nanosAsLong flag turns them into LongType and every date function
+    // on them breaks downstream. Fail HERE, with the column named,
+    // instead of in a scatter of query specs.
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    Seq(t.lineitem.schema("l_shipdate"), t.orders.schema("o_orderdate"),
+      t.events.schema("ts")).foreach { f =>
+      val ok = f.dataType == TimestampType || f.dataType == TimestampNTZType
+      assert(ok, s"${f.name}: ${f.dataType} — testdata regenerated with a new " +
+        "parquet flavor; add a normalization case (see Tables.events)")
+    }
+  }
 }
