@@ -177,6 +177,37 @@ object R7Ops {
       s.sql(FunnelSql)
     },
 
+    // STREAMING funnel (EventStreams.funnelStages): per-user stage
+    // assignments finalized by watermark maturity and emitted exactly
+    // once — batch run of the same flatMapGroupsWithState body for the
+    // oracle (per-user stage rows instead of the aggregate counts);
+    // MemoryStream parity incl. out-of-order retro-qualification in
+    // EventStreamsSpec.
+    QDef("x_stream_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT user_id, '1_view' AS stage, v_ts AS stage_ts FROM v
+        |UNION ALL SELECT user_id, '2_click' AS stage, c_ts AS stage_ts FROM c
+        |UNION ALL SELECT user_id, '3_purchase' AS stage, p_ts AS stage_ts FROM p""".stripMargin) {
+      (s, d) =>
+        implicit val sp = s
+        import s.implicits._
+        graft.streaming.EventStreams.funnelStages(
+          Tables(s, d).events
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .as[graft.streaming.EventRow]).toDF()
+    },
+
     // CDC changelog apply — the materialize step of every change-data
     // pipeline: events replayed as a per-user changelog ('error' rows are
     // DELETEs, everything else UPSERTs with the new value), final state =

@@ -16,6 +16,14 @@ final case class SessionSummary(user_id: Long, n_events: Long, total_value: Doub
 final case class AsOfMatch(probe_id: Long, user_id: Long, ts: Timestamp,
     ref_id: Option[Long], ref_value: Option[Double], lag_us: Option[Long])
 
+/** One finalized funnel-stage assignment (see [[EventStreams.funnelStages]]). */
+final case class FunnelStage(user_id: Long, stage: String, stage_ts: Timestamp)
+
+/** Per-user funnel state: unmatured events + the finalized stage
+  * timestamps (epoch micros — no Timestamp codec in the state store). */
+final case class FunnelState(buffered: List[(Long, Long, String)],
+    v: Option[Long], c: Option[Long], p: Option[Long])
+
 /** Per-key state for [[EventStreams.asOfStream]]: probes not yet matured by
   * the watermark, and the refs still able to match a future probe (all refs
   * at/after the watermark plus ONE carry ref below it). Timestamps are
@@ -441,6 +449,71 @@ object EventStreams {
               state.setTimeoutTimestamp(next.probes.map(_._1).min / 1000L + 1L)
           }
           out.map(_.copy(user_id = userId)).iterator
+      }
+  }
+
+  /** STREAMING conversion funnel — the continuous form of the
+    * `x_funnel_steps` batch query: per user, the first view, the first
+    * click strictly after it, and the first purchase strictly after that,
+    * each emitted EXACTLY ONCE as a `(user_id, stage, stage_ts)` row the
+    * moment the watermark makes it final.
+    *
+    * Mechanics (same buffered-maturity discipline as [[asOfStream]]):
+    * events buffer per user until the watermark passes them — at that
+    * point no earlier event can arrive, so replaying the matured events
+    * in (ts, event_id) order makes "first view" = min view ts exactly,
+    * and each stage assignment is FINAL on emission (append-mode
+    * correct; no retraction needed even when a late view retroactively
+    * requalifies an earlier-buffered click, because neither had matured).
+    * State is the unmatured buffer (bounded by the watermark delay) plus
+    * three stage timestamps; an event-time timeout re-wakes the user
+    * when the watermark passes their oldest buffered event. Completed
+    * funnels drop their state entirely. Batch mode (no watermark)
+    * matures everything in the single invocation — the `x_stream_funnel`
+    * oracle row. */
+  def funnelStages(events: Dataset[EventRow],
+      viewType: String = "view", clickType: String = "click",
+      purchaseType: String = "purchase", watermark: String = "2 hours")(
+      implicit spark: SparkSession): Dataset[FunnelStage] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin(viewType, clickType, purchaseType))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
+          val merged = prev.copy(buffered = prev.buffered ++
+            rows.map(e => (toMicros(e.ts), e.event_id, e.event_type)))
+          val wmMicros =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val (matured, pending) = merged.buffered.partition(_._1 < wmMicros)
+          var (v, c, p) = (merged.v, merged.c, merged.p)
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelStage]
+          matured.sortBy(e => (e._1, e._2)).foreach { case (ts, _, tpe) =>
+            if (tpe == viewType && v.isEmpty) {
+              v = Some(ts); out += FunnelStage(userId, "1_view", fromMicros(ts))
+            } else if (tpe == clickType && c.isEmpty && v.exists(ts > _)) {
+              c = Some(ts); out += FunnelStage(userId, "2_click", fromMicros(ts))
+            } else if (tpe == purchaseType && p.isEmpty && c.exists(ts > _)) {
+              p = Some(ts); out += FunnelStage(userId, "3_purchase", fromMicros(ts))
+            }
+          }
+          if (wmMicros == Long.MaxValue) {
+            state.remove() // batch mode: the one invocation saw everything
+          } else {
+            // completed funnels keep a TOMBSTONE (stage marks, no buffer):
+            // removing state entirely would let a later event restart the
+            // funnel and re-emit stage rows. A completed user costs three
+            // Options — the irreducible attribution state.
+            val kept = if (p.isDefined) Nil else pending
+            state.update(FunnelState(kept, v, c, p))
+            if (kept.nonEmpty)
+              state.setTimeoutTimestamp(kept.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
       }
   }
 

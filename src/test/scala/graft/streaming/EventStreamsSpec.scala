@@ -774,6 +774,51 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("funnelStages: streamed stage rows equal batch; late view retro-qualifies a buffered click; exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val evs = Seq(
+      // user 100: click arrives FIRST (batch 1), the view that qualifies it
+      // arrives later (batch 2) but with an EARLIER event time — both are
+      // unmatured until the watermark passes, so the funnel still resolves
+      // view → click in event-time order
+      EventRow(2L, ts("2024-01-01 10:30:00"), 100L, "click", 1.0),
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "view", 1.0),
+      EventRow(3L, ts("2024-01-01 11:00:00"), 100L, "purchase", 1.0),
+      // user 101: click BEFORE its view — must never count
+      EventRow(4L, ts("2024-01-01 09:00:00"), 101L, "click", 1.0),
+      EventRow(5L, ts("2024-01-01 09:30:00"), 101L, "view", 1.0),
+      // user 102: view only
+      EventRow(6L, ts("2024-01-01 10:10:00"), 102L, "view", 1.0))
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.funnelStages(stream.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    stream.addData(evs(0), evs(3), evs(5)); q.processAllAvailable()
+    stream.addData(evs(1), evs(2), evs(4)); q.processAllAvailable()
+    // sentinel pushes the watermark past every buffered event
+    stream.addData(EventRow(9L, ts("2024-01-02 23:50:00"), 999L, "view", 0.0))
+    q.processAllAvailable()
+    // second sentinel: matured state must NOT re-emit anything
+    stream.addData(EventRow(10L, ts("2024-01-03 23:50:00"), 999L, "view", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("funnel_test")
+      .filter(col("user_id") < 999).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    q.stop()
+    assert(streamed.length === streamed.distinct.length, "duplicate stage rows")
+    val batch = EventStreams.funnelStages(evs.toDS()).collect()
+      .map(s => (s.user_id, s.stage, s.stage_ts))
+    assert(streamed.toSet === batch.toSet)
+    assert(batch.toSet === Set(
+      (100L, "1_view", ts("2024-01-01 10:00:00")),
+      (100L, "2_click", ts("2024-01-01 10:30:00")),
+      (100L, "3_purchase", ts("2024-01-01 11:00:00")),
+      (101L, "1_view", ts("2024-01-01 09:30:00")), // the 09:00 click never counts
+      (102L, "1_view", ts("2024-01-01 10:10:00"))))
+  }
+
   test("driftPsiStream: streamed per-window PSI equals the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
