@@ -23,10 +23,11 @@ object Bench {
     // hasn't collected yet competing with codec buffers — BENCH_NOTES r5/r6).
     // Alphabetical order within each family keeps run-over-run comparability.
     def family(name: String): Int = if (name.startsWith("x_mm_")) 1 else 0
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (family(n), n) }
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .sortBy { case (n, _) => (family(n), n) }
     val firstMm = ordered.indexWhere { case (n, _) => family(n) == 1 }
     val results = ordered
-      .filter { case (name, _) => subset.isEmpty || subset(name) }
       .zipWithIndex.map { case ((name, fn), i) =>
       if (i == firstMm) {
         // family boundary: drop finished queries' shuffle/broadcast/
