@@ -52,6 +52,27 @@ object R7Ops {
       |SELECT user_id, value AS last_value, CAST(n_ops AS BIGINT) AS n_ops
       |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  /** Snapshot-diff as portable SQL — the oracle for `x_snapshot_diff`
+    * (DataFrame form) and the whole query for its `x_sql_snapshot_diff`
+    * twin. */
+  private[queries] val SnapshotDiffSql =
+    """WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer WHERE c_custkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS k, c_acctbal - 50.0 AS bal
+      |  FROM customer WHERE c_custkey % 13 = 5)
+      |SELECT coalesce(v1.k, v2.k) AS k,
+      |  CASE WHEN v1.k IS NULL THEN 'added'
+      |       WHEN v2.k IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  v1.bal AS old_bal, v2.bal AS new_bal
+      |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+      |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.bal <> v2.bal""".stripMargin
+
   /** Binary-heap hierarchy walk + per-depth rollup — portable recursive
     * CTE text shared verbatim by the Spark query and the DuckDB oracle
     * (`CAST(floor(k / 2) AS BIGINT)` instead of the engines' differing
@@ -244,23 +265,7 @@ object R7Ops {
     // diff itself is ONE full outer join co-partitioned on the key — at
     // 100 TB both snapshots shuffle once, and unchanged rows (the mass)
     // are filtered before any output materializes.
-    QDef("x_snapshot_diff",
-      """WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
-        |v2 AS (
-        |  SELECT c_custkey AS k,
-        |    CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0
-        |         ELSE c_acctbal END AS bal
-        |  FROM customer WHERE c_custkey % 11 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000 AS k, c_acctbal - 50.0 AS bal
-        |  FROM customer WHERE c_custkey % 13 = 5)
-        |SELECT coalesce(v1.k, v2.k) AS k,
-        |  CASE WHEN v1.k IS NULL THEN 'added'
-        |       WHEN v2.k IS NULL THEN 'removed'
-        |       ELSE 'changed' END AS status,
-        |  v1.bal AS old_bal, v2.bal AS new_bal
-        |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
-        |WHERE v1.k IS NULL OR v2.k IS NULL OR v1.bal <> v2.bal""".stripMargin) { (s, d) =>
+    QDef("x_snapshot_diff", R7Ops.SnapshotDiffSql) { (s, d) =>
       val cust = Tables(s, d).customer
       val v1 = cust.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
       val v2 = cust.filter(col("c_custkey") % 11 =!= 0)
@@ -277,6 +282,14 @@ object R7Ops {
             .when(col("k2").isNull, "removed")
             .otherwise("changed").as("status"),
           col("bal").as("old_bal"), col("bal2").as("new_bal"))
+    },
+
+    // The snapshot diff as ONE portable SQL text (full outer + coalesce +
+    // case classification are dialect-free) — shared verbatim with the
+    // oracle, the same contract as x_sql_funnel/x_sql_cdc.
+    QDef("x_sql_snapshot_diff", R7Ops.SnapshotDiffSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "customer")
+      s.sql(R7Ops.SnapshotDiffSql)
     },
 
     // Population-stability-index drift between two event populations
