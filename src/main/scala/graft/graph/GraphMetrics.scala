@@ -205,4 +205,26 @@ object GraphMetrics {
       .vertices.flatMap { case (id, m) => m.get(source).map(d => (id, d.toLong)) }
       .toDF("id", "hops")
   }
+
+  /** Connected components (undirected view of the edge set): `(id, comp)`
+    * with `comp` = the minimum vertex id reachable from `id` — the same
+    * labeling GraphFrames/GraphX `connectedComponents` produces. Isolated
+    * vertices don't appear in an edge list and are absent, matching
+    * GraphFrames over its own edge-derived vertex set.
+    *
+    * Delegates to [[graft.llm.Dedup.clusters]] — the pointer-jumping
+    * min-label propagation built for duplicate-cluster discovery IS
+    * distributed connected components (one join + one aggregate per round,
+    * label shortcutting makes rounds O(log diameter), lineage truncated per
+    * round). One algorithm, two surfaces. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    graft.llm.Dedup.clusters(
+      edges.select(col("src").cast("long").as("d1"), col("dst").cast("long").as("d2")))
+
+  /** GraphX cross-check for [[connectedComponents]] (tests only). */
+  def connectedComponentsGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    toGraphX(spark, edges).connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }.toDF("id", "comp")
+  }
 }

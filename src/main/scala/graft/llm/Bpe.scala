@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as iterative DataFrame jobs — the
+  * outer loop around the single merge step the `x_bpe_pairs` query audits.
+  *
+  * Scale shape (the reason BPE trains at 100 TB at all): the corpus
+  * collapses to its VOCABULARY first — ONE word-count aggregate; Zipf makes
+  * the vocab millions of rows where the corpus is trillions of tokens — and
+  * every merge round after that touches only the vocab frame. Per round the
+  * work is one vocab-sized pair explode + aggregate, a top-1
+  * `TakeOrderedAndProject`, and a map-side `replace` against the 1-row
+  * broadcast winner. The corpus is never re-read; the driver never sees
+  * anything but the per-round merge row.
+  *
+  * Representation: a word's current symbol segmentation is a wrapped string
+  * `"(s1)(s2)…(sk)"` (symbols are `[a-z]+`, so parens cannot collide).
+  * Merging the winning pair `"(x)(y)"` is then a LITERAL left-to-right
+  * `replace` — exactly BPE's greedy non-overlapping merge order — and the
+  * identical expression runs in DuckDB, so the oracle replays the full
+  * trajectory (adjacent-position pair counts, (freq DESC, pair ASC)
+  * tie-break, merge application) bit-for-bit.
+  */
+object Bpe {
+
+  /** Wrapped segmentation of a raw word: `"ab"` → `"(a)(b)"`. Both engines
+    * regex-replace every char with its wrapped form. */
+  private def wrapChars(w: org.apache.spark.sql.Column) =
+    regexp_replace(w, "(.)", "($1)")
+
+  /** Train `rounds` BPE merges over the space-tokenized corpus.
+    *
+    * Returns one row per merge round: `(round, token, freq)` where `token`
+    * is the newly created symbol (the concatenation of the merged pair) and
+    * `freq` its weighted adjacent-pair count at selection time. Words
+    * shorter than 2 chars carry no pairs and are dropped up front (mirrors
+    * `x_bpe_pairs`).
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    // corpus → vocabulary: the ONLY corpus-sized job in the whole training
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(wrapChars(col("w")).as("sym"), col("c"))
+
+    val spark = docs.sparkSession
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      // vocab-sized: explode adjacent positions of the current segmentation
+      val pairFreq = vocab
+        .select(split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(").as("syms"),
+          col("c"))
+        // fully-merged words carry no pairs; and Spark's sequence(1, 0)
+        // would DESCEND ([1, 0]) instead of being empty
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> concat('(', syms[i - 1], ')(', syms[i], ')'))")).as("pair"),
+          col("c"))
+        .groupBy("pair").agg(sum(col("c")).as("freq"))
+      // top-1 winner: bounded-heap TakeOrderedAndProject, never a global sort
+      val winner = pairFreq.orderBy(col("freq").desc, col("pair")).limit(1)
+        .select(col("pair"), col("freq"), lit(r).as("round"))
+      // apply the merge map-side against the 1-row broadcast winner; the
+      // wrapped form makes literal replace exactly BPE's left-to-right
+      // non-overlapping merge
+      vocab = vocab.crossJoin(broadcast(winner.select(col("pair").as("mp"))))
+        .select(expr("replace(sym, mp, replace(mp, ')(', ''))").as("sym"), col("c"))
+        .localCheckpoint() // round r+1 plans against a leaf, not r's lineage
+      merges = if (merges == null) winner else merges.unionByName(winner)
+    }
+    merges.select(col("round"),
+      trim(expr("replace(pair, ')(', '')"), "()").as("token"), col("freq"))
+  }
+}

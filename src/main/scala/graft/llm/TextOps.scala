@@ -311,6 +311,30 @@ object TextOps {
   def urlCount(text: Column): Column =
     regexp_count(text, lit(UrlRegex)).cast("int")
 
+  /** HTML/boilerplate cleanup — the markup-strip stage of a web-crawl
+    * curation pipeline (CCNet/RefinedWeb posture): drop `<script>`/`<style>`
+    * elements WITH their payload (their body is code, not prose), strip all
+    * remaining tags, decode the five XML entities, collapse whitespace runs,
+    * trim. Pure codegen'd `regexp_replace` chain, scan-local, zero shuffle;
+    * every pattern is lookaround-free so the identical regexes run in the
+    * DuckDB oracle. `&amp;` decodes LAST so `&amp;lt;` yields the literal
+    * `&lt;` (standard entity-decode order). */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      lit("<(script|style)[^>]*>[^<]*</(script|style)>"), lit(" "))
+    val noTags = regexp_replace(noScript, lit("<[^>]+>"), lit(" "))
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, lit("[ \\t\\n\\r]+"), lit(" ")))
+  }
+
   /** Corpus vocabulary: top-`k` tokens by total occurrence count (count
     * DESC, token ASC tiebreak) — the tokenizer-training precursor. One
     * explode + one map-side-combined count; the top-k is

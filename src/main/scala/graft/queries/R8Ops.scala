@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.graph.GraphMetrics
+import graft.llm.{Bpe, TextOps}
+import graft.streaming.EventStreams
+
+/** Round-8 additions: connected components as a first-class graph surface
+  * (plus a portable SQL twin), iterative BPE tokenizer training, HTML/
+  * boilerplate cleanup, MAD robust outlier detection, and the streaming
+  * changelog-materialization formulation of CDC apply.
+  */
+object R8Ops {
+
+  /** The supplier↔customer nation graph (same edge derivation as
+    * `x_graph_sssp` / `g*`): one edge per distinct (customer-nation,
+    * supplier-nation) trading pair. */
+  private def nationEdges(t: Tables) =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+
+  /** Connected components as ONE portable SQL text — transitive closure by
+    * REPEATED SQUARING (r_k covers paths of length 2^k; four squarings =
+    * 16 hops, far past this graph's diameter), then min reachable id per
+    * vertex. Pure joins + DISTINCT + GROUP BY, so the identical text is
+    * both the DuckDB oracle of `x_graph_cc` and the whole Spark-SQL query
+    * of its `x_sql_cc` twin. The squaring form is the ORACLE shape (closure
+    * frames are fine at 25 vertices, quadratic at corpus scale); the engine
+    * path ([[GraphMetrics.connectedComponents]]) is pointer-jumping
+    * min-label propagation whose per-round frames stay edge/vertex-sized. */
+  private[queries] val CcSql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |e AS (
+      |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+      |  UNION SELECT u, u FROM e0 UNION SELECT v, v FROM e0),
+      |r1 AS (SELECT DISTINCT a.u, b.v FROM e a JOIN e b ON a.v = b.u),
+      |r2 AS (SELECT DISTINCT a.u, b.v FROM r1 a JOIN r1 b ON a.v = b.u),
+      |r3 AS (SELECT DISTINCT a.u, b.v FROM r2 a JOIN r2 b ON a.v = b.u),
+      |r4 AS (SELECT DISTINCT a.u, b.v FROM r3 a JOIN r3 b ON a.v = b.u)
+      |SELECT CAST(u AS BIGINT) AS id, CAST(min(v) AS BIGINT) AS comp
+      |FROM r4 GROUP BY u""".stripMargin
+
+  def defs: Seq[QDef] = Seq(
+
+    // Connected components over the nation trading graph — the pointer-
+    // jumping min-label propagation behind x_dedup_clusters surfaced as the
+    // graph operator it is (GraphFrames connectedComponents semantics;
+    // GraphX agreement property-tested in GraphCcSpec). Per round: one
+    // edge-list join + one min aggregate + a label shortcut join, all
+    // shuffle-partitioned by vertex id; rounds grow O(log diameter).
+    QDef("x_graph_cc", R8Ops.CcSql) { (s, d) =>
+      GraphMetrics.connectedComponents(nationEdges(Tables(s, d)))
+    },
+
+    // The same components through Spark's SQL parser — ONE portable text
+    // shared verbatim with the DuckDB oracle (the snapshot-diff/recursive
+    // twin contract).
+    QDef("x_sql_cc", R8Ops.CcSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem", "orders", "customer", "supplier")
+      s.sql(R8Ops.CcSql)
+    },
+
+    // Iterative BPE tokenizer training: 3 merge rounds. The corpus
+    // collapses to its vocabulary ONCE; each round is a vocab-sized pair
+    // aggregate + a top-1 bounded heap + a map-side literal replace against
+    // the 1-row broadcast winner (wrapped "(s1)(s2)" segmentations make
+    // literal replace exactly BPE's greedy left-to-right merge). The oracle
+    // unrolls the identical trajectory — same pair statistics, same
+    // (freq DESC, pair ASC) tie-break, same merge application.
+    QDef("x_bpe_train",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v0 AS (
+        |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS sym, count(*) AS c
+        |  FROM w WHERE len(w) >= 2 GROUP BY 1),
+        |p1 AS (
+        |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
+        |    CAST(sum(c) AS BIGINT) AS freq
+        |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
+        |        FROM v0) t, unnest(generate_series(1, len(l) - 1)) ix(i)
+        |  GROUP BY 1),
+        |m1 AS (SELECT pair, freq FROM p1 ORDER BY freq DESC, pair LIMIT 1),
+        |v1 AS (SELECT replace(sym, m.pair, replace(m.pair, ')(', '')) AS sym, c
+        |       FROM v0, m1 m),
+        |p2 AS (
+        |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
+        |    CAST(sum(c) AS BIGINT) AS freq
+        |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
+        |        FROM v1) t, unnest(generate_series(1, len(l) - 1)) ix(i)
+        |  GROUP BY 1),
+        |m2 AS (SELECT pair, freq FROM p2 ORDER BY freq DESC, pair LIMIT 1),
+        |v2 AS (SELECT replace(sym, m.pair, replace(m.pair, ')(', '')) AS sym, c
+        |       FROM v1, m2 m),
+        |p3 AS (
+        |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
+        |    CAST(sum(c) AS BIGINT) AS freq
+        |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
+        |        FROM v2) t, unnest(generate_series(1, len(l) - 1)) ix(i)
+        |  GROUP BY 1),
+        |m3 AS (SELECT pair, freq FROM p3 ORDER BY freq DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, trim(replace(pair, ')(', ''), '()') AS token, freq FROM m1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), trim(replace(pair, ')(', ''), '()'), freq FROM m2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), trim(replace(pair, ')(', ''), '()'), freq FROM m3""".stripMargin) {
+      (s, d) => Bpe.train(Tables(s, d).documents, "text", rounds = 3)
+    },
+
+    // HTML/boilerplate cleanup — markup-strip stage of a crawl-curation
+    // pipeline. The fixture corpus is clean prose, so the query first
+    // DERIVES a deterministic noisy form (tags + a script element + XML
+    // entities), then cleans it; the oracle replays both halves with the
+    // identical regex chain ('g'-flagged in DuckDB — its regexp_replace is
+    // first-match-only by default, Spark's is global). Scan-local, zero
+    // shuffle, whole-stage codegen'd.
+    QDef("x_text_clean",
+      """WITH noisy AS (
+        |  SELECT doc_id,
+        |    '<html><script type="text/javascript">var x = 1;</script><body ' ||
+        |    'class="main"><p>' ||
+        |    replace(replace(text, 'spark', '&quot;spark&quot;'),
+        |            'data', 'data &amp; more') ||
+        |    '</p>  </body></html>' AS raw
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(raw, '<(script|style)[^>]*>[^<]*</(script|style)>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&amp;', '&'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS clean_text
+        |  FROM noisy)
+        |SELECT doc_id, substr(clean_text, 1, 80) AS head,
+        |  CAST(len(clean_text) AS INT) AS n_clean
+        |FROM clean""".stripMargin) { (s, d) =>
+      val noisy = Tables(s, d).documents.select(col("doc_id"),
+        concat(
+          lit("<html><script type=\"text/javascript\">var x = 1;</script><body " +
+            "class=\"main\"><p>"),
+          expr("replace(replace(text, 'spark', '&quot;spark&quot;'), " +
+            "'data', 'data &amp; more')"),
+          lit("</p>  </body></html>")).as("raw"))
+      noisy.select(col("doc_id"), TextOps.stripHtml(col("raw")).as("clean_text"))
+        .select(col("doc_id"), substring(col("clean_text"), 1, 80).as("head"),
+          length(col("clean_text")).as("n_clean"))
+    },
+
+    // Robust outlier detection per group: median / MAD (median absolute
+    // deviation) with the standard 3σ-equivalent 3·1.4826 cutoff — the
+    // heavy-tail-safe complement of x_normalize's mean/stddev z-score.
+    // Two exact-percentile aggregates; both medians broadcast back onto
+    // the scan (KB stats frames), so the corpus shuffles only for the two
+    // group aggregates. Medians rounded to 4dp BEFORE the cutoff compare —
+    // engine-stable boundaries (the x_winsorize pattern).
+    QDef("x_mad_outliers",
+      """WITH li AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+        |med AS (SELECT g, round(quantile_cont(x, 0.5), 4) AS med FROM li GROUP BY g),
+        |dev AS (SELECT li.g, x, med, abs(x - med) AS ad
+        |        FROM li JOIN med ON li.g = med.g),
+        |st AS (SELECT g, min(med) AS med, round(quantile_cont(ad, 0.5), 4) AS mad
+        |       FROM dev GROUP BY g)
+        |SELECT d.g AS l_returnflag, st.med, st.mad,
+        |  CAST(sum(CASE WHEN d.ad > 4.4478 * st.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_out,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM dev d JOIN st ON d.g = st.g
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val li = Tables(s, d).lineitem
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val med = li.groupBy("g")
+        .agg(round(expr("percentile(x, 0.5D)"), 4).as("med"))
+      val dev = li.join(broadcast(med), "g")
+        .withColumn("ad", abs(col("x") - col("med")))
+      val st = dev.groupBy("g")
+        .agg(min(col("med")).as("med"),
+          round(expr("percentile(ad, 0.5D)"), 4).as("mad"))
+      dev.join(broadcast(st.select(col("g"), col("mad"))), "g")
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L)).as("n_out"),
+          count(lit(1)).as("n"))
+    },
+
+    // Streaming changelog materialization, batch twin: the SAME
+    // EventStreams.cdcMaterialize body runs under a MemoryStream in update
+    // mode (parity spec in EventStreamsSpec) — one declarative max_by/count
+    // aggregation per key instead of x_cdc_apply's sort+window, so state is
+    // one struct per live key and every micro-batch upserts only touched
+    // keys. Shares the CdcSql oracle verbatim: same last-writer-wins +
+    // tombstone semantics, arrived at through incremental aggregation.
+    QDef("x_stream_cdc", R7Ops.CdcSql) { (s, d) =>
+      EventStreams.cdcMaterialize(Tables(s, d).events)
+    }
+  )
+}

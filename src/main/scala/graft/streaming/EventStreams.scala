@@ -166,6 +166,33 @@ object EventStreams {
             |           / element_at(q, b + 1)))""".stripMargin), 6).as("psi"))
   }
 
+  /** STREAMING changelog materialization — the update-mode twin of the
+    * batch `x_cdc_apply` window pipeline: per key, keep the LAST writer's
+    * value (latest `(ts, event_id)` wins) and the op count, and suppress
+    * keys whose latest op is a delete.
+    *
+    * Formulated as ONE declarative keyed aggregation (`max_by` over the
+    * `(ts, event_id)` struct + `count`), not a window: aggregations
+    * incrementally maintain per-key state under update mode, so every
+    * micro-batch emits the refreshed row for the keys it touched — exactly
+    * a changelog-materialized table. The delete/ upsert split is a post-agg
+    * filter on the carried op, so tombstoned keys drop out of the
+    * materialized view the moment a delete becomes their latest op. Batch
+    * and stream share this body (the watermark is a no-op in batch); state
+    * is one struct per live key, never event-sized. */
+  def cdcMaterialize(eventsIn: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val events = normTs(eventsIn, "ts")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("op"), col("value")), struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.value").as("last_value"), col("n_ops"))
+  }
+
   /** Sliding windows (width/slide) — each event lands in width/slide windows. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

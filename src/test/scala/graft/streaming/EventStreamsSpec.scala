@@ -909,6 +909,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamedTumbling === batchTumbling)
     assert(streamedChained === batchChained)
   }
+
+  test("CDC materialization: streaming last-writer-wins equals batch, deletes tombstone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:05:00"), 100L, "view", 2.0), // latest for 100
+      EventRow(3L, ts("2024-01-01 10:01:00"), 101L, "click", 3.0))
+    val batch2 = Seq(
+      EventRow(4L, ts("2024-01-01 10:10:00"), 101L, "error", 4.0), // delete 101
+      EventRow(5L, ts("2024-01-01 10:02:00"), 100L, "click", 9.0)) // LATE: not latest
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.cdcMaterialize(stream.toDF())
+      .writeStream.format("memory").queryName("cdc_mat_test")
+      .outputMode("complete").start()
+    stream.addData(batch1: _*); q.processAllAvailable()
+    val mid = spark.table("cdc_mat_test").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // after batch 1: both keys live, 100 at its latest value
+    assert(mid === Map(100L -> ((2.0, 2L)), 101L -> ((3.0, 1L))))
+    stream.addData(batch2: _*); q.processAllAvailable()
+    val fin = spark.table("cdc_mat_test").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    q.stop()
+    // delete became 101's latest op → key drops out of the materialized
+    // view; 100's late arrival bumps n_ops but NOT the last value
+    assert(fin === Map(100L -> ((2.0, 3L))))
+    val batch = EventStreams.cdcMaterialize((batch1 ++ batch2).toDF()).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(fin === batch)
+  }
 }
 
 /** EventRow with a `LocalDateTime` event time — Spark encodes it as
