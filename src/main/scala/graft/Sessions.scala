@@ -24,6 +24,14 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // honor KeyGroupedPartitioning reported by V2 scans → storage-
+      // partitioned joins (zero-exchange co-partitioned joins against the
+      // graft-range grouped layout; see GraftRangeScan.outputPartitioning)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // accept co-partitioning when the children are partitioned on a
+      // SUBSET of the join keys (bucket ⊂ {bucket, id}) — a planner
+      // relaxation that can only remove exchanges, never change results
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // native functions (cosine_sim, l2_sq) + the WindowTopKRewrite
       // optimizer rule (window top-k → bounded-heap aggregate where
       // provably identical)

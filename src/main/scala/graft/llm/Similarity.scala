@@ -334,4 +334,57 @@ object Similarity {
       threshold: Double): DataFrame =
     Dedup.survivors(corpus, "vec_id",
       Dedup.clusters(semDedupPairs(corpus, k, iters, threshold)))
+
+  /** Maximal-marginal-relevance selection: greedily pick `k` vectors that
+    * balance relevance to the query against redundancy with what's already
+    * picked — `score = λ·cos(q, c) − μ·max_{s∈selected} cos(c, s)` — the
+    * standard diversity-aware re-rank for retrieval results and for
+    * coverage-preserving training-data selection (`λ`/`μ` passed
+    * separately, NOT `μ = 1−λ` computed here: `1 − 0.7` is not the double
+    * `0.3`, and the oracle writes the literal).
+    *
+    * Scale shape: the CORPUS work is one scan (relevance cosines against
+    * the 1-row broadcast query) feeding a bounded-heap top-`poolSize`
+    * (TakeOrderedAndProject) — the greedy loop then runs entirely on the
+    * KB pool frame: pairwise pool cosines once, then k argmax steps over
+    * ≤poolSize rows each (the same bounded-iteration posture as
+    * [[graft.llm.Bpe.train]]'s winner selection; `localCheckpoint` keeps
+    * step plans flat). The greedy chain is inherently sequential —
+    * bounding the pool is what makes MMR distributable at all. Cosines
+    * round to 6dp before any compare (engine-stable ranks).
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, poolSize: Int, k: Int,
+      lam: Double, mu: Double): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val pool = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("qe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+      .localCheckpoint()
+    val pc = pool.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(pool.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("c"))
+      .localCheckpoint()
+    var selected = pool
+      .select(col("vec_id"), col("rel"),
+        round(lit(lam) * col("rel"), 6).as("score"), lit(1).as("step"))
+      .orderBy(col("score").desc, col("vec_id")).limit(1)
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val maxsim = pc.join(selected.select(col("vec_id").as("b")), "b")
+        .groupBy(col("a").as("vec_id")).agg(max(col("c")).as("ms"))
+      val scored = pool
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(maxsim, "vec_id")
+        .select(col("vec_id"), col("rel"),
+          round(lit(lam) * col("rel") - lit(mu) * col("ms"), 6).as("score"),
+          lit(step).as("step"))
+      selected = selected.unionByName(
+          scored.orderBy(col("score").desc, col("vec_id")).limit(1))
+        .localCheckpoint()
+    }
+    selected.select(col("step"), col("vec_id"), col("rel"), col("score"))
+  }
 }

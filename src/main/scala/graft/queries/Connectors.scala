@@ -124,6 +124,35 @@ object Connectors {
       s.read.format("graft-tsv").option("path", tsvDir).load()
     },
 
+    // STORAGE-PARTITIONED JOIN: two connector tables declaring the SAME
+    // bucket layout (`layout=grouped` → KeyGroupedPartitioning(bucket) +
+    // per-split HasPartitionKey) join on (bucket, id) and group on bucket
+    // with ZERO exchanges end to end — the plan Spark owes a warehouse
+    // whose layout already co-partitions the join (asserted by
+    // GraftRangeSourceSpec; `spark.sql.sources.v2.bucketing.enabled` +
+    // subset co-partitioning in graft.Sessions). At 100 TB this is the
+    // fact-to-fact join enabler: the ONE big shuffle in the plan is
+    // replaced by the layout the storage already maintains. Ranges sized
+    // past the broadcast threshold so the exchange-free plan is the SMJ
+    // the assertion means, not a broadcast degenerate.
+    QDef("x_dsv2_spj",
+      """WITH a AS (
+        |  SELECT i AS id, CAST(i % 8 AS INT) AS bucket
+        |  FROM generate_series(0, 999999) t(i)),
+        |b AS (SELECT i AS id FROM generate_series(500000, 1499999) t(i))
+        |SELECT a.bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.id) AS BIGINT) AS sum_id
+        |FROM a JOIN b ON a.id = b.id GROUP BY 1""".stripMargin) { (s, _) =>
+      def grouped(start: Long, end: Long) = s.read.format("graft-range")
+        .option("start", start.toString).option("end", end.toString)
+        .option("slices", "8").option("buckets", "8").option("layout", "grouped")
+        .load()
+      val a = grouped(0, 1000000)
+      val b = grouped(500000, 1500000)
+      a.join(b, a("bucket") === b("bucket") && a("id") === b("id"))
+        .groupBy(a("bucket")).agg(count(lit(1)).as("n"), sum(a("id")).as("sum_id"))
+    },
+
     // The full catalog SQL surface (graft.sources.GraftCatalog): CTAS a
     // per-region customer rollup INTO the catalog, read it back with a
     // second SQL query over the catalog identifier. DDL → V2 commit →

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
 import graft.graph.GraphMetrics
-import graft.llm.{Bpe, TextOps}
+import graft.llm.{Bpe, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Round-8 additions: connected components as a first-class graph surface
@@ -49,6 +49,53 @@ object R8Ops {
       |r4 AS (SELECT DISTINCT a.u, b.v FROM r3 a JOIN r3 b ON a.v = b.u)
       |SELECT CAST(u AS BIGINT) AS id, CAST(min(v) AS BIGINT) AS comp
       |FROM r4 GROUP BY u""".stripMargin
+
+  /** One greedy MMR step as SQL: argmax over the not-yet-selected pool of
+    * `0.7·rel − 0.3·max(cos to selected)`, ties to the smaller vec_id —
+    * the literal replay of [[graft.llm.Similarity.mmrSelect]]'s step. */
+  private def mmrStep(i: Int): String = {
+    val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    s"""s$i AS (
+       |  SELECT p.vec_id, p.rel,
+       |    round(0.7 * p.rel - 0.3 * max(pc.c), 6) AS score,
+       |    CAST($i AS INT) AS step
+       |  FROM pool p JOIN pc ON pc.a = p.vec_id AND pc.b IN ($sel)
+       |  WHERE p.vec_id NOT IN ($sel)
+       |  GROUP BY 1, 2 ORDER BY score DESC, p.vec_id LIMIT 1)""".stripMargin
+  }
+
+  private[queries] val MmrSql =
+    s"""WITH ${StarExt.EmbExpl},
+       |${StarExt.NormsCte},
+       |dots AS (
+       |  SELECT c.vec_id, sum(q.e * c.e) AS dot
+       |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id = 0 AND c.vec_id <> 0
+       |  GROUP BY 1),
+       |pool0 AS (
+       |  SELECT d.vec_id, round(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS rel
+       |  FROM dots d JOIN norms nq ON nq.vec_id = 0
+       |  JOIN norms nc ON nc.vec_id = d.vec_id),
+       |pool AS (SELECT vec_id, rel FROM pool0 ORDER BY rel DESC, vec_id LIMIT 12),
+       |pd AS (
+       |  SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.e * eb.e) AS dot
+       |  FROM ee ea JOIN ee eb ON eb.j = ea.j AND ea.vec_id <> eb.vec_id
+       |  JOIN pool pa ON pa.vec_id = ea.vec_id
+       |  JOIN pool pb ON pb.vec_id = eb.vec_id
+       |  GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT pd.a, pd.b, round(pd.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS c
+       |  FROM pd JOIN norms na ON na.vec_id = pd.a
+       |  JOIN norms nb ON nb.vec_id = pd.b),
+       |s1 AS (
+       |  SELECT vec_id, rel, round(0.7 * rel, 6) AS score, CAST(1 AS INT) AS step
+       |  FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+       |${mmrStep(2)},
+       |${mmrStep(3)},
+       |${mmrStep(4)}
+       |SELECT step, vec_id, rel, score FROM s1
+       |UNION ALL SELECT step, vec_id, rel, score FROM s2
+       |UNION ALL SELECT step, vec_id, rel, score FROM s3
+       |UNION ALL SELECT step, vec_id, rel, score FROM s4""".stripMargin
 
   def defs: Seq[QDef] = Seq(
 
@@ -191,6 +238,18 @@ object R8Ops {
         .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
           sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L)).as("n_out"),
           count(lit(1)).as("n"))
+    },
+
+    // Maximal-marginal-relevance diverse selection: greedy k=4 from a
+    // top-12 relevance pool for query vector 0, score = 0.7·rel −
+    // 0.3·max-sim-to-selected. The corpus does ONE scan (relevance
+    // cosines vs the broadcast query) into a bounded-heap top-12; the
+    // greedy chain then runs on the KB pool only (pairwise pool cosines +
+    // k bounded argmax steps). Oracle unrolls the identical greedy
+    // trajectory with the same 6dp rounding and id tie-breaks.
+    QDef("x_select_mmr", R8Ops.MmrSql) { (s, d) =>
+      Similarity.mmrSelect(Tables(s, d).embeddings, queryId = 0L,
+        poolSize = 12, k = 4, lam = 0.7, mu = 0.3)
     },
 
     // Streaming changelog materialization, batch twin: the SAME

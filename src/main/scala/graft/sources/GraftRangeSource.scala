@@ -51,7 +51,8 @@ class GraftRangeSource extends TableProvider with DataSourceRegister {
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      Option(properties.get("buckets")).map(_.toInt))
+      Option(properties.get("buckets")).map(_.toInt),
+      properties.getOrDefault("layout", "sliced") == "grouped")
 }
 
 object GraftRangeSource {
@@ -69,18 +70,18 @@ object GraftRangeSource {
 }
 
 final class GraftRangeTable(start: Long, end: Long, slices: Int,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None, grouped: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range[$start,$end)"
   override def schema(): StructType = GraftRangeSource.schemaFor(buckets)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(start, end, slices, buckets)
+    new GraftRangeScanBuilder(start, end, slices, buckets, grouped)
 }
 
 final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None, groupedLayout: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -188,7 +189,7 @@ final class GraftRangeScanBuilder(start: Long, end: Long, slices: Int,
       case Some(fs) => new GraftRangeAggScan(lo, cappedHi, fs)
       case None =>
         new GraftRangeScan(start, end, slices, lo, cappedHi, required,
-          buckets.getOrElse(0))
+          buckets.getOrElse(0), groupedLayout)
     }
   }
 }
@@ -294,10 +295,23 @@ final class GraftRangeAggReaderFactory(rows: Array[Array[Any]])
   * splits (files, blocks, shards) rather than re-splitting the survivors. */
 final case class RangeSlice(lo: Long, hi: Long) extends InputPartition
 
+/** One residue class of `id % step` under the `layout=grouped` table
+  * option: ids `first, first+step, …` below `hi` — every row in the split
+  * shares `bucket`, which [[partitionKey]] reports so Spark can plan
+  * storage-partitioned joins against it (the `HasPartitionKey` contract:
+  * split contents and key MUST agree, or co-partitioned joins silently
+  * drop matches). */
+final case class BucketSlice(first: Long, hi: Long, step: Long, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 final class GraftRangeScan(start: Long, end: Long, slices: Int,
-    lo0: Long, hi0: Long, required: StructType, nBuckets: Int = 0)
+    lo0: Long, hi0: Long, required: StructType, nBuckets: Int = 0,
+    groupedLayout: Boolean = false)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   // runtime filtering narrows these AFTER planning (see filter below)
   private var lo = lo0
@@ -349,17 +363,44 @@ final class GraftRangeScan(start: Long, end: Long, slices: Int,
       java.util.OptionalLong.of(rows)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val width = math.max(1L, (end - start + slices - 1) / slices)
-    (0 until slices).iterator
-      .map { i =>
-        val sliceLo = start + i * width
-        val sliceHi = math.min(end, sliceLo + width)
-        RangeSlice(math.max(sliceLo, lo), math.min(sliceHi, hi))
-      }
-      .filter(s => s.lo < s.hi) // pruned: slice entirely outside the interval
-      .toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    if (groupedLayout && nBuckets > 0) {
+      // layout=grouped: one split PER RESIDUE CLASS of id % nBuckets —
+      // the connector-side analogue of a bucketed table layout. Each
+      // split is the arithmetic progression of its class inside [lo, hi).
+      (0 until nBuckets).iterator
+        .map { r =>
+          val first = lo + java.lang.Math.floorMod(r - lo, nBuckets.toLong)
+          BucketSlice(first, hi, nBuckets.toLong, r)
+        }
+        .filter(s => s.first < s.hi)
+        .toArray[InputPartition]
+    } else {
+      val width = math.max(1L, (end - start + slices - 1) / slices)
+      (0 until slices).iterator
+        .map { i =>
+          val sliceLo = start + i * width
+          val sliceHi = math.min(end, sliceLo + width)
+          RangeSlice(math.max(sliceLo, lo), math.min(sliceHi, hi))
+        }
+        .filter(s => s.lo < s.hi) // pruned: slice entirely outside the interval
+        .toArray[InputPartition]
+    }
+
+  /** Under `layout=grouped`, report the bucket layout as a
+    * `KeyGroupedPartitioning(identity(bucket))` — the DSv2 contract behind
+    * STORAGE-PARTITIONED JOINS: two sources co-partitioned on the same key
+    * join with ZERO exchanges (`spark.sql.sources.v2.bucketing.enabled`),
+    * and grouping on the key needs no re-shuffle either. At 100 TB this is
+    * the fact-to-fact join enabler — the layout the warehouse already
+    * maintains replaces the single biggest shuffle in the plan. The
+    * sliced layout reports UnknownPartitioning, Spark's default
+    * assumption. */
+  override def outputPartitioning(): partitioning.Partitioning =
+    if (groupedLayout && nBuckets > 0)
+      new partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("bucket")), planInputPartitions().length)
+    else new partitioning.UnknownPartitioning(planInputPartitions().length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(required, nBuckets)
@@ -375,12 +416,18 @@ final class GraftRangeScan(start: Long, end: Long, slices: Int,
 final class GraftRangeReaderFactory(required: StructType, nBuckets: Int = 0)
     extends PartitionReaderFactory {
 
+  /** Both layouts reduce to (first id, exclusive bound, stride). */
+  private def bounds(p: InputPartition): (Long, Long, Long) = p match {
+    case RangeSlice(lo, hi) => (lo, hi, 1L)
+    case BucketSlice(first, hi, step, _) => (first, hi, step)
+  }
+
   override def supportColumnarReads(p: InputPartition): Boolean = true
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val s = p.asInstanceOf[RangeSlice]
-      private var cur = s.lo - 1
+      private val (first, hi, step) = bounds(p)
+      private var cur = first - step
       // resolved once per partition, not per row
       private val fields: Array[Long => Any] = required.fieldNames.map {
         case "id" => (id: Long) => id
@@ -388,7 +435,7 @@ final class GraftRangeReaderFactory(required: StructType, nBuckets: Int = 0)
         case "bucket" => (id: Long) => java.lang.Math.floorMod(id, nBuckets.toLong).toInt
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
-      override def next(): Boolean = { cur += 1; cur < s.hi }
+      override def next(): Boolean = { cur += step; cur < hi }
       override def get(): InternalRow =
         InternalRow.fromSeq(fields.toIndexedSeq.map(f => f(cur)))
       override def close(): Unit = ()
@@ -396,8 +443,8 @@ final class GraftRangeReaderFactory(required: StructType, nBuckets: Int = 0)
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new PartitionReader[ColumnarBatch] {
-      private val s = p.asInstanceOf[RangeSlice]
-      private var cur = s.lo
+      private val (first, hi, step) = bounds(p)
+      private var cur = first
       private val capacity = 4096
       private val vectors: Array[OnHeapColumnVector] =
         required.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
@@ -405,30 +452,32 @@ final class GraftRangeReaderFactory(required: StructType, nBuckets: Int = 0)
         org.apache.spark.sql.vectorized.ColumnVector])
 
       override def next(): Boolean = {
-        if (cur >= s.hi) return false
-        val n = math.min(capacity.toLong, s.hi - cur).toInt
+        if (cur >= hi) return false
+        // ids remaining in this (possibly strided) split
+        val remaining = (hi - cur + step - 1) / step
+        val n = math.min(capacity.toLong, remaining).toInt
         vectors.foreach(_.reset())
         required.fieldNames.zipWithIndex.foreach {
           case ("id", vi) =>
             var i = 0
-            while (i < n) { vectors(vi).putLong(i, cur + i); i += 1 }
+            while (i < n) { vectors(vi).putLong(i, cur + i * step); i += 1 }
           case ("payload", vi) =>
             var i = 0
             while (i < n) {
-              val b = s"row-${cur + i}".getBytes("UTF-8")
+              val b = s"row-${cur + i * step}".getBytes("UTF-8")
               vectors(vi).putByteArray(i, b, 0, b.length); i += 1
             }
           case ("bucket", vi) =>
             var i = 0
             while (i < n) {
               vectors(vi).putInt(i,
-                java.lang.Math.floorMod(cur + i, nBuckets.toLong).toInt)
+                java.lang.Math.floorMod(cur + i * step, nBuckets.toLong).toInt)
               i += 1
             }
           case (other, _) => throw new IllegalArgumentException(s"unknown column $other")
         }
         batch.setNumRows(n)
-        cur += n
+        cur += n * step
         true
       }
       override def get(): ColumnarBatch = batch

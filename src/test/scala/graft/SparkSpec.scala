@@ -13,6 +13,8 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)

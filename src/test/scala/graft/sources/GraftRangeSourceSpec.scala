@@ -192,4 +192,52 @@ class GraftRangeSourceSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     assert(plan.contains("BuildRight"), plan.take(1500))
   }
+
+  private def grouped(start: Long, end: Long, buckets: Int = 8) =
+    spark.read.format("graft-range")
+      .option("start", start.toString).option("end", end.toString)
+      .option("slices", "8").option("buckets", buckets.toString)
+      .option("layout", "grouped")
+      .load()
+
+  test("layout=grouped plans one split per residue class, key on each split") {
+    val scan = scanOf(grouped(3, 40))
+    val parts = scan.planInputPartitions()
+    assert(parts.length === 8)
+    val keys = parts.collect { case b: BucketSlice => b.bucket }.toSet
+    assert(keys === (0 until 8).toSet)
+    // every split's rows must agree with its reported partition key
+    parts.collect { case b: BucketSlice =>
+      assert(b.first >= 3 && b.first % 8 === b.bucket && b.step === 8) }
+    // and the scan reports the key-grouped layout
+    val p = scan.outputPartitioning()
+    assert(p.isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+    // data intact under the strided readers
+    assert(grouped(3, 40).select("id").collect().map(_.getLong(0)).sorted
+      === (3L until 40L).toArray)
+  }
+
+  test("storage-partitioned join: co-bucketed tables join + re-group with ZERO exchanges") {
+    // both sides too big to broadcast (24 MB reported) — without SPJ this
+    // plans SMJ behind two exchanges plus one more for the aggregate
+    val a = grouped(0, 1000000)
+    val b = grouped(500000, 1500000)
+    val q = a.join(b, a("bucket") === b("bucket") && a("id") === b("id"))
+      .groupBy(a("bucket")).agg(count(lit(1)).as("n"), sum(a("id")).as("sum_id"))
+    val rows = q.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // overlap [500000, 1000000): 62500 ids per residue class
+    assert(rows.length === 8)
+    assert(rows.forall(_._2 === 62500L))
+    assert(rows.map(_._3).sum === (500000L until 1000000L).sum)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("sliced layout still reports unknown partitioning (no SPJ claim)") {
+    val p = scanOf(read(0, 1000, 4)).outputPartitioning()
+    assert(p.isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+  }
 }
