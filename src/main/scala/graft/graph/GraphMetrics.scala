@@ -221,6 +221,41 @@ object GraphMetrics {
     graft.llm.Dedup.clusters(
       edges.select(col("src").cast("long").as("d1"), col("dst").cast("long").as("d2")))
 
+  /** Synchronous label propagation (community detection), `iters` rounds:
+    * every vertex starts labeled by its own id; each round every vertex
+    * adopts the MOST FREQUENT label among its neighbors (undirected view),
+    * ties to the smallest label — the deterministic synchronous LPA
+    * variant (GraphX `LabelPropagation` semantics with a total tie order,
+    * so rounds are reproducible and an unrolled SQL oracle can replay
+    * them). Vertices keep their label if they have no neighbors.
+    *
+    * Per round: one edge⋈labels join + one (vertex, label) count aggregate
+    * + one per-vertex argmax — all shuffle-partitioned by vertex id, the
+    * same per-round cost class as one PageRank step; `localCheckpoint`
+    * per round keeps plans flat. Fixed iteration count by contract (LPA
+    * oscillates on bipartite structures; bounded rounds are the standard
+    * posture). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct().filter(col("u") =!= col("v")).localCheckpoint()
+    var lab = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val freq = und
+        .join(lab.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("c").desc, col("lbl"))
+      lab = freq
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** GraphX cross-check for [[connectedComponents]] (tests only). */
   def connectedComponentsGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._

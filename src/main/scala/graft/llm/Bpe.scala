@@ -73,7 +73,32 @@ object Bpe {
         .localCheckpoint() // round r+1 plans against a leaf, not r's lineage
       merges = if (merges == null) winner else merges.unionByName(winner)
     }
-    merges.select(col("round"),
+    merges.select(col("round"), col("pair"),
       trim(expr("replace(pair, ')(', '')"), "()").as("token"), col("freq"))
+  }
+
+  /** ENCODE under a trained merge list: token count per document.
+    *
+    * `pairs` is the ordered merge list from [[train]] (`pair` column —
+    * wrapped `"(x)(y)"` forms; the merged replacement is derived). The
+    * merge list is a bounded model artifact (one row per merge round), so
+    * baking it into the expression as literals — the same posture as
+    * Classifier's collected model — makes encoding a SINGLE scan-local
+    * projection: wrap each word's chars, apply the merges in training
+    * order as literal replaces, count symbols, sum over the document.
+    * Zero shuffle, zero joins; at 100 TB corpus tokenization is exactly
+    * this map-only pass. */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      pairs: Seq[String]): DataFrame = {
+    // char-class regex [)][(] avoids backslash-escape dialect traps
+    val wrapped = "concat('(', array_join(split(w, ''), ')('), ')')"
+    val enc = pairs.foldLeft(wrapped) { (e, p) =>
+      val merged = p.replace(")(", "")
+      s"replace($e, '$p', '$merged')"
+    }
+    docs.select(col(idCol),
+      expr(s"aggregate(filter(split($textCol, ' '), w -> length(w) > 0), " +
+        s"0, (acc, w) -> acc + size(split($enc, '[)][(]')))")
+        .cast("int").as("n_tokens"))
   }
 }

@@ -434,18 +434,49 @@ object Dedup {
     // sat on the broadcast threshold and flip-flopped plans run-to-run.
     // Singleton trigrams (most, by Zipf) die at the size filter; per-trigram
     // pair expansion is Σ min(df, maxDf)² — bounded, unlike the raw Σ df².
-    val byG = postingLists(kept)
-    val inter = byG.select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-      .agg(count(lit(1)).as("i"))
+    val inter = interCounts(postingLists(kept))
     inter
       .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         round(col("i") / (col("n1") + col("n2") - col("i")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Ordered (d1 < d2) shared-distinct-trigram counts straight off the
+    * inverted index: per-trigram in-row pair expansion + one count
+    * aggregate (see [[ngramJaccardPairs]] for why this beats a g⋈g
+    * self-join). */
+  private def interCounts(byG: DataFrame): DataFrame =
+    byG.select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("d1"), b.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("i"))
+
+  /** DIRECTIONAL containment near-dups: C(src→ref) = |grams(src) ∩
+    * grams(ref)| / |grams(src)| — flags documents mostly CONTAINED in
+    * another (quotes, excerpts, page-of-a-book) that symmetric Jaccard
+    * misses: a 100-word excerpt of a 10k-word source has Jaccard ≈ 0.01
+    * but containment ≈ 1.0. Same inverted-index machinery as
+    * [[ngramJaccardPairs]] (shared [[keptShingles]]/[[postingLists]]/
+    * intersection counts, same `maxDf` hot-trigram cap and exactness
+    * contract); each unordered intersection row fans out to its two
+    * directions in-row, so the asymmetric score costs nothing extra. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val kept = pin(keptShingles(docs, idCol, textCol, maxDf))
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = interCounts(postingLists(kept))
+    inter
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("ref")),
+        struct(col("d2").as("src"), col("d1").as("ref")))).as("e"), col("i"))
+      .select(col("e.src").as("src"), col("e.ref").as("ref"), col("i"))
+      .join(sizes.select(col("id").as("src"), col("n")), "src")
+      .select(col("src"), col("ref"),
+        round(col("i") / col("n"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** EXACT SUBSTRING dedup (the suffix-array method of "Deduplicating

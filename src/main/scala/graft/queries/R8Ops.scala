@@ -50,6 +50,62 @@ object R8Ops {
       |SELECT CAST(u AS BIGINT) AS id, CAST(min(v) AS BIGINT) AS comp
       |FROM r4 GROUP BY u""".stripMargin
 
+  /** Unrolled 4-round synchronous LPA oracle over the nation graph —
+    * same edge derivation as [[CcSql]], self-loops excluded, each round
+    * the (count DESC, label ASC) argmax of neighbor labels. */
+  private def lpaRound(i: Int): String =
+    s"""f$i AS (
+       |  SELECT e.u AS id, l.lbl, count(*) AS c
+       |  FROM e JOIN l${i - 1} l ON l.id = e.v GROUP BY 1, 2),
+       |l$i AS (
+       |  SELECT id, lbl FROM (
+       |    SELECT id, lbl,
+       |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+       |    FROM f$i) t WHERE rn = 1)""".stripMargin
+
+  private[queries] val LpaSql =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |e AS (
+       |  SELECT u, v FROM (
+       |    SELECT u, v FROM e0 UNION SELECT v, u FROM e0) t WHERE u <> v),
+       |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+       |${lpaRound(1)},
+       |${lpaRound(2)},
+       |${lpaRound(3)},
+       |${lpaRound(4)}
+       |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS lbl FROM l4""".stripMargin
+
+  /** The BPE-training CTE block (corpus → v0 vocabulary → three
+    * pair-count/top-1/merge rounds m1..m3) — shared by the `x_bpe_train`
+    * oracle and the `x_bpe_encode` oracle, which re-derives the merges
+    * before applying them. */
+  private def bpeRound(i: Int): String = {
+    val prev = if (i == 1) "v0" else s"v${i - 1}"
+    s"""p$i AS (
+       |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
+       |    CAST(sum(c) AS BIGINT) AS freq
+       |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
+       |        FROM $prev) t, unnest(generate_series(1, len(l) - 1)) ix(i)
+       |  GROUP BY 1),
+       |m$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+       |v$i AS (SELECT replace(sym, m.pair, replace(m.pair, ')(', '')) AS sym, c
+       |       FROM $prev, m$i m)""".stripMargin
+  }
+
+  private[queries] val BpeCtes =
+    s"""w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS sym, count(*) AS c
+       |  FROM w WHERE len(w) >= 2 GROUP BY 1),
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)}""".stripMargin
+
   /** One greedy MMR step as SQL: argmax over the not-yet-selected pool of
     * `0.7·rel − 0.3·max(cos to selected)`, ties to the smaller vec_id —
     * the literal replay of [[graft.llm.Similarity.mmrSelect]]'s step. */
@@ -125,41 +181,38 @@ object R8Ops {
     // unrolls the identical trajectory — same pair statistics, same
     // (freq DESC, pair ASC) tie-break, same merge application.
     QDef("x_bpe_train",
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |v0 AS (
-        |  SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS sym, count(*) AS c
-        |  FROM w WHERE len(w) >= 2 GROUP BY 1),
-        |p1 AS (
-        |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
-        |    CAST(sum(c) AS BIGINT) AS freq
-        |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
-        |        FROM v0) t, unnest(generate_series(1, len(l) - 1)) ix(i)
-        |  GROUP BY 1),
-        |m1 AS (SELECT pair, freq FROM p1 ORDER BY freq DESC, pair LIMIT 1),
-        |v1 AS (SELECT replace(sym, m.pair, replace(m.pair, ')(', '')) AS sym, c
-        |       FROM v0, m1 m),
-        |p2 AS (
-        |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
-        |    CAST(sum(c) AS BIGINT) AS freq
-        |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
-        |        FROM v1) t, unnest(generate_series(1, len(l) - 1)) ix(i)
-        |  GROUP BY 1),
-        |m2 AS (SELECT pair, freq FROM p2 ORDER BY freq DESC, pair LIMIT 1),
-        |v2 AS (SELECT replace(sym, m.pair, replace(m.pair, ')(', '')) AS sym, c
-        |       FROM v1, m2 m),
-        |p3 AS (
-        |  SELECT '(' || l[i] || ')(' || l[i + 1] || ')' AS pair,
-        |    CAST(sum(c) AS BIGINT) AS freq
-        |  FROM (SELECT string_split(substr(sym, 2, len(sym) - 2), ')(') AS l, c
-        |        FROM v2) t, unnest(generate_series(1, len(l) - 1)) ix(i)
-        |  GROUP BY 1),
-        |m3 AS (SELECT pair, freq FROM p3 ORDER BY freq DESC, pair LIMIT 1)
-        |SELECT CAST(1 AS INT) AS round, trim(replace(pair, ')(', ''), '()') AS token, freq FROM m1
-        |UNION ALL
-        |SELECT CAST(2 AS INT), trim(replace(pair, ')(', ''), '()'), freq FROM m2
-        |UNION ALL
-        |SELECT CAST(3 AS INT), trim(replace(pair, ')(', ''), '()'), freq FROM m3""".stripMargin) {
+      s"""WITH $BpeCtes
+         |SELECT CAST(1 AS INT) AS round, pair,
+         |  trim(replace(pair, ')(', ''), '()') AS token, freq FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS INT), pair, trim(replace(pair, ')(', ''), '()'), freq FROM m2
+         |UNION ALL
+         |SELECT CAST(3 AS INT), pair, trim(replace(pair, ')(', ''), '()'), freq FROM m3""".stripMargin) {
       (s, d) => Bpe.train(Tables(s, d).documents, "text", rounds = 3)
+    },
+
+    // ENCODE under the trained tokenizer: per-document token counts with
+    // the 3 learned merges applied in training order. The merge list is a
+    // k-row model artifact — collected once (the Classifier precedent:
+    // the model is the only driver traffic) and baked into a scan-local
+    // projection, so corpus tokenization is ONE map-only pass: wrap,
+    // replace ×3, count symbols, sum per doc. The oracle re-derives the
+    // same merges from the shared CTE block and applies them in-lambda.
+    QDef("x_bpe_encode",
+      s"""WITH $BpeCtes
+         |SELECT d.doc_id, CAST(coalesce(list_sum(list_transform(
+         |    list_filter(string_split(d.text, ' '), w -> len(w) > 0),
+         |    w -> len(string_split(replace(replace(replace(
+         |      '(' || array_to_string(string_split(w, ''), ')(') || ')',
+         |      m1.pair, replace(m1.pair, ')(', '')),
+         |      m2.pair, replace(m2.pair, ')(', '')),
+         |      m3.pair, replace(m3.pair, ')(', '')), ')(')))), 0) AS INT)
+         |  AS n_tokens
+         |FROM documents d, m1, m2, m3""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = Bpe.train(docs, "text", rounds = 3)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      Bpe.encodeCounts(docs, "doc_id", "text", pairs)
     },
 
     // HTML/boilerplate cleanup — markup-strip stage of a crawl-curation
@@ -238,6 +291,95 @@ object R8Ops {
         .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
           sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L)).as("n_out"),
           count(lit(1)).as("n"))
+    },
+
+    // Directional containment near-dups: |grams(src) ∩ grams(ref)| /
+    // |grams(src)| — catches excerpt/quote containment that symmetric
+    // Jaccard misses (a short excerpt of a long source scores ~1.0 here,
+    // ~0.0 there). Same inverted-index machinery and hot-gram cap as
+    // x_dedup_ngram_jaccard; the unordered intersection fans out to both
+    // directions in-row.
+    QDef("x_dedup_containment",
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2] AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       unnest(range(1, len(toks)-1)) t(i)),
+        |sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+        |inter AS (
+        |  SELECT l.id AS d1, r.id AS d2, count(*) AS i
+        |  FROM g l JOIN g r ON l.g = r.g AND l.id < r.id
+        |  GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT d1 AS src, d2 AS ref, i FROM inter
+        |  UNION ALL SELECT d2, d1, i FROM inter)
+        |SELECT b.src, b.ref, round(b.i / s.n, 6) AS containment
+        |FROM dirs b JOIN sizes s ON s.id = b.src
+        |WHERE round(b.i / s.n, 6) >= 0.6""".stripMargin) { (s, d) =>
+      graft.llm.Dedup.containmentPairs(Tables(s, d).documents, "doc_id",
+        "text", 0.6)
+    },
+
+    // Last-touch marketing attribution: each purchase credits its full
+    // value to the user's LATEST preceding touchpoint (click/view/signup)
+    // — the as-of join surfaced as the attribution operator it powers,
+    // then credited value per channel. Money in integer cents so the
+    // per-channel sums are order-exact; the one corpus shuffle is the
+    // as-of's user-keyed window (AsOfJoin.asofJoin), credit rollup is a
+    // channel-cardinality aggregate.
+    QDef("x_attribution",
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts, max(event_type) AS channel FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup') GROUP BY 1, 2),
+        |a AS (
+        |  SELECT p.value, t.channel FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.ts >= t.ts)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS credited_cents
+        |FROM a WHERE channel IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val touches = ev
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("ts"), col("event_type").as("channel"))
+      graft.ops.AsOfJoin.asofJoin(purchases, touches, "user_id", "ts",
+        "channel", "channel")
+        .filter(col("channel").isNotNull)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("conversions"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("credited_cents"))
+    },
+
+    // Synchronous label propagation (community detection), 4 fixed rounds
+    // over the nation trading graph: each round every vertex adopts its
+    // neighbors' most frequent label (ties → min), one edge join + one
+    // count aggregate + one per-vertex argmax per round. The deterministic
+    // tie order is what makes the unrolled oracle replay exact.
+    QDef("x_graph_label_prop", R8Ops.LpaSql) { (s, d) =>
+      GraphMetrics.labelPropagation(nationEdges(Tables(s, d)), iters = 4)
+    },
+
+    // STREAMING windowed top-k: the 3 most frequent event types per
+    // event-time day, as a chained agg→agg stateful pair — the second
+    // aggregate folds each window's counts into ONE k-sized sorted array
+    // (negated-count structs make ascending sort = count DESC, type ASC),
+    // so per-window state is bounded and the rank explode is stateless.
+    // MemoryStream parity in EventStreamsSpec; batch twin here.
+    QDef("x_stream_topk",
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT ws, event_type, cnt,
+        |  CAST(row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS INT)
+        |    AS rank FROM c)
+        |SELECT ws AS window_start, event_type, CAST(cnt AS BIGINT) AS cnt, rank
+        |FROM r WHERE rank <= 3""".stripMargin) { (s, d) =>
+      EventStreams.topKPerWindow(Tables(s, d).events, k = 3)
     },
 
     // Maximal-marginal-relevance diverse selection: greedy k=4 from a

@@ -193,6 +193,34 @@ object EventStreams {
       .select(col("user_id"), col("last.value").as("last_value"), col("n_ops"))
   }
 
+  /** STREAMING top-k per window: the k most frequent event types of each
+    * event-time window, ranked (count DESC, type ASC).
+    *
+    * The chained agg→agg stateful-pair shape again ([[driftPsiStream]]):
+    * per-(window, type) counts, then a second keyed aggregate FOLDS each
+    * window's type counts into one bounded array — `slice(array_sort(...),
+    * 1, k)` over structs whose first field is the NEGATED count, so the
+    * ascending struct sort IS (count DESC, type ASC) and only k entries
+    * survive per window. The explode back to ranked rows is stateless
+    * post-processing on k-sized arrays. One watermark bounds both
+    * aggregates' state; nothing downstream of the first aggregate is ever
+    * bigger than (windows × types). Same body runs batch for the oracle. */
+  def topKPerWindow(eventsIn: DataFrame, k: Int = 3, width: String = "1 day",
+      watermark: String = "2 hours"): DataFrame = {
+    val events = normTs(eventsIn, "ts")
+    val cnt = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    cnt
+      .groupBy(col("w"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("cnt")).as("nc"), col("event_type")))), 1, k).as("top"))
+      .select(col("w.start").as("window_start"), posexplode(col("top")))
+      .select(col("window_start"), col("col.event_type").as("event_type"),
+        (-col("col.nc")).as("cnt"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Sliding windows (width/slide) — each event lands in width/slide windows. */
   def slidingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

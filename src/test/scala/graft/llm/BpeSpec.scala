@@ -7,7 +7,7 @@ class BpeSpec extends SparkSpec {
 
   def train(texts: Seq[String], rounds: Int): Seq[(Int, String, Long)] =
     Bpe.train(texts.toDF("text"), "text", rounds).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3)))
       .sortBy(_._1)
 
   test("hand-checked 2-round trajectory") {
@@ -38,6 +38,15 @@ class BpeSpec extends SparkSpec {
     assert(m(1) === ((2, "ab", 1L)))
     // round 3: no pairs remain anywhere → no row (merges exhaust)
     assert(m.size === 2)
+  }
+
+  test("encode applies merges in training order, counts symbols per doc") {
+    import org.apache.spark.sql.Row
+    val docs = Seq((1L, "abab ab x"), (2L, "")).toDF("doc_id", "text")
+    // merges: (a,b) then (ab,ab) — "abab"→(ab)(ab)→(abab)=1; "ab"→1; "x"→1
+    val out = Bpe.encodeCounts(docs, "doc_id", "text",
+      Seq("(a)(b)", "(ab)(ab)")).collect().map { case Row(id: Long, n: Int) => id -> n }.toMap
+    assert(out === Map(1L -> 3, 2L -> 0))
   }
 
   test("tie-break is (freq DESC, pair ASC)") {

@@ -910,6 +910,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamedChained === batchChained)
   }
 
+  test("windowed top-k through MemoryStream equals batch; k bounds and order hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 11:00:00"), 101L, "click", 1.0),
+      EventRow(3L, ts("2024-01-01 12:00:00"), 102L, "click", 1.0),
+      EventRow(4L, ts("2024-01-01 13:00:00"), 100L, "view", 1.0),
+      EventRow(5L, ts("2024-01-01 14:00:00"), 101L, "view", 1.0),
+      EventRow(6L, ts("2024-01-01 15:00:00"), 100L, "buy", 1.0),
+      EventRow(7L, ts("2024-01-01 16:00:00"), 100L, "ship", 1.0), // 4th type: cut
+      EventRow(8L, ts("2024-01-02 10:00:00"), 100L, "view", 1.0))
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.topKPerWindow(stream.toDF(), k = 3, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode("append").start()
+    stream.addData(data: _*); q.processAllAvailable()
+    stream.addData(EventRow(9L, ts("2024-01-05 00:00:00"), 999L, "click", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("topk_test").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2)))).toMap
+    q.stop()
+    val batch = EventStreams.topKPerWindow(data.toDF(), k = 3).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+    // day 1: click 3, view 2, then buy/ship tie at 1 → 'buy' wins rank 3;
+    // 'ship' is cut by k
+    assert(batch((ts("2024-01-01 00:00:00"), 1)) === (("click", 3L)))
+    assert(batch((ts("2024-01-01 00:00:00"), 2)) === (("view", 2L)))
+    assert(batch((ts("2024-01-01 00:00:00"), 3)) === (("buy", 1L)))
+    assert(!batch.values.exists(_._1 == "ship"))
+  }
+
   test("CDC materialization: streaming last-writer-wins equals batch, deletes tombstone") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
