@@ -256,6 +256,39 @@ object GraphMetrics {
     lab
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop every
+    * vertex whose degree within the surviving subgraph is < k; what's left
+    * after the fixpoint is the k-core. Vertex ids stay whatever type the
+    * edge frame carries (brand strings, user longs — no cast).
+    *
+    * `rounds` is FIXED (not run-to-convergence) so the unrolled SQL oracle
+    * replays the identical trajectory — a round after the fixpoint is a
+    * no-op, so any rounds ≥ the peel depth gives the exact k-core. Per
+    * round: one alive-filter of the edge list (two vertex-keyed joins) +
+    * one degree aggregate, all partitioned by vertex — frames shrink
+    * monotonically, `localCheckpoint` truncates the growing lineage (the
+    * pageRank/sssp cadence). Returns (id, deg): core vertices with their
+    * within-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().filter(col("u") =!= col("v")).localCheckpoint()
+    var cur = und
+    var alive = und.select("u").distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      cur = cur.join(alive, "u")
+        .join(alive.select(col("u").as("v")), "v")
+        .select("u", "v").localCheckpoint()
+      alive = cur.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u").localCheckpoint()
+    }
+    cur.join(alive, "u")
+      .join(alive.select(col("u").as("v")), "v")
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg").cast("long").as("deg"))
+  }
+
   /** GraphX cross-check for [[connectedComponents]] (tests only). */
   def connectedComponentsGraphX(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._

@@ -13,9 +13,24 @@ object R5Ops {
   /** Shared CTE: exploded embeddings (vec_id, j, e) — see StarExt. */
   private val Ee = StarExt.EmbExpl
 
-  /** EWMA geometry: last `EwK` events per user, decay `EwD` per step. */
-  private val EwK = 8
-  private val EwD = 0.7
+  /** EWMA geometry: last `EwK` events per user, decay `EwD` per step.
+    * Shared with the streaming twin (`x_stream_ewma`, R9Ops), which
+    * replays the same FIR arithmetic in its keyed state. */
+  private[queries] val EwK = 8
+  private[queries] val EwD = 0.7
+
+  /** The x_ewma oracle text — also the oracle of its streaming twin. */
+  private[queries] val EwmaSql: String = {
+    val num = (1 until EwK).map(k =>
+      s"coalesce(lag(value, $k) OVER w, 0) * power($EwD, $k)")
+      .mkString("value + ", " + ", "")
+    val den = (1 until EwK).map(k =>
+      s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN power($EwD, $k) ELSE 0 END")
+      .mkString("1 + ", " + ", "")
+    s"""SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -156,17 +171,7 @@ object R5Ops {
     // bounded-memory form of exponential smoothing: a fixed FIR of lag()
     // taps, renormalized over the taps that exist, so no running state and
     // no unbounded (1-α)^-t arithmetic. One shuffle on the partition key.
-    QDef("x_ewma", {
-      val num = (1 until EwK).map(k =>
-        s"coalesce(lag(value, $k) OVER w, 0) * power($EwD, $k)")
-        .mkString("value + ", " + ", "")
-      val den = (1 until EwK).map(k =>
-        s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN power($EwD, $k) ELSE 0 END")
-        .mkString("1 + ", " + ", "")
-      s"""SELECT event_id, user_id, round(($num) / ($den), 6) AS ewma
-         |FROM events
-         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
-    }) { (s, d) =>
+    QDef("x_ewma", EwmaSql) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val num = (1 until EwK).map(k =>

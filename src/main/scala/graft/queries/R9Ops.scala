@@ -13,6 +13,40 @@ import graft.ops.Skyline
   */
 object R9Ops {
 
+  /** Unrolled 4-round k-core peel (k=5) over the brand co-occurrence graph
+    * (edges = brand pairs appearing together in ≥ 2.5% of orders — a
+    * RELATIVE support threshold, so the derivation is scale-invariant).
+    * Round i keeps the vertices whose degree within round i−1's survivors
+    * is ≥ k; the peel reaches its fixpoint in one round at sf0.01 and the
+    * remaining unrolled rounds are no-ops (multi-round trajectories are
+    * property-tested in GraphKCoreSpec).
+    */
+  private def peelRound(i: Int): String =
+    s"""a$i AS (
+       |  SELECT e.u FROM e JOIN a${i - 1} x ON x.u = e.u
+       |  JOIN a${i - 1} y ON y.u = e.v
+       |  GROUP BY e.u HAVING count(*) >= 5)""".stripMargin
+
+  private[queries] val KCoreSql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM items),
+       |pr AS (
+       |  SELECT a.item AS u, b.item AS v, count(*) AS supp
+       |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT u, v FROM pr, n WHERE supp / n_orders >= 0.025),
+       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |a0 AS (SELECT DISTINCT u FROM e),
+       |${peelRound(1)},
+       |${peelRound(2)},
+       |${peelRound(3)},
+       |${peelRound(4)}
+       |SELECT e.u AS id, CAST(count(*) AS BIGINT) AS deg
+       |FROM e JOIN a4 x ON x.u = e.u JOIN a4 y ON y.u = e.v
+       |GROUP BY 1""".stripMargin
+
   def defs: Seq[QDef] = Seq(
 
     // Market-basket association rules over orders: items = the DISTINCT
@@ -182,6 +216,143 @@ object R9Ops {
       val stackArgs = pairsOf.zipWithIndex
         .map { case ((a, b), i) => s"'$a', '$b', r$i" }.mkString(", ")
       agg.select(expr(s"stack(6, $stackArgs) AS (col_a, col_b, r)"))
+    },
+
+    // Welch's two-sample t-test per event type: arms = a deterministic
+    // user split (user_id parity — in production the experiment
+    // assignment), statistic from per-arm (n, mean, var) ONLY. The corpus
+    // does ONE grouped aggregate; the t/df algebra runs on the 10-row
+    // stats frame — the A/B analysis shape where no row-level data ever
+    // leaves the executors twice.
+    QDef("x_ab_ttest",
+      """WITH e AS (SELECT event_type, user_id % 2 AS arm, value FROM events),
+        |st AS (SELECT event_type, arm, CAST(count(*) AS DOUBLE) AS n,
+        |         avg(value) AS m, var_samp(value) AS v
+        |       FROM e GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        |  round(pow(a.v / a.n + b.v / b.n, 2) /
+        |        (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 2)
+        |    AS df
+        |FROM st a JOIN st b
+        |  ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1""".stripMargin) {
+      (s, d) =>
+        val st = Tables(s, d).events
+          .groupBy(col("event_type"), pmod(col("user_id"), lit(2)).as("arm"))
+          .agg(count(lit(1)).cast("double").as("n"), avg(col("value")).as("m"),
+            var_samp(col("value")).as("v"))
+        val a = st.filter(col("arm") === 0)
+          .select(col("event_type"), col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+        val b = st.filter(col("arm") === 1)
+          .select(col("event_type"), col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+        val se2 = col("va") / col("na") + col("vb") / col("nb")
+        a.join(b, "event_type").select(col("event_type"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+          round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+          round(pow(se2, 2) / (pow(col("va") / col("na"), 2) / (col("na") - 1)
+            + pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("df"))
+    },
+
+    // k-core decomposition (k=5) of the brand co-occurrence graph —
+    // iterative peeling surfaced as a first-class graph operator
+    // ([[graft.graph.GraphMetrics.kCore]]): per round one alive-filter of
+    // the edge list + one vertex-keyed degree aggregate, frames shrinking
+    // monotonically. Edges use RELATIVE support (≥ 2.5% of orders), so the
+    // same query text is meaningful at every scale factor.
+    QDef("x_graph_kcore", R9Ops.KCoreSql) { (s, d) =>
+      val t = Tables(s, d)
+      val items = t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
+        .distinct()
+      val n = items.agg(countDistinct(col("o")).cast("double").as("n_orders"))
+      val edges = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("src"), col("b.item").as("dst"))
+        .agg(count(lit(1)).as("supp"))
+        .crossJoin(broadcast(n))
+        .filter(col("supp") / col("n_orders") >= 0.025)
+        .select("src", "dst")
+      graft.graph.GraphMetrics.kCore(edges, k = 5, rounds = 4)
+    },
+
+    // Incremental equi-join maintenance: (A ∪ ΔA) ⋈ (B ∪ ΔB) computed as
+    // the FOUR delta terms — base⋈base, base⋈ΔB, ΔA⋈base, ΔA⋈Δb — each
+    // aggregated partially, then combined by a final group-sum. The shape
+    // incremental view maintenance runs every refresh: at 100 TB the three
+    // delta terms touch only new date partitions (partition-pruned scans)
+    // and the base⋈base term is the already-materialized view, so a
+    // refresh costs O(Δ), not O(corpus). The oracle recomputes the full
+    // join flat — same result by distributivity of ⋈ over ∪.
+    QDef("x_incremental_join",
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val pivot = lit("1998-01-01").cast("timestamp")
+      val (oBase, oDelta) = (t.orders.filter(col("o_orderdate") < pivot),
+        t.orders.filter(col("o_orderdate") >= pivot))
+      val (lBase, lDelta) = (t.lineitem.filter(col("l_shipdate") < pivot),
+        t.lineitem.filter(col("l_shipdate") >= pivot))
+      def term(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("c"))
+      term(oBase, lBase).union(term(oBase, lDelta))
+        .union(term(oDelta, lBase)).union(term(oDelta, lDelta))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("sq")), 2).as("sum_qty"),
+          sum(col("c")).cast("long").as("n"))
+    },
+
+    // Inverted-index build: term → document frequency + the head of the
+    // sorted postings list. The head uses the bounded-heap TopKByScore
+    // aggregate (score = −doc_id ⇒ the 8 SMALLEST ids), so a stopword's
+    // postings never materialize beyond 8 entries per partition — the
+    // hot-term state bound a corpus-scale index build needs; df rides the
+    // same aggregate pass.
+    QDef("x_text_postings",
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE len(term) >= 2),
+        |p AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    array_to_string(list_sort(list(doc_id))[1:8], ' ') AS postings_head
+        |  FROM w GROUP BY 1)
+        |SELECT term, df, postings_head FROM p WHERE df >= 50""".stripMargin) { (s, d) =>
+      val w = Tables(s, d).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) >= 2)
+        .distinct()
+      w.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          graft.functions.TopKByScore.topKByScore(
+            -col("doc_id").cast("double"), col("doc_id"), 8).as("top"))
+        .filter(col("df") >= 50)
+        .select(col("term"), col("df").cast("long").as("df"),
+          concat_ws(" ", expr("transform(top, x -> cast(x.id AS string))"))
+            .as("postings_head"))
+    },
+
+    // STREAMING exponential smoothing, batch twin: the SAME
+    // EventStreams.ewmaStream body (buffered-maturity keyed state, FIR
+    // arithmetic replayed term-for-term) matures everything in one
+    // invocation under batch — sharing x_ewma's oracle text verbatim.
+    // MemoryStream parity incl. cross-batch tail carry in EventStreamsSpec.
+    QDef("x_stream_ewma", R5Ops.EwmaSql) { (s, d) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      import sp.implicits._
+      graft.streaming.EventStreams.ewmaStream(
+        Tables(s, d).events
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventRow],
+        k = R5Ops.EwK, d = R5Ops.EwD)
+        .toDF()
     }
   )
 }

@@ -31,6 +31,15 @@ final case class FunnelState(buffered: List[(Long, Long, String)],
 final case class AsOfState(probes: List[(Long, Long)],
     refs: List[(Long, Long, Double)])
 
+/** One finalized EWMA emission (see [[EventStreams.ewmaStream]]). */
+final case class EwmaOut(event_id: Long, user_id: Long, ewma: Double)
+
+/** Per-user state for [[EventStreams.ewmaStream]]: unmatured events
+  * (epoch micros, event_id, value) + the most-recent-first trailing values
+  * of already-matured events (capped at k−1 — the FIR tap window). */
+final case class EwmaState(pending: List[(Long, Long, Double)],
+    tail: List[Double])
+
 /** Structured-Streaming surface over the `events` table shape: windowed
   * aggregations with watermarks and custom sessionization state. The
   * transform bodies are shared with the batch queries (same Column
@@ -504,6 +513,74 @@ object EventStreams {
               state.setTimeoutTimestamp(next.probes.map(_._1).min / 1000L + 1L)
           }
           out.map(_.copy(user_id = userId)).iterator
+      }
+  }
+
+  /** STREAMING exponential smoothing — the continuous form of the
+    * `x_ewma` batch query: per user, each event's truncated-FIR EWMA over
+    * the `k−1` preceding values (decay `d` per step, renormalized over the
+    * taps that exist), emitted EXACTLY ONCE when the watermark makes its
+    * position in the sequence final.
+    *
+    * Mechanics (same buffered-maturity discipline as [[asOfStream]]):
+    * events buffer per user until the watermark passes them; matured
+    * events replay in (ts, event_id) order against a trailing-value list
+    * capped at k−1 — per-key state is O(watermark window) + k−1 doubles,
+    * NOT O(stream history), which is exactly why the batch form uses a
+    * truncated FIR instead of the unbounded recursive EWMA. The arithmetic
+    * replays the batch Column fold term-for-term (left-to-right adds,
+    * `math.pow` taps, Spark's BigDecimal HALF_UP 6dp round), so streaming
+    * output is bit-identical to the window query. Batch mode (no
+    * watermark) matures everything in the single invocation — the
+    * `x_stream_ewma` oracle row, sharing x_ewma's SQL text. */
+  def ewmaStream(events: Dataset[EventRow], k: Int = 8, d: Double = 0.7,
+      watermark: String = "2 hours")(
+      implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+
+    def ewmaOf(value: Double, tail: List[Double]): Double = {
+      var num = value
+      var den = 1.0
+      var i = 1
+      while (i < k) {
+        if (i <= tail.length) {
+          num += tail(i - 1) * math.pow(d, i)
+          den += math.pow(d, i)
+        } else {
+          num += 0.0 // the batch form's coalesce(lag, 0) * pow term
+        }
+        i += 1
+      }
+      java.math.BigDecimal.valueOf(num / den)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val incoming = rows.map(e => (toMicros(e.ts), e.event_id, e.value)).toList
+          val wmMicros =
+            try state.getCurrentWatermarkMs() * 1000L
+            catch { case _: UnsupportedOperationException => Long.MaxValue }
+          val (matured, pending) =
+            (prev.pending ++ incoming).partition(_._1 < wmMicros)
+          var tail = prev.tail
+          val out = matured.sortBy(e => (e._1, e._2)).map { case (_, id, v) =>
+            val e = EwmaOut(id, userId, ewmaOf(v, tail))
+            tail = (v :: tail).take(k - 1)
+            e
+          }
+          if (pending.isEmpty && tail.isEmpty) state.remove()
+          else {
+            state.update(EwmaState(pending, tail))
+            if (wmMicros != Long.MaxValue && pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
       }
   }
 

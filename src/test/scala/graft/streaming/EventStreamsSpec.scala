@@ -973,6 +973,71 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
     assert(fin === batch)
   }
+
+  test("ewmaStream: matured FIR emission equals batch and the window formula; tail carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val all = Seq(
+      // batch 1 — user 100's first three values
+      EventRow(1L, ts("2024-01-01 10:00:00"), 100L, "view", 10.0),
+      EventRow(2L, ts("2024-01-01 10:10:00"), 100L, "view", 20.0),
+      EventRow(3L, ts("2024-01-01 10:20:00"), 100L, "view", 30.0),
+      // batch 2 — OUT-OF-ORDER event inside the watermark delay: must slot
+      // between 2 and 3 in the FIR sequence
+      EventRow(4L, ts("2024-01-01 10:15:00"), 100L, "view", 40.0),
+      EventRow(5L, ts("2024-01-01 10:30:00"), 100L, "view", 50.0),
+      EventRow(6L, ts("2024-01-01 10:05:00"), 101L, "view", 5.0),
+      // batch 3 — far-future event matures everything
+      EventRow(99L, ts("2024-01-02 00:00:00"), 999L, "view", 0.0))
+    val batches = Seq(all.slice(0, 3), all.slice(3, 6), all.slice(6, 7))
+
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.ewmaStream(stream.toDS(), k = 3, d = 0.5,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ewma_stream_test")
+      .outputMode("append").start()
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    val streamed = spark.table("ewma_stream_test").as[EwmaOut].collect()
+      .map(e => e.event_id -> e.ewma).toMap
+    q.stop()
+
+    // hand-checked FIR values (k=3 taps, d=0.5), 6dp-rounded like the
+    // operator: event 4 (10:15) sits between 2 and 3, so 3's taps are
+    // (40, 20), not (20, 10)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(streamed(1L) === 10.0)                            // no taps
+    assert(streamed(2L) === r6((20.0 + 0.5 * 10.0) / 1.5))   // one tap
+    assert(streamed(4L) === r6((40 + 0.5 * 20 + 0.25 * 10) / 1.75))
+    assert(streamed(3L) === r6((30 + 0.5 * 40 + 0.25 * 20) / 1.75))
+    assert(streamed(5L) === r6((50 + 0.5 * 30 + 0.25 * 40) / 1.75))
+
+    // event 99 is the watermark-advancer: nothing after it matures it in
+    // the stream, so parity holds on the matured set
+    assert(streamed.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val batch = EventStreams.ewmaStream(all.toDS(), k = 3, d = 0.5)
+      .collect().map(e => e.event_id -> e.ewma).toMap
+    assert(streamed === batch.filter { case (id, _) => id != 99L })
+
+    // and both equal the batch WINDOW formulation (x_ewma's Column fold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val num = (1 until 3).map(k =>
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.lag(col("value"), k).over(w), lit(0.0))
+          * math.pow(0.5, k))
+      .foldLeft(col("value"))(_ + _)
+    val den = (1 until 3).map(k =>
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.lag(col("value"), k).over(w).isNotNull,
+          math.pow(0.5, k)).otherwise(0.0))
+      .foldLeft(lit(1.0))(_ + _)
+    val windowed = all.toDF()
+      .select(col("event_id"), round(num / den, 6).as("ewma"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === windowed.filter { case (id, _) => id != 99L })
+  }
 }
 
 /** EventRow with a `LocalDateTime` event time — Spark encodes it as
