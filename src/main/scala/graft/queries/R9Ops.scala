@@ -27,6 +27,43 @@ object R9Ops {
        |  JOIN a${i - 1} y ON y.u = e.v
        |  GROUP BY e.u HAVING count(*) >= 5)""".stripMargin
 
+  /** Association rules as ONE portable SQL text — the DuckDB oracle of
+    * `x_basket_pairs` AND the whole Spark-SQL query of its `x_sql_basket`
+    * twin (the CcSql twin contract). The self-join pair expansion is the
+    * ORACLE shape; the Dataset engine path expands pairs in-row from one
+    * basket collapse instead. */
+  private[queries] val BasketSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM items),
+      |ic AS (SELECT item, CAST(count(*) AS DOUBLE) AS c FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS supp
+      |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, CAST(supp AS BIGINT) AS support,
+      |  round(supp / ca.c, 6) AS confidence,
+      |  round((supp / ca.c) / (cb.c / n.n_orders), 6) AS lift
+      |FROM pairs JOIN ic ca ON ca.item = pairs.item_a
+      |JOIN ic cb ON cb.item = pairs.item_b, n
+      |WHERE supp >= 40""".stripMargin
+
+  /** Markov transitions as ONE portable SQL text — oracle of
+    * `x_seq_transitions` and the whole query of `x_sql_transitions`. */
+  private[queries] val TransitionsSql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS nxt
+      |  FROM events),
+      |t AS (SELECT event_type AS src, nxt AS dst, count(*) AS c
+      |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, CAST(sum(c) AS DOUBLE) AS n FROM t GROUP BY 1)
+      |SELECT t.src, t.dst, CAST(c AS BIGINT) AS transitions,
+      |  round(c / n, 6) AS p
+      |FROM t JOIN tot ON tot.src = t.src""".stripMargin
+
   private[queries] val KCoreSql =
     s"""WITH items AS (
        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
@@ -59,22 +96,7 @@ object R9Ops {
     // only corpus exchanges are the basket collapse and the pair aggregate,
     // both map-side-combined; a hot item inflates no bucket because pairs
     // are keyed by (item_a, item_b), not by item.
-    QDef("x_basket_pairs",
-      """WITH items AS (
-        |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-        |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM items),
-        |ic AS (SELECT item, CAST(count(*) AS DOUBLE) AS c FROM items GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS supp
-        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
-        |  GROUP BY 1, 2)
-        |SELECT item_a, item_b, CAST(supp AS BIGINT) AS support,
-        |  round(supp / ca.c, 6) AS confidence,
-        |  round((supp / ca.c) / (cb.c / n.n_orders), 6) AS lift
-        |FROM pairs JOIN ic ca ON ca.item = pairs.item_a
-        |JOIN ic cb ON cb.item = pairs.item_b, n
-        |WHERE supp >= 40""".stripMargin) { (s, d) =>
+    QDef("x_basket_pairs", R9Ops.BasketSql) { (s, d) =>
       val t = Tables(s, d)
       val items = t.lineitem
         .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
@@ -109,18 +131,7 @@ object R9Ops {
     // ONE corpus shuffle (the user-keyed window); the row-probability
     // normalizer is a 5-row broadcast. The event_id tie-break makes
     // same-timestamp ordering engine-identical.
-    QDef("x_seq_transitions",
-      """WITH s AS (
-        |  SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS nxt
-        |  FROM events),
-        |t AS (SELECT event_type AS src, nxt AS dst, count(*) AS c
-        |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT src, CAST(sum(c) AS DOUBLE) AS n FROM t GROUP BY 1)
-        |SELECT t.src, t.dst, CAST(c AS BIGINT) AS transitions,
-        |  round(c / n, 6) AS p
-        |FROM t JOIN tot ON tot.src = t.src""".stripMargin) { (s, d) =>
+    QDef("x_seq_transitions", R9Ops.TransitionsSql) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val seq = Tables(s, d).events
         .select(col("user_id"), col("event_type"),
@@ -343,6 +354,166 @@ object R9Ops {
     // arithmetic replayed term-for-term) matures everything in one
     // invocation under batch — sharing x_ewma's oracle text verbatim.
     // MemoryStream parity incl. cross-batch tail carry in EventStreamsSpec.
+    // Grid-bucketed radius-bounded nearest neighbor — the spatial-join
+    // shape: deterministic integer coordinates per customer, cell width =
+    // the search radius R, each probe expands IN-ROW to its 3×3 neighbor
+    // cells and joins candidates cell-keyed. Euclid ≤ R implies L∞ ≤ R,
+    // so the 3×3 candidate set is EXACT for radius-bounded NN; the winner
+    // is a lexicographic min-struct aggregate (bounded state), not a
+    // window. Candidate volume is 9 × cell density — no all-pairs; the
+    // oracle runs the brute-force pair join.
+    QDef("x_grid_knn",
+      """WITH p AS (
+        |  SELECT c_custkey AS id, CAST(c_custkey % 97 AS BIGINT) AS x,
+        |    CAST((c_custkey * 31) % 89 AS BIGINT) AS y
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a.id, b.id AS nn,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM p a JOIN p b ON a.id <> b.id
+        |    AND abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 5
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25),
+        |r AS (SELECT id, nn, d2,
+        |  row_number() OVER (PARTITION BY id ORDER BY d2, nn) AS rn FROM cand)
+        |SELECT id, nn, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn = 1""".stripMargin) {
+      (s, d) =>
+        val radius = 5
+        val pts = Tables(s, d).customer.select(col("c_custkey").as("id"),
+            (col("c_custkey") % 97).cast("long").as("x"),
+            ((col("c_custkey") * 31) % 89).cast("long").as("y"))
+          .withColumn("cx", floor(col("x") / radius))
+          .withColumn("cy", floor(col("y") / radius))
+        val probes = pts.select(col("id"), col("x"), col("y"),
+            explode(expr(
+              """flatten(transform(sequence(-1, 1), dx ->
+                |  transform(sequence(-1, 1), dy ->
+                |    struct(cx + dx AS cx, cy + dy AS cy))))""".stripMargin)).as("nc"))
+          .select(col("id"), col("x"), col("y"), col("nc.cx"), col("nc.cy"))
+        val dx = col("x") - col("nx")
+        val dy = col("y") - col("ny")
+        probes
+          .join(pts.select(col("id").as("nn"), col("x").as("nx"),
+            col("y").as("ny"), col("cx"), col("cy")), Seq("cx", "cy"))
+          .filter(col("id") =!= col("nn"))
+          .withColumn("d2", dx * dx + dy * dy)
+          .filter(col("d2") <= radius * radius)
+          .groupBy("id")
+          .agg(min(struct(col("d2"), col("nn"))).as("m"))
+          .select(col("id"), col("m.nn").as("nn"), col("m.d2").cast("long").as("d2"))
+    },
+
+    // Kaplan-Meier survival: time from each user's first signup to first
+    // purchase, right-censored at the observation horizon. Corpus work =
+    // three grouped aggregates (first signup, first purchase, horizon);
+    // the at-risk counts and the survival product run on the
+    // duration-cardinality frame (bounded by the horizon in hours), with
+    // the product computed as exp∘cumsum∘ln over the ordered event times
+    // in BOTH engines so the float path is identical.
+    QDef("x_survival_km",
+      """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |obs AS (SELECT max(ts) AS tmax FROM events),
+        |su AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0
+        |      THEN CAST(date_diff('hour', s.t0, p.t1) AS BIGINT)
+        |      ELSE CAST(date_diff('hour', s.t0, obs.tmax) AS BIGINT) END AS dur,
+        |    CASE WHEN p.t1 IS NOT NULL AND p.t1 >= s.t0 THEN 1 ELSE 0 END AS ev
+        |  FROM s LEFT JOIN p ON p.user_id = s.user_id, obs),
+        |d AS (SELECT dur AS t, CAST(sum(ev) AS DOUBLE) AS d,
+        |      CAST(count(*) AS DOUBLE) AS c FROM su GROUP BY 1),
+        |r AS (SELECT t, d,
+        |  sum(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS n FROM d),
+        |km AS (SELECT t, d, n,
+        |  round(exp(sum(ln(1 - d / n))
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |    AS surv
+        |  FROM r WHERE d > 0)
+        |SELECT t AS hours, CAST(d AS BIGINT) AS events,
+        |  CAST(n AS BIGINT) AS at_risk, surv AS survival FROM km""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, d).events
+        def hourOf(c: org.apache.spark.sql.Column) =
+          graft.functions.TimeCols.eventMicros(date_trunc("hour", c)) / 3600000000L
+        val s0 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val p1 = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val obs = ev.agg(max(col("ts")).as("tmax"))
+        val converted = col("t1").isNotNull && col("t1") >= col("t0")
+        val su = s0.join(p1, Seq("user_id"), "left")
+          .crossJoin(broadcast(obs))
+          .select(
+            // Column `-` keeps LongType here, but cast anyway so the
+            // output dtype pins BIGINT like the oracle's date_diff
+            when(converted, hourOf(col("t1")) - hourOf(col("t0")))
+              .otherwise(hourOf(col("tmax")) - hourOf(col("t0")))
+              .cast("long").as("dur"),
+            when(converted, 1).otherwise(0).as("ev"))
+        val byDur = su.groupBy(col("dur").as("t"))
+          .agg(sum(col("ev")).cast("double").as("d"),
+            count(lit(1)).cast("double").as("c"))
+        // duration-cardinality frame: the global windows order ≤ horizon
+        // hours rows (the x_budget_select histogram carve-out), never corpus
+        val atRisk = Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val prefix = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDur
+          .withColumn("n", sum(col("c")).over(atRisk))
+          .filter(col("d") > 0)
+          .withColumn("surv",
+            round(exp(sum(log(lit(1.0) - col("d") / col("n"))).over(prefix)), 6))
+          .select(col("t").as("hours"), col("d").cast("long").as("events"),
+            col("n").cast("long").as("at_risk"), col("surv").as("survival"))
+    },
+
+    // Customer-value deciles: per-customer spend ranked into ntile(10)
+    // with a total (spend DESC, custkey) tie order, then per-decile size
+    // and spend stats. The ranked frame is customer-dimension-sized (the
+    // budget-select carve-out: the global sort orders an aggregate, never
+    // the fact corpus); at 100 TB the same cut would come from
+    // approx-percentile boundaries instead of an exact global ntile.
+    QDef("x_ntile_deciles",
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, spend,
+        |  CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS decile
+        |  FROM spend)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(spend), 2) AS total_spend,
+        |  round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
+        |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables(s, d).orders.groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+      spend
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), round(sum(col("spend")), 2).as("total_spend"),
+          round(min(col("spend")), 2).as("min_spend"),
+          round(max(col("spend")), 2).as("max_spend"))
+    },
+
+    // The association rules through Spark's SQL parser — ONE portable text
+    // shared verbatim with the DuckDB oracle (the CcSql twin contract).
+    QDef("x_sql_basket", R9Ops.BasketSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem", "part")
+      s.sql(R9Ops.BasketSql)
+    },
+
+    // Markov transitions through Spark's SQL parser, same shared text.
+    QDef("x_sql_transitions", R9Ops.TransitionsSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(R9Ops.TransitionsSql)
+    },
+
     QDef("x_stream_ewma", R5Ops.EwmaSql) { (s, d) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
       import sp.implicits._

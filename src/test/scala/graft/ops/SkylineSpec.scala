@@ -31,6 +31,28 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("plan: the corpus-sized local window is hash-partitioned by bucket; " +
+      "only the filtered survivor union crosses one partition") {
+    val df = Seq.tabulate(100)(i => (i.toLong, i / 3.0, i % 17)).toDF("id", "mn", "mx")
+    val plan = Skyline.skyline2d(df, "mn", "mx")
+      .queryExecution.executedPlan.toString
+    // the distinct-pair window (corpus-sized input) shuffles on _b —
+    // parallel per-bucket sorts, never a global sort of the pair set
+    assert(plan.contains("hashpartitioning(_b"))
+    // the single-partition global pass exists, and everything reaching it
+    // has passed the local-survivor Filter (the staircase bound): between
+    // the SinglePartition exchange and the first window below it there is
+    // a Filter on the running-max column
+    val lines = plan.linesIterator.toVector
+    val spIdx = lines.indexWhere(_.contains("Exchange SinglePartition"))
+    assert(spIdx >= 0)
+    val below = lines.drop(spIdx)
+    val filterIdx = below.indexWhere(l => l.contains("Filter") && l.contains("_pm"))
+    val windowIdx = below.indexWhere(_.contains("Window"))
+    assert(filterIdx >= 0 && (windowIdx < 0 || filterIdx < windowIdx),
+      s"global pass not fed by the local-survivor filter:\n$plan")
+  }
+
   test("equal-coordinate duplicates on the frontier are all kept") {
     val pts = Seq((1L, 1.0, 10), (2L, 1.0, 10), (3L, 2.0, 5), (4L, 0.5, 1))
     val got = Skyline.skyline2d(pts.toDF("id", "mn", "mx"), "mn", "mx")
