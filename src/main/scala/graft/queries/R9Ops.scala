@@ -514,6 +514,139 @@ object R9Ops {
       s.sql(R9Ops.TransitionsSql)
     },
 
+    // Day-of-week seasonal decomposition: the weekly baseline is a 7-row
+    // broadcast (per-dow mean), residual = value − baseline, then per-day
+    // residual means — the deseasonalization step before any trend or
+    // anomaly read. Two corpus aggregates, zero corpus-sized joins.
+    // (DuckDB dayofweek is Sunday=0; Spark's is Sunday=1 — normalized.)
+    QDef("x_seasonal_dow",
+      """WITH e AS (SELECT dayofweek(ts) AS dow,
+        |  CAST(date_trunc('day', ts) AS DATE) AS d, value FROM events),
+        |base AS (SELECT dow, avg(value) AS dow_mean FROM e GROUP BY 1),
+        |resid AS (SELECT e.d, e.value - b.dow_mean AS r
+        |          FROM e JOIN base b ON b.dow = e.dow)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n, round(avg(r), 4) AS mean_resid
+        |FROM resid GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = Tables(s, d).events.select(
+        (dayofweek(col("ts")) - 1).as("dow"),
+        to_date(date_trunc("day", col("ts"))).as("d"), col("value"))
+      val base = e.groupBy("dow").agg(avg(col("value")).as("dow_mean"))
+      e.join(broadcast(base), "dow")
+        .select(col("d"), (col("value") - col("dow_mean")).as("r"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"), round(avg(col("r")), 4).as("mean_resid"))
+    },
+
+    // Time-weighted average (TWAP): each observation weighted by its
+    // holding time (µs until the user's next event; the open last span is
+    // dropped) — the correct mean for irregularly-sampled series, where a
+    // plain avg() overweights bursts. One user-keyed window shuffle, then
+    // a per-user aggregate on the same partitioning.
+    QDef("x_time_weighted",
+      """WITH s AS (
+        |  SELECT user_id, value,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS w_us
+        |  FROM events)
+        |SELECT user_id, round(sum(value * w_us) / sum(w_us), 6) AS twap,
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM s WHERE w_us IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val micros = graft.functions.TimeCols.eventMicros(col("ts"))
+      Tables(s, d).events
+        .select(col("user_id"), col("value"),
+          (lead(micros, 1).over(w) - micros).as("w_us"))
+        .filter(col("w_us").isNotNull)
+        .groupBy("user_id")
+        .agg(round(sum(col("value") * col("w_us")) / sum(col("w_us")), 6).as("twap"),
+          count(lit(1)).as("n_spans"))
+    },
+
+    // Link prediction by neighbor-set Jaccard: common neighbors via the
+    // 2-hop self-join (bounded by degree, the triangle-count shape),
+    // degrees broadcast back. The graph-mining complement of the text
+    // n-gram Jaccard — same similarity, adjacency-set universe.
+    QDef("x_graph_jaccard",
+      """WITH e0 AS (
+        |  SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0) t WHERE u <> v),
+        |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+        |cn AS (
+        |  SELECT a.u AS x, b.u AS y, CAST(count(*) AS DOUBLE) AS common
+        |  FROM e a JOIN e b ON a.v = b.v AND a.u < b.u
+        |  GROUP BY 1, 2)
+        |SELECT x, y, CAST(common AS BIGINT) AS common_neighbors,
+        |  round(common / (dx.deg + dy.deg - common), 6) AS jaccard
+        |FROM cn JOIN deg dx ON dx.u = cn.x JOIN deg dy ON dy.u = cn.y
+        |WHERE round(common / (dx.deg + dy.deg - common), 6) >= 0.5""".stripMargin) {
+      (s, d) =>
+        val t = Tables(s, d)
+        val e0 = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").as("u"), col("s_nationkey").as("v"))
+          .distinct()
+        val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+          .distinct().filter(col("u") =!= col("v"))
+        val deg = e.groupBy("u").agg(count(lit(1)).cast("double").as("deg"))
+        val cn = e.as("a")
+          .join(e.as("b"), col("a.v") === col("b.v") && col("a.u") < col("b.u"))
+          .groupBy(col("a.u").as("x"), col("b.u").as("y"))
+          .agg(count(lit(1)).cast("double").as("common"))
+        val jac = round(col("common") / (col("dx") + col("dy") - col("common")), 6)
+        cn.join(broadcast(deg.select(col("u").as("x"), col("deg").as("dx"))), "x")
+          .join(broadcast(deg.select(col("u").as("y"), col("deg").as("dy"))), "y")
+          .select(col("x"), col("y"), col("common").cast("long").as("common_neighbors"),
+            jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+    },
+
+    // Equi-width 2-D histogram (quantity × discount grid with per-cell
+    // revenue) — the heatmap aggregate. Bin edges computed in INTEGER
+    // space (discount scaled via round(×100), never floor of a float
+    // product — 0.29·100 = 28.999… would mis-bin), one map-side-combined
+    // aggregate, grid-cardinality output.
+    QDef("x_hist2d",
+      """SELECT CAST(l_quantity AS BIGINT) // 10 AS qty_bin,
+        |  CAST(round(l_discount * 100) AS BIGINT) // 2 AS disc_bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy(
+          expr("CAST(l_quantity AS BIGINT) div 10").as("qty_bin"),
+          expr("CAST(round(l_discount * 100) AS BIGINT) div 2").as("disc_bin"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+
+    // STREAMING volume-anomaly monitor, batch twin: tumbling per-type
+    // day counts z-scored against the broadcast per-type baseline
+    // (EventStreams.anomalyStream — one watermarked stateful aggregate +
+    // a stream-static KB join). The oracle replays counts, stats, and the
+    // 4dp-rounded z cut in SQL.
+    QDef("x_stream_anomaly",
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sigma
+        |       FROM c GROUP BY 1)
+        |SELECT c.day, c.event_type, CAST(cnt AS BIGINT) AS cnt,
+        |  round((cnt - mu) / sigma, 4) AS z
+        |FROM c JOIN st ON st.event_type = c.event_type
+        |WHERE abs(round((cnt - mu) / sigma, 4)) > 1""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      graft.streaming.EventStreams.anomalyStream(ev,
+        graft.streaming.EventStreams.anomalyBaseline(ev))
+    },
+
     QDef("x_stream_ewma", R5Ops.EwmaSql) { (s, d) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
       import sp.implicits._

@@ -516,6 +516,40 @@ object EventStreams {
       }
   }
 
+  /** Per-type volume baseline for [[anomalyStream]]: mean/stddev of the
+    * per-(day, type) event counts — a KB stats frame computed over the
+    * reference corpus and broadcast into the live stream. */
+  def anomalyBaseline(events: DataFrame): DataFrame =
+    normTs(events, "ts")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("d"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy("event_type")
+      .agg(avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sigma"))
+
+  /** STREAMING volume-anomaly alerts: tumbling per-(window, type) counts
+    * z-scored against the broadcast baseline, emitting only windows where
+    * |z| crosses `threshold`. ONE stateful aggregate (the windowed count,
+    * watermark-bounded); the baseline join is stream-static against a KB
+    * frame and the z algebra is stateless — the monitor shape where the
+    * corpus-sized stream never shuffles twice. z is rounded to 4dp BEFORE
+    * the threshold compare so the alert boundary is engine-stable. The
+    * same body runs in batch — the `x_stream_anomaly` oracle row. */
+  def anomalyStream(eventsIn: DataFrame, baseline: DataFrame,
+      width: String = "1 day", watermark: String = "1 day",
+      threshold: Double = 1.0): DataFrame = {
+    val events = normTs(eventsIn, "ts")
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .select(to_date(col("window.start")).as("day"), col("event_type"), col("cnt"))
+      .join(broadcast(baseline), "event_type")
+      .withColumn("z", round((col("cnt") - col("mu")) / col("sigma"), 4))
+      .filter(abs(col("z")) > threshold)
+      .select(col("day"), col("event_type"), col("cnt").cast("long").as("cnt"),
+        col("z"))
+  }
+
   /** STREAMING exponential smoothing — the continuous form of the
     * `x_ewma` batch query: per user, each event's truncated-FIR EWMA over
     * the `k−1` preceding values (decay `d` per step, renormalized over the

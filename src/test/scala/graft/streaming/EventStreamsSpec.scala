@@ -974,6 +974,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(fin === batch)
   }
 
+  test("anomalyStream through MemoryStream equals the batch twin on finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 quiet days + one 5x burst day for clicks, then an advancer day
+    val evs = (0 until 3).flatMap { day =>
+      (0 until 4).map(i => EventRow(day * 100L + i,
+        ts(f"2024-01-0${day + 1} 10:0$i:00"), 1L, "click", 1.0))
+    } ++ (0 until 20).map(i => EventRow(400L + i,
+      ts(f"2024-01-04 10:${i}%02d:00"), 1L, "click", 1.0)) ++
+      Seq(EventRow(999L, ts("2024-01-06 00:00:00"), 9L, "view", 0.0))
+    val baseline = EventStreams.anomalyBaseline(evs.toDF())
+
+    val stream = MemoryStream[EventRow]
+    val q = EventStreams.anomalyStream(stream.toDF(), baseline,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("anomaly_test")
+      .outputMode("append").start()
+    stream.addData(evs: _*); q.processAllAvailable()
+    val streamed = spark.table("anomaly_test").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    q.stop()
+    // the burst day alerts high; finalized quiet days alert low (|z|>1)
+    assert(streamed.contains(("2024-01-04", "click")))
+    assert(streamed(("2024-01-04", "click"))._1 === 20L)
+    val batch = EventStreams.anomalyStream(evs.toDF(), baseline).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // every streamed alert matches batch exactly; batch may additionally
+    // hold the unfinalized last window
+    streamed.foreach { case (k, v) => assert(batch(k) === v) }
+  }
+
   test("ewmaStream: matured FIR emission equals batch and the window formula; tail carries across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
