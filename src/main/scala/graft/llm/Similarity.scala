@@ -257,6 +257,54 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Banded SRP (sign-random-projection) signatures: `bands` band values
+    * per vector, each packing `bandBits` hyperplane sign bits, computed in
+    * ONE scan-local projection. Two determinism levers vs [[lshBucket]]:
+    * the hyperplane weights are ±1 from an LCG bit (pure integer algebra —
+    * replayable in any engine), and the projections run over
+    * round(e·1000) INTEGER quantizations, so the sign of a near-zero dot
+    * can never differ between engines' float summation orders. */
+  def srpSignatures(corpus: DataFrame, planes: Int, bandBits: Int,
+      dims: Int): DataFrame = {
+    val bands = planes / bandBits
+    val sigs = expr(
+      s"""transform(sequence(0, ${bands - 1}), b ->
+         |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, i) ->
+         |    acc + IF(
+         |      aggregate(sequence(0, ${dims - 1}), 0L, (s, k) ->
+         |        s + IF((1103515245L * ((b * $bandBits + i) * $dims + k) + 12345L)
+         |                 % 2147483648L div 1048576L % 2L = 1L,
+         |               CAST(round(embedding[k] * 1000) AS BIGINT),
+         |               -CAST(round(embedding[k] * 1000) AS BIGINT))) >= 0,
+         |      CAST(shiftleft(1, i) AS BIGINT), 0L)))""".stripMargin)
+    corpus.select(col("vec_id"), col("embedding"),
+        posexplode(sigs).as(Seq("band", "sig")))
+  }
+
+  /** Banded SRP-LSH near-dup pairs — the OR-amplified recall upgrade of
+    * [[embeddingNearDups]]'s single AND-bucket: a pair is a candidate if
+    * it agrees on ANY of the `planes/bandBits` band signatures (for
+    * cosine-similar pairs each band agrees with prob ≈ (1−θ/π)^bandBits,
+    * and OR across bands amplifies recall), then exact cosine ≥ `tau`
+    * verifies within candidates only. Per-band buckets have
+    * 2^bandBits × bands keys; candidate volume is Σ bucket²  — the banded
+    * LSH bound, no all-pairs join. False positives cost only the verify
+    * cosine, never correctness. */
+  def srpNearDups(corpus: DataFrame, planes: Int, bandBits: Int,
+      dims: Int, tau: Double): DataFrame = {
+    val sig = srpSignatures(corpus, planes, bandBits, dims)
+      .transform(Dedup.pin)
+    val l = sig.select(col("band"), col("sig"),
+      col("vec_id").as("d1"), col("embedding").as("e1"))
+    val r = sig.select(col("band"), col("sig"),
+      col("vec_id").as("d2"), col("embedding").as("e2"))
+    l.join(r, Seq("band", "sig")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("e1"), col("e2"))
+      .distinct() // OR across bands: a pair matching 2+ bands counts once
+      .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Prototype-distance filtering (the D4 recipe — "D4: Improving LLM
     * Pretraining via Document De-Duplication and Diversification",
     * Tirumala et al. 2023, arXiv:2308.12284): cluster the embedding

@@ -84,7 +84,340 @@ object R9Ops {
        |FROM e JOIN a4 x ON x.u = e.u JOIN a4 y ON y.u = e.v
        |GROUP BY 1""".stripMargin
 
+  /** Mutual information as ONE portable SQL text — oracle of
+    * `x_mutual_info` and the whole query of `x_sql_mutual_info`. The
+    * engines' dayofweek conventions differ (Sunday = 0 vs 1), but dow only
+    * GROUPS here and never reaches the output, so MI is identical. */
+  private[queries] val MutualInfoSql =
+    """WITH c AS (
+      |  SELECT event_type AS a, dayofweek(ts) AS b,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT sum(n) AS t FROM c),
+      |pa AS (SELECT a, sum(n) AS na FROM c GROUP BY 1),
+      |pb AS (SELECT b, sum(n) AS nb FROM c GROUP BY 1)
+      |SELECT round(sum((n / t) * ln((n * t) / (na * nb))), 6) AS mi
+      |FROM c JOIN pa USING (a) JOIN pb USING (b), tot""".stripMargin
+
+  /** Shared CTE block for the banded-SRP queries. The fixture corpus has
+    * no true near-dups (max pairwise cosine ≈ 0.5 — LSH's working regime
+    * starts far above that), so the queries first AUGMENT it with
+    * deterministic perturbed clones (the Multimodal synthetic-near-dup
+    * precedent): 1 in 4 vectors gets a copy at vec_id+10⁶ with ±0.02-scale
+    * integer-seeded jitter, float-rounded IDENTICALLY in both engines
+    * (cast through REAL), landing at cosine ≈ 0.99 to its original.
+    *
+    * Then: ±1 hyperplane weights from an LCG bit (pure integer algebra),
+    * projections over round(e·1000) integer quantizations (sign
+    * determinism — a near-zero float dot can't flip between engines'
+    * summation orders), 32 planes packed as 4×8-bit band signatures,
+    * OR-across-bands candidates, exact-cosine verification at τ=0.9.
+    * Mirrors [[graft.llm.Similarity.srpSignatures]] seed-for-seed. */
+  private[queries] val SrpCtes =
+    s"""ee0 AS (
+       |  SELECT vec_id, CAST(j AS BIGINT) AS j,
+       |    CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) AS e
+       |  FROM embeddings, unnest(range(0, 64)) t(j)),
+       |pert AS (
+       |  SELECT vec_id + 1000000 AS vec_id, j,
+       |    CAST(CAST(e + ((vec_id * 64 + j) * 2654435761 % 21 - 10)
+       |      * CAST(0.002 AS DOUBLE) AS REAL) AS DOUBLE) AS e
+       |  FROM ee0 WHERE vec_id % 4 = 1),
+       |ee AS (SELECT * FROM ee0 UNION ALL SELECT * FROM pert),
+       |${StarExt.NormsCte},
+       |eq AS (SELECT vec_id, j, CAST(round(e * 1000) AS BIGINT) AS q FROM ee),
+       |proj AS (
+       |  SELECT eq.vec_id, p // 8 AS band, p % 8 AS bit,
+       |    sum(CASE WHEN (1103515245 * (p * 64 + eq.j) + 12345)
+       |          % 2147483648 // 1048576 % 2 = 1
+       |      THEN eq.q ELSE -eq.q END) AS dot
+       |  FROM eq, unnest(range(0, 32)) pp(p)
+       |  GROUP BY 1, 2, 3),
+       |sig AS (
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << CAST(bit AS INT) ELSE 0 END)
+       |      AS BIGINT) AS s
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2
+       |  FROM sig l JOIN sig r
+       |    ON l.band = r.band AND l.s = r.s AND l.vec_id < r.vec_id),
+       |cdots AS (
+       |  SELECT c.d1, c.d2, sum(e1.e * e2.e) AS dot
+       |  FROM cand c JOIN ee e1 ON e1.vec_id = c.d1
+       |  JOIN ee e2 ON e2.vec_id = c.d2 AND e2.j = e1.j
+       |  GROUP BY 1, 2),
+       |srp AS (
+       |  SELECT cdots.d1, cdots.d2,
+       |    round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) AS cos
+       |  FROM cdots JOIN norms n1 ON n1.vec_id = cdots.d1
+       |  JOIN norms n2 ON n2.vec_id = cdots.d2)""".stripMargin
+
+  /** The SRP test corpus: embeddings plus deterministic perturbed clones
+    * (1 in 4 originals, vec_id+10⁶, integer-seeded jitter float-rounded
+    * through FloatType so both engines hold bit-identical clones). */
+  private[queries] def srpAugmented(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+    val clones = t.embeddings.filter(col("vec_id") % 4 === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr(
+          """transform(embedding, (x, k) ->
+            |  CAST(CAST(x AS DOUBLE)
+            |    + ((vec_id * 64 + k) * 2654435761 % 21 - 10) * 0.002D
+            |    AS FLOAT))""".stripMargin).as("embedding"))
+    base.union(clones)
+  }
+
   def defs: Seq[QDef] = Seq(
+
+    // Banded SRP-LSH embedding near-dup — the OR-amplified recall upgrade
+    // of x_dedup_embedding's single AND-bucket (Similarity.srpNearDups):
+    // 32 sign-hyperplanes as 4×8-bit bands, candidates = agree on ANY
+    // band, exact cosine ≥ 0.9 verified within candidates only (for a
+    // clone at cos 0.99, each band agrees w.p. ≈ 0.86⁸ ≈ 0.3 and the OR
+    // over 4 bands lifts recall past 0.8 — measured by the companion
+    // recall query). The whole signature computation is ONE scan-local
+    // integer projection; 256-value band buckets keep candidate volume at
+    // the banded-LSH bound, and false positives only cost the verify
+    // cosine.
+    QDef("x_dedup_srp",
+      s"""WITH $SrpCtes
+         |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin) { (s, d) =>
+      graft.llm.Similarity.srpNearDups(R9Ops.srpAugmented(Tables(s, d)),
+        planes = 32, bandBits = 8, dims = 64, tau = 0.9)
+    },
+
+    // Measured SRP recall against brute-force truth on a sub-universe
+    // (1 in 5 clone families — the x_pq_recall discipline: ground truth
+    // restricted to a sample so the exact pass stays bounded at every SF;
+    // the brute pair join broadcasts the KB sample →
+    // BroadcastNestedLoopJoin, never a corpus cross product).
+    QDef("x_dedup_srp_recall",
+      s"""WITH $SrpCtes,
+         |sub AS (SELECT * FROM ee WHERE (vec_id % 1000000) % 20 = 1),
+         |tdots AS (
+         |  SELECT e1.vec_id AS d1, e2.vec_id AS d2, sum(e1.e * e2.e) AS dot
+         |  FROM sub e1 JOIN sub e2 ON e2.j = e1.j AND e1.vec_id < e2.vec_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT tdots.d1, tdots.d2 FROM tdots
+         |  JOIN norms n1 ON n1.vec_id = tdots.d1
+         |  JOIN norms n2 ON n2.vec_id = tdots.d2
+         |  WHERE round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) >= 0.9),
+         |found AS (
+         |  SELECT srp.d1, srp.d2 FROM srp
+         |  JOIN truth ON truth.d1 = srp.d1 AND truth.d2 = srp.d2
+         |  WHERE cos >= 0.9),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found)
+         |SELECT n_true, n_found,
+         |  round(CASE WHEN n_true = 0 THEN NULL
+         |    ELSE n_found / CAST(n_true AS DOUBLE) END, 6) AS recall
+         |FROM nt, nf""".stripMargin) { (s, d) =>
+      val aug = R9Ops.srpAugmented(Tables(s, d))
+      val sub = aug.filter((col("vec_id") % 1000000) % 20 === 1)
+      val l = sub.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      val r = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+      val truth = l.join(broadcast(r), col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          graft.llm.Similarity.cosine(col("e1"), col("e2")).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .select("d1", "d2")
+      val found = graft.llm.Similarity.srpNearDups(aug,
+          planes = 32, bandBits = 8, dims = 64, tau = 0.9)
+        .join(truth, Seq("d1", "d2"), "left_semi")
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nf = found.agg(count(lit(1)).as("n_found"))
+      nt.crossJoin(nf).select(col("n_true"), col("n_found"),
+        round(when(col("n_true") === 0, lit(null))
+          .otherwise(col("n_found") / col("n_true").cast("double")), 6)
+          .as("recall"))
+    },
+
+    // Mutual information between event type and day-of-week from ONE
+    // contingency aggregate: I(A;B) = Σ p_ab·ln(p_ab/(p_a·p_b)) over the
+    // 35-cell grid, marginals broadcast back. The information-theoretic
+    // dependence read feature-selection pipelines run; dow only GROUPS
+    // here, so the Spark/DuckDB dayofweek offset can't matter.
+    QDef("x_mutual_info", R9Ops.MutualInfoSql) { (s, d) =>
+      val c = Tables(s, d).events
+        .groupBy(col("event_type").as("a"), dayofweek(col("ts")).as("b"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val tot = c.agg(sum(col("n")).as("t"))
+      val pa = c.groupBy("a").agg(sum(col("n")).as("na"))
+      val pb = c.groupBy("b").agg(sum(col("n")).as("nb"))
+      c.join(broadcast(pa), "a").join(broadcast(pb), "b")
+        .crossJoin(broadcast(tot))
+        .agg(round(sum((col("n") / col("t"))
+          * log((col("n") * col("t")) / (col("na") * col("nb")))), 6).as("mi"))
+    },
+
+    // Rendezvous (highest-random-weight) sharding: each document goes to
+    // the shard with the max deterministic weight, entirely in-row (an
+    // 8-element argmax — zero shuffle for assignment). The output is the
+    // 8→7 movement matrix, which EXHIBITS rendezvous's minimal-disruption
+    // property as data: removing shard 7 moves ONLY shard 7's documents
+    // (every off-diagonal row has shard8 = 7). Weights are made
+    // collision-free per document (wt·8 + (7−s)) so the argmax order
+    // (wt DESC, s ASC) is total in both engines.
+    QDef("x_shard_rendezvous",
+      """WITH w AS (
+        |  SELECT doc_id, s,
+        |    ((doc_id * 2654435761 + s * 40503) % 1000003) * 8 + (7 - s) AS wt
+        |  FROM documents, unnest(range(0, 8)) t(s)),
+        |a8 AS (SELECT doc_id, s AS shard8 FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC) AS rn
+        |  FROM w) z WHERE rn = 1),
+        |a7 AS (SELECT doc_id, s AS shard7 FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC) AS rn
+        |  FROM w WHERE s <> 7) z WHERE rn = 1)
+        |SELECT CAST(a8.shard8 AS INT) AS shard8, CAST(a7.shard7 AS INT) AS shard7,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a8 JOIN a7 ON a7.doc_id = a8.doc_id
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      def assign(n: Int, excl: Int, as: String) = expr(
+        s"""CAST(array_max(transform(
+           |  filter(sequence(0, ${n - 1}), s -> s != $excl),
+           |  s -> struct(
+           |    ((doc_id * 2654435761 + s * 40503) % 1000003) * 8 + (7 - s) AS wt,
+           |    s AS s))).s AS INT)""".stripMargin).as(as)
+      Tables(s, d).documents
+        .select(col("doc_id"), assign(8, -1, "shard8"), assign(8, 7, "shard7"))
+        .groupBy("shard8", "shard7")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // The k-core peel through Spark's SQL parser — ONE portable text
+    // shared verbatim with the DuckDB oracle (the CcSql twin contract).
+    QDef("x_sql_kcore", R9Ops.KCoreSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem", "part")
+      s.sql(R9Ops.KCoreSql)
+    },
+
+    // Column profiling — the warehouse DESCRIBE/stats pass: count, nulls,
+    // exact distinct, min/max/mean for each measure in ONE corpus scan
+    // (a single aggregate computes every column's stats; count-distincts
+    // expand map-side), pivoted to a row per column with stack(). The
+    // oracle unions per-column scans instead — same numbers.
+    QDef("x_profile_columns",
+      """SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nulls,
+        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |  round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+        |  round(avg(l_quantity), 4) AS mean_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+        |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |  round(avg(l_extendedprice), 4) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT l_discount) AS BIGINT),
+        |  round(min(l_discount), 4), round(max(l_discount), 4),
+        |  round(avg(l_discount), 4) FROM lineitem""".stripMargin) { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(lit(1)).as(s"n$i"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls$i"),
+        countDistinct(col(c)).as(s"nd$i"),
+        round(min(col(c)), 4).as(s"mn$i"), round(max(col(c)), 4).as(s"mx$i"),
+        round(avg(col(c)), 4).as(s"mean$i"))
+      }
+      val one = Tables(s, d).lineitem.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', n$i, nulls$i, nd$i, mn$i, mx$i, mean$i" }
+        .mkString(", ")
+      one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col, n, nulls, n_distinct, min_v, max_v, mean_v)"))
+    },
+
+    // Boilerplate phrase mining: the 20 most frequent 5-grams with their
+    // document frequency — the corpus-wide repeated-phrase detector that
+    // feeds template/boilerplate strip lists (the cross-document
+    // complement of x_dedup_substring's per-pair spans). Explode → ONE
+    // pair of aggregates → bounded-heap top-k (TakeOrderedAndProject);
+    // (n DESC, gram) total order makes the cut engine-stable.
+    QDef("x_text_boilerplate",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' '
+        |    || w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' '
+        |    || w[CAST(i AS INT)+4] AS gram
+        |  FROM toks, unnest(range(1, len(w)-3)) t(i)),
+        |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |      FROM g GROUP BY 1)
+        |SELECT gram, n, df FROM c ORDER BY n DESC, gram LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val toks = Tables(s, d).documents
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val grams = toks.select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 4), i ->
+              |  concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3]))""".stripMargin))
+            .as("gram"))
+        grams.groupBy("gram")
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("n").desc, col("gram"))
+          .limit(20)
+    },
+
+    // PPMI word co-occurrence (window ≤ 2, the word2vec/GloVe statistics
+    // pass): skip-gram pair counts from a position self-join keyed by
+    // doc_id (per-doc bounded fanout), marginals broadcast, PMI =
+    // ln(n·T/(n_x·n_y)), top-25 by (pmi DESC, x, y). The co-occurrence
+    // matrix an embedding-pretraining pipeline materializes at corpus
+    // scale — pair-keyed aggregates, never a vocabulary cross product.
+    QDef("x_text_pmi",
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> len(x) >= 2) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[CAST(i AS INT)] AS t
+        |        FROM toks, unnest(range(1, len(w)+1)) z(i)),
+        |pairs AS (
+        |  SELECT a.t AS x, b.t AS y, CAST(count(*) AS DOUBLE) AS n
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+        |  GROUP BY 1, 2),
+        |tx AS (SELECT x, sum(n) AS nx FROM pairs GROUP BY 1),
+        |ty AS (SELECT y, sum(n) AS ny FROM pairs GROUP BY 1),
+        |tot AS (SELECT sum(n) AS t FROM pairs)
+        |SELECT x, y, CAST(n AS BIGINT) AS n,
+        |  round(ln((n * t) / (nx * ny)), 4) AS pmi
+        |FROM pairs JOIN tx USING (x) JOIN ty USING (y), tot
+        |WHERE n >= 30 ORDER BY pmi DESC, x, y LIMIT 25""".stripMargin) { (s, d) =>
+      val toks = Tables(s, d).documents.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) >= 2)").as("w"))
+      val tok = toks.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("i0", "t")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("t"))
+      val pairs = tok.as("a")
+        .join(tok.as("b"), col("a.doc_id") === col("b.doc_id")
+          && col("b.i") > col("a.i") && col("b.i") <= col("a.i") + 2)
+        .groupBy(col("a.t").as("x"), col("b.t").as("y"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val tx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
+      val ty = pairs.groupBy("y").agg(sum(col("n")).as("ny"))
+      val tot = pairs.agg(sum(col("n")).as("t"))
+      pairs.join(broadcast(tx), "x").join(broadcast(ty), "y")
+        .crossJoin(broadcast(tot))
+        .filter(col("n") >= 30)
+        .select(col("x"), col("y"), col("n").cast("long").as("n"),
+          round(log((col("n") * col("t")) / (col("nx") * col("ny"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("x"), col("y"))
+        .limit(25)
+    },
+
+    // Mutual information through Spark's SQL parser, same shared text.
+    QDef("x_sql_mutual_info", R9Ops.MutualInfoSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(R9Ops.MutualInfoSql)
+    },
 
     // Market-basket association rules over orders: items = the DISTINCT
     // part brands in each order, rules = brand pairs with support ≥ 40
