@@ -84,6 +84,30 @@ object R9Ops {
        |FROM e JOIN a4 x ON x.u = e.u JOIN a4 y ON y.u = e.v
        |GROUP BY 1""".stripMargin
 
+  /** Column profiling as ONE portable SQL text (per-column UNION form) —
+    * oracle of `x_profile_columns` (whose Dataset form pins the explicit
+    * one-pass stacked aggregate) and the whole query of `x_sql_profile`. */
+  private[queries] val ProfileSql =
+    """SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nulls,
+      |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+      |  round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+      |  round(avg(l_quantity), 4) AS mean_v
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+      |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+      |  round(avg(l_extendedprice), 4) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(DISTINCT l_discount) AS BIGINT),
+      |  round(min(l_discount), 4), round(max(l_discount), 4),
+      |  round(avg(l_discount), 4) FROM lineitem""".stripMargin
+
   /** Mutual information as ONE portable SQL text — oracle of
     * `x_mutual_info` and the whole query of `x_sql_mutual_info`. The
     * engines' dayofweek conventions differ (Sunday = 0 vs 1), but dow only
@@ -301,26 +325,7 @@ object R9Ops {
     // (a single aggregate computes every column's stats; count-distincts
     // expand map-side), pivoted to a row per column with stack(). The
     // oracle unions per-column scans instead — same numbers.
-    QDef("x_profile_columns",
-      """SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS nulls,
-        |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
-        |  round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
-        |  round(avg(l_quantity), 4) AS mean_v
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
-        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
-        |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
-        |  round(avg(l_extendedprice), 4) FROM lineitem
-        |UNION ALL
-        |SELECT 'l_discount', CAST(count(*) AS BIGINT),
-        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(count(DISTINCT l_discount) AS BIGINT),
-        |  round(min(l_discount), 4), round(max(l_discount), 4),
-        |  round(avg(l_discount), 4) FROM lineitem""".stripMargin) { (s, d) =>
+    QDef("x_profile_columns", R9Ops.ProfileSql) { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
         count(lit(1)).as(s"n$i"),
@@ -335,6 +340,15 @@ object R9Ops {
         .mkString(", ")
       one.select(expr(
         s"stack(${cols.size}, $stackArgs) AS (col, n, nulls, n_distinct, min_v, max_v, mean_v)"))
+    },
+
+    // The profile through Spark's SQL parser — the portable per-column
+    // UNION text shared verbatim with the DuckDB oracle (Catalyst still
+    // collapses the three scans' aggregates; the Dataset form above pins
+    // the explicit one-pass plan).
+    QDef("x_sql_profile", R9Ops.ProfileSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem")
+      s.sql(R9Ops.ProfileSql)
     },
 
     // Boilerplate phrase mining: the 20 most frequent 5-grams with their
@@ -417,6 +431,146 @@ object R9Ops {
     QDef("x_sql_mutual_info", R9Ops.MutualInfoSql) { (s, d) =>
       SqlSurface.viewed(s, d, "events")
       s.sql(R9Ops.MutualInfoSql)
+    },
+
+    // Clickstream path mining: gap-sessionize (6 h), then the 15 most
+    // common event-type TRIGRAMS within sessions — the navigation-path
+    // read product analytics runs. All three windows (gap flag, running
+    // session id, the two leads) share the user-keyed partitioning; the
+    // path aggregate is trigram-cardinality; top-k is a bounded heap.
+    QDef("x_path_trigrams",
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+        |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |tri AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w2 || '>'
+        |    || lead(event_type, 2) OVER w2 AS path
+        |  FROM sess WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM tri
+        |WHERE path IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val micros = graft.functions.TimeCols.eventMicros(col("ts"))
+      val brk = when(
+        (micros - lag(micros, 1).over(byUser)) > 21600000000L
+          || lag(micros, 1).over(byUser).isNull, 1).otherwise(0)
+      val sess = Tables(s, d).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          brk.as("brk"))
+        .withColumn("sid", sum(col("brk"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy("user_id", "sid")
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .select(concat(col("event_type"), lit(">"),
+          lead(col("event_type"), 1).over(bySess), lit(">"),
+          lead(col("event_type"), 2).over(bySess)).as("path"))
+        .filter(col("path").isNotNull)
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(15)
+    },
+
+    // Sparse TF-IDF cosine similarity via posting-list join — the sparse
+    // complement of the dense-embedding cosine ops: documents as weighted
+    // shingle vectors, pair dot products accumulated TERM-KEYED (each
+    // shingle contributes |docs(term)|² pair terms, never an all-pairs
+    // join), with the classic inverted-index pruning: shingles in > 2% of
+    // docs are dropped (their idf ≈ 0 contributes noise at quadratic
+    // cost — the hot-gram cap as a relevance statement).
+    QDef("x_sparse_cosine",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+        |    || ' ' || w[CAST(i AS INT)+2] AS term,
+        |    CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks, unnest(range(1, len(w)-1)) t(i)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM sh),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM sh GROUP BY 1),
+        |idf AS (SELECT term, ln(n / df) AS idf FROM dfc, nd WHERE df <= n * 0.02),
+        |wt AS (SELECT sh.doc_id, sh.term, sh.tf * idf.idf AS w
+        |       FROM sh JOIN idf USING (term)),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM wt GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w * b.w) AS dot
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot / (n1.nn * n2.nn), 6) AS cos
+        |FROM dots JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
+        |WHERE round(dot / (n1.nn * n2.nn), 6) >= 0.3""".stripMargin) { (s, d) =>
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val sh = toks.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 2), i ->
+            |  concat_ws(' ', w[i-1], w[i], w[i+1]))""".stripMargin)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val nd = sh.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+      val idf = sh.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") <= col("n") * 0.02)
+        .select(col("term"), log(col("n") / col("df")).as("idf"))
+      val wt = sh.join(idf, "term")
+        .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
+        // pinned for both sides of the term self-join (the Dedup.pin
+        // lifecycle: lazy checkpoint, blocks GC-reclaimed)
+        .localCheckpoint(false)
+      val nrm = wt.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nn"))
+      val dots = wt.select(col("term"), col("doc_id").as("d1"), col("w").as("w1"))
+        .join(wt.select(col("term"), col("doc_id").as("d2"), col("w").as("w2")),
+          Seq("term"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(sum(col("w1") * col("w2")).as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("d1"), col("nn").as("nn1")), "d1")
+        .join(nrm.select(col("doc_id").as("d2"), col("nn").as("nn2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("dot") / (col("nn1") * col("nn2")), 6).as("cos"))
+        .filter(col("cos") >= 0.3)
+    },
+
+    // Poisson bootstrap confidence interval for the mean order value —
+    // THE distributed bootstrap: instead of resampling rows (impossible
+    // without global coordination), each row takes a Poisson(1) weight
+    // per replicate from a deterministic integer hash, so B=100 resample
+    // means come out of ONE corpus pass (the replicate explode is
+    // map-side, aggregates are B-sized). CI = percentiles of the
+    // replicate means.
+    QDef("x_bootstrap_ci",
+      """WITH k AS (
+        |  SELECT b, o_totalprice,
+        |    CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+        |      WHEN h < 919699 THEN 2 WHEN h < 980985 THEN 3 ELSE 4 END AS wt
+        |  FROM (SELECT b, o_totalprice,
+        |          (o_orderkey * 2654435761 + b * 40503) % 1000000 AS h
+        |        FROM orders, unnest(range(0, 100)) t(b)) z),
+        |m AS (SELECT b, sum(wt * o_totalprice) / sum(wt) AS mean_b
+        |      FROM k GROUP BY 1)
+        |SELECT round(quantile_cont(mean_b, 0.025), 4) AS lo,
+        |  round(quantile_cont(mean_b, 0.5), 4) AS mid,
+        |  round(quantile_cont(mean_b, 0.975), 4) AS hi
+        |FROM m""".stripMargin) { (s, d) =>
+      val k = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(expr("sequence(0, 99)")).as("b"))
+        .withColumn("h",
+          (col("o_orderkey") * 2654435761L + col("b") * 40503L) % 1000000L)
+        .withColumn("wt",
+          when(col("h") < 367879, 0).when(col("h") < 735759, 1)
+            .when(col("h") < 919699, 2).when(col("h") < 980985, 3).otherwise(4))
+      k.groupBy("b")
+        .agg((sum(col("wt") * col("o_totalprice")) / sum(col("wt"))).as("mean_b"))
+        .agg(round(expr("percentile(mean_b, 0.025D)"), 4).as("lo"),
+          round(expr("percentile(mean_b, 0.5D)"), 4).as("mid"),
+          round(expr("percentile(mean_b, 0.975D)"), 4).as("hi"))
     },
 
     // Market-basket association rules over orders: items = the DISTINCT
