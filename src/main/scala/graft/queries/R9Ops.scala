@@ -313,6 +313,144 @@ object R9Ops {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Binary-quantized retrieval (the 1-bit embedding mode modern vector
+    // stores ship): 64 sign bits packed into two BIGINT halves in ONE
+    // scan-local fold, Hamming = popcount(xor) — integer ops the whole
+    // way — query top-10 via the bounded-heap TopKByScore (score = −hd ⇒
+    // (hd ASC, id ASC), the window order exactly), then exact-cosine
+    // rerank on just the k hits. 32× smaller vectors than float32 and a
+    // 2-instruction distance, at recall the rerank restores.
+    QDef("x_sim_binary_topk",
+      s"""WITH ${StarExt.EmbExpl},
+         |${StarExt.NormsCte},
+         |sig AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN embedding[CAST(j AS INT)+1] >= 0 AND j < 32
+         |      THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS h0,
+         |    CAST(sum(CASE WHEN embedding[CAST(j AS INT)+1] >= 0 AND j >= 32
+         |      THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INT) ELSE 0 END) AS BIGINT) AS h1
+         |  FROM embeddings, unnest(range(0, 64)) t(j) GROUP BY 1),
+         |q AS (SELECT * FROM sig WHERE vec_id < 5),
+         |c AS (SELECT * FROM sig WHERE vec_id >= 5),
+         |ham AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    bit_count(xor(q.h0, c.h0)) + bit_count(xor(q.h1, c.h1)) AS hd
+         |  FROM q, c),
+         |r AS (SELECT qid, cid, hd,
+         |  row_number() OVER (PARTITION BY qid ORDER BY hd, cid) AS rn FROM ham),
+         |hits AS (SELECT qid, cid, hd, rn FROM r WHERE rn <= 10),
+         |dots AS (
+         |  SELECT h.qid, h.cid, h.hd, h.rn, sum(e1.e * e2.e) AS dot
+         |  FROM hits h JOIN ee e1 ON e1.vec_id = h.qid
+         |  JOIN ee e2 ON e2.vec_id = h.cid AND e2.j = e1.j
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT qid, cid, CAST(hd AS BIGINT) AS hamming, CAST(rn AS INT) AS rank,
+         |  round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) AS cos
+         |FROM dots JOIN norms n1 ON n1.vec_id = dots.qid
+         |JOIN norms n2 ON n2.vec_id = dots.cid""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val sig = emb.select(col("vec_id"), col("embedding"),
+        expr("""aggregate(sequence(0, 31), 0L, (s, k) ->
+                |  s + IF(embedding[k] >= 0, shiftleft(CAST(1 AS BIGINT), k), 0L))""".stripMargin).as("h0"),
+        expr("""aggregate(sequence(32, 63), 0L, (s, k) ->
+                |  s + IF(embedding[k] >= 0, shiftleft(CAST(1 AS BIGINT), k - 32), 0L))""".stripMargin).as("h1"))
+      val q = sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("h0").as("q0"), col("h1").as("q1"))
+      val ham = sig.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id").as("cid"), col("qe"), col("embedding"),
+          (bit_count(col("q0").bitwiseXOR(col("h0")))
+            + bit_count(col("q1").bitwiseXOR(col("h1")))).as("hd"))
+      // bounded heap: score = −hd ⇒ best-first (hd asc, cid asc)
+      val top = ham.groupBy("qid")
+        .agg(graft.functions.TopKByScore.topKByScore(
+          -col("hd").cast("double"), col("cid"), 10).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("i", "hit")))
+        .select(col("qid"), col("hit.id").as("cid"),
+          (-col("hit.score")).cast("long").as("hamming"),
+          (col("i") + 1).cast("int").as("rank"))
+      top
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+        .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+        .select(col("qid"), col("cid"), col("hamming"), col("rank"),
+          graft.llm.Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    },
+
+    // CUSUM sequential change detection over the daily mean: the
+    // max(0, S+y) recursion in its closed window form S_t = C_t −
+    // min(0, min_{i≤t} C_i) (cumsum minus its running minimum) — exact,
+    // no recursion, day-cardinality frames only (the global windows order
+    // the 30-row daily aggregate — the budget-select carve-out). Alert
+    // when drift exceeds 2σ of the daily means.
+    QDef("x_cusum_drift",
+      """WITH dm AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |  avg(value) AS x FROM events GROUP BY 1),
+        |st AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM dm),
+        |y AS (SELECT d, x, x - mu - 0.25 * sd AS yv, sd FROM dm, st),
+        |c AS (SELECT d, x, sd, sum(yv) OVER (ORDER BY d ROWS BETWEEN
+        |  UNBOUNDED PRECEDING AND CURRENT ROW) AS cy FROM y),
+        |s AS (SELECT d, x, sd, cy,
+        |  cy - least(0, min(cy) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)) AS s
+        |  FROM c)
+        |SELECT d, round(x, 4) AS day_mean, round(s, 4) AS cusum,
+        |  CAST(CASE WHEN s > 2 * sd THEN 1 ELSE 0 END AS INT) AS alert
+        |FROM s""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dm = Tables(s, d).events
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(avg(col("value")).as("x"))
+      val st = dm.agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+      val prefix = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dm.crossJoin(broadcast(st))
+        .withColumn("cy",
+          sum(col("x") - col("mu") - lit(0.25) * col("sd")).over(prefix))
+        .withColumn("s", col("cy") - least(lit(0.0), min(col("cy")).over(prefix)))
+        .select(col("d"), round(col("x"), 4).as("day_mean"),
+          round(col("s"), 4).as("cusum"),
+          when(col("s") > lit(2.0) * col("sd"), 1).otherwise(0).as("alert"))
+    },
+
+    // Tokenizer fertility per language — tokens emitted per whitespace
+    // word under the 3-merge BPE model trained on this corpus (the
+    // tokenizer-health metric multilingual pipelines track; fertility ≫ 1
+    // flags under-trained scripts). Reuses the Bpe train→encode chain;
+    // the model is the only driver traffic, encode is the zero-shuffle
+    // scan pass, the rollup is language-cardinality.
+    QDef("x_token_fertility",
+      s"""WITH ${R8Ops.BpeCtes},
+         |enc AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      list_filter(string_split(d.text, ' '), w -> len(w) > 0),
+         |      w -> len(string_split(replace(replace(replace(
+         |        '(' || array_to_string(string_split(w, ''), ')(') || ')',
+         |        m1.pair, replace(m1.pair, ')(', '')),
+         |        m2.pair, replace(m2.pair, ')(', '')),
+         |        m3.pair, replace(m3.pair, ')(', '')), ')(')))), 0) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(len(list_filter(string_split(d.text, ' '), w -> len(w) > 0))
+         |      AS BIGINT) AS n_words
+         |  FROM documents d, m1, m2, m3)
+         |SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(sum(n_words) AS BIGINT) AS words,
+         |  round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+         |FROM enc GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val merges = graft.llm.Bpe.train(docs, "text", rounds = 3)
+        .orderBy("round").collect().map(_.getString(1)).toSeq
+      val enc = graft.llm.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      enc.join(docs.select(col("doc_id"), col("lang"),
+          size(expr("filter(split(text, ' '), w -> length(w) > 0)"))
+            .cast("long").as("n_words")), "doc_id")
+        .groupBy("lang")
+        .agg(sum(col("n_tokens")).as("tokens"), sum(col("n_words")).as("words"),
+          round(sum(col("n_tokens")) / sum(col("n_words")).cast("double"), 6)
+            .as("fertility"))
+    },
+
     // The k-core peel through Spark's SQL parser — ONE portable text
     // shared verbatim with the DuckDB oracle (the CcSql twin contract).
     QDef("x_sql_kcore", R9Ops.KCoreSql) { (s, d) =>

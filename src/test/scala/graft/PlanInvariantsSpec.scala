@@ -58,7 +58,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_incremental_join", "x_seasonal_dow", "x_time_weighted",
     "x_hist2d", "x_stream_anomaly", "x_dedup_srp", "x_text_boilerplate",
     "x_text_pmi", "x_shard_rendezvous", "x_mutual_info",
-    "x_path_trigrams", "x_sparse_cosine", "x_bootstrap_ci")
+    "x_path_trigrams", "x_sparse_cosine", "x_bootstrap_ci",
+    "x_sim_binary_topk", "x_token_fertility")
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
