@@ -84,6 +84,25 @@ object R9Ops {
        |FROM e JOIN a4 x ON x.u = e.u JOIN a4 y ON y.u = e.v
        |GROUP BY 1""".stripMargin
 
+  /** CUSUM drift detection as ONE portable SQL text — oracle of
+    * `x_cusum_drift` and the whole query of `x_sql_cusum`. The closed
+    * window form of the max(0, S+y) recursion: S_t = C_t − min(0, running
+    * min of C). Every window orders the 30-row daily aggregate. */
+  private[queries] val CusumSql =
+    """WITH dm AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |  avg(value) AS x FROM events GROUP BY 1),
+      |st AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM dm),
+      |y AS (SELECT d, x, x - mu - 0.25 * sd AS yv, sd FROM dm, st),
+      |c AS (SELECT d, x, sd, sum(yv) OVER (ORDER BY d ROWS BETWEEN
+      |  UNBOUNDED PRECEDING AND CURRENT ROW) AS cy FROM y),
+      |s AS (SELECT d, x, sd, cy,
+      |  cy - least(0, min(cy) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW)) AS s
+      |  FROM c)
+      |SELECT d, round(x, 4) AS day_mean, round(s, 4) AS cusum,
+      |  CAST(CASE WHEN s > 2 * sd THEN 1 ELSE 0 END AS INT) AS alert
+      |FROM s""".stripMargin
+
   /** Column profiling as ONE portable SQL text (per-column UNION form) —
     * oracle of `x_profile_columns` (whose Dataset form pins the explicit
     * one-pass stacked aggregate) and the whole query of `x_sql_profile`. */
@@ -383,20 +402,7 @@ object R9Ops {
     // no recursion, day-cardinality frames only (the global windows order
     // the 30-row daily aggregate — the budget-select carve-out). Alert
     // when drift exceeds 2σ of the daily means.
-    QDef("x_cusum_drift",
-      """WITH dm AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-        |  avg(value) AS x FROM events GROUP BY 1),
-        |st AS (SELECT avg(x) AS mu, stddev_samp(x) AS sd FROM dm),
-        |y AS (SELECT d, x, x - mu - 0.25 * sd AS yv, sd FROM dm, st),
-        |c AS (SELECT d, x, sd, sum(yv) OVER (ORDER BY d ROWS BETWEEN
-        |  UNBOUNDED PRECEDING AND CURRENT ROW) AS cy FROM y),
-        |s AS (SELECT d, x, sd, cy,
-        |  cy - least(0, min(cy) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
-        |    PRECEDING AND CURRENT ROW)) AS s
-        |  FROM c)
-        |SELECT d, round(x, 4) AS day_mean, round(s, 4) AS cusum,
-        |  CAST(CASE WHEN s > 2 * sd THEN 1 ELSE 0 END AS INT) AS alert
-        |FROM s""".stripMargin) { (s, d) =>
+    QDef("x_cusum_drift", R9Ops.CusumSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val dm = Tables(s, d).events
         .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
@@ -411,6 +417,93 @@ object R9Ops {
         .select(col("d"), round(col("x"), 4).as("day_mean"),
           round(col("s"), 4).as("cusum"),
           when(col("s") > lit(2.0) * col("sd"), 1).otherwise(0).as("alert"))
+    },
+
+    // CUSUM through Spark's SQL parser, same shared text.
+    QDef("x_sql_cusum", R9Ops.CusumSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(R9Ops.CusumSql)
+    },
+
+    // In-database linear regression per group: slope/intercept/R² from
+    // Spark's regr_* aggregates — ONE pass of co-moment accumulation per
+    // group (the same partial/final machinery as corr), no iteration, no
+    // driver math. The per-segment trend read BI pipelines run.
+    QDef("x_regr_by_group",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).lineitem.groupBy("l_returnflag")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          count(lit(1)).as("n"))
+    },
+
+    // t-closeness audit — the third leg of the privacy triad
+    // (x_k_anonymity, x_l_diversity): per quasi-identifier group, the
+    // earth-mover's distance between the group's sensitive-value
+    // distribution and the global one, computed over ordered value bins
+    // as max |cumulative difference|. The bin grid is built by a
+    // group×bin cross of two KB aggregates — the corpus contributes two
+    // grouped counts, every window orders bin-cardinality frames.
+    QDef("x_t_closeness",
+      """WITH b AS (
+        |  SELECT c_mktsegment AS g, CAST(round(c_acctbal / 2000) AS BIGINT) AS bin
+        |  FROM customer),
+        |gb AS (SELECT g, bin, CAST(count(*) AS DOUBLE) AS n FROM b GROUP BY 1, 2),
+        |gt AS (SELECT g, sum(n) AS ng FROM gb GROUP BY 1),
+        |ob AS (SELECT bin, CAST(count(*) AS DOUBLE) AS n FROM b GROUP BY 1),
+        |ot AS (SELECT sum(n) AS nt FROM ob),
+        |grid AS (
+        |  SELECT gt.g, ob.bin, coalesce(gb.n, 0) / gt.ng AS p, ob.n / ot.nt AS q
+        |  FROM gt CROSS JOIN ob CROSS JOIN ot
+        |  LEFT JOIN gb ON gb.g = gt.g AND gb.bin = ob.bin),
+        |cum AS (
+        |  SELECT g, bin, sum(p - q) OVER (PARTITION BY g ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |  FROM grid)
+        |SELECT g AS segment, round(max(abs(cd)), 6) AS t_closeness
+        |FROM cum GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables(s, d).customer.select(col("c_mktsegment").as("g"),
+        round(col("c_acctbal") / 2000).cast("long").as("bin"))
+      val gb = b.groupBy("g", "bin").agg(count(lit(1)).cast("double").as("n"))
+      val gt = gb.groupBy("g").agg(sum(col("n")).as("ng"))
+      val ob = b.groupBy("bin").agg(count(lit(1)).cast("double").as("n2"))
+      val ot = ob.agg(sum(col("n2")).as("nt"))
+      val grid = broadcast(gt).crossJoin(broadcast(ob)).crossJoin(broadcast(ot))
+        .join(gb, Seq("g", "bin"), "left")
+        .select(col("g"), col("bin"),
+          (coalesce(col("n"), lit(0.0)) / col("ng")).as("p"),
+          (col("n2") / col("nt")).as("q"))
+      val prefix = Window.partitionBy("g").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cd", sum(col("p") - col("q")).over(prefix))
+        .groupBy(col("g").as("segment"))
+        .agg(round(max(abs(col("cd"))), 6).as("t_closeness"))
+    },
+
+    // Rank-percentile feature transform: percent_rank of retail price
+    // within brand — the distribution-free normalization (rank → [0,1])
+    // feature pipelines prefer over z-scores for heavy tails. One
+    // brand-partitioned window; (price, partkey) total order makes ranks
+    // engine-identical.
+    QDef("x_rank_features",
+      """SELECT p_partkey, p_brand,
+        |  round(percent_rank() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice, p_partkey), 6) AS price_pctile
+        |FROM part""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables(s, d).part.select(col("p_partkey"), col("p_brand"),
+        round(percent_rank().over(w), 6).as("price_pctile"))
     },
 
     // Tokenizer fertility per language — tokens emitted per whitespace
