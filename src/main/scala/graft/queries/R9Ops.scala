@@ -506,6 +506,129 @@ object R9Ops {
         round(percent_rank().over(w), 6).as("price_pctile"))
     },
 
+    // TRAINED Naive Bayes language ID (the learned complement of
+    // x_text_langid's n-gram heuristic): Laplace-smoothed per-(lang, term)
+    // log-probs from one corpus aggregate, scored with the unseen-word
+    // decomposition score = prior + miss·|doc| + Σ_hits tf·(logp − miss)
+    // so the (lang × vocab) grid never materializes. All log-probs are
+    // quantized to BIGINT nano-units (the x_quality_train discipline):
+    // per-doc score sums are exact integers, so the argmax can't flip
+    // between engines' float summation orders. Output: the confusion
+    // matrix. Model and per-lang constants are KB broadcasts; corpus work
+    // is two aggregates + one model join.
+    QDef("x_nb_langid",
+      """WITH w AS (
+        |  SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE len(term) >= 2 GROUP BY 1, 2, 3),
+        |vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM w),
+        |wc AS (SELECT lang, term, CAST(sum(tf) AS DOUBLE) AS c FROM w GROUP BY 1, 2),
+        |ltot AS (SELECT lang, sum(c) AS n FROM wc GROUP BY 1),
+        |nd AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nd FROM documents GROUP BY 1),
+        |ndt AS (SELECT sum(nd) AS t FROM nd),
+        |langs AS (
+        |  SELECT l.lang,
+        |    CAST(round(ln(nd.nd / ndt.t) * 1e6) AS BIGINT) AS prior_n,
+        |    CAST(round(ln(1 / (l.n + vocab.v)) * 1e6) AS BIGINT) AS miss_n
+        |  FROM ltot l JOIN nd ON nd.lang = l.lang, ndt, vocab),
+        |model AS (
+        |  SELECT wc.lang, wc.term,
+        |    CAST(round(ln((wc.c + 1) / (l.n + vocab.v)) * 1e6) AS BIGINT) AS logp_n
+        |  FROM wc JOIN ltot l ON l.lang = wc.lang, vocab),
+        |docstats AS (SELECT doc_id, lang AS actual, CAST(sum(tf) AS BIGINT) AS t
+        |             FROM w GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT w.doc_id, m.lang,
+        |    CAST(sum(w.tf * (m.logp_n - lg.miss_n)) AS BIGINT) AS hit_n
+        |  FROM w JOIN model m ON m.term = w.term
+        |  JOIN langs lg ON lg.lang = m.lang
+        |  GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT ds.doc_id, ds.actual, lg.lang,
+        |    lg.prior_n + lg.miss_n * ds.t + coalesce(h.hit_n, 0) AS score
+        |  FROM docstats ds CROSS JOIN langs lg
+        |  LEFT JOIN hits h ON h.doc_id = ds.doc_id AND h.lang = lg.lang),
+        |pred AS (
+        |  SELECT doc_id, actual, lang AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM scores)
+        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) >= 2)
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // shared by train + score passes
+      val vocab = w.agg(countDistinct(col("term")).cast("double").as("v"))
+      val wc = w.groupBy("lang", "term").agg(sum(col("tf")).cast("double").as("c"))
+      val ltot = wc.groupBy("lang").agg(sum(col("c")).as("n"))
+      val nd = Tables(s, d).documents.groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("nd"))
+      val ndt = nd.agg(sum(col("nd")).as("t"))
+      def nano(c: org.apache.spark.sql.Column) = round(c * 1e6).cast("long")
+      val langs = ltot.join(nd, "lang").crossJoin(ndt).crossJoin(vocab)
+        .select(col("lang"), nano(log(col("nd") / col("t"))).as("prior_n"),
+          nano(log(lit(1.0) / (col("n") + col("v")))).as("miss_n"))
+      val model = wc.join(ltot, "lang").crossJoin(vocab)
+        .select(col("lang"), col("term"),
+          nano(log((col("c") + 1) / (col("n") + col("v")))).as("logp_n"))
+      val docstats = w.groupBy(col("doc_id"), col("lang").as("actual"))
+        .agg(sum(col("tf")).as("t"))
+      val hits = w.select(col("doc_id"), col("term"), col("tf"))
+        .join(broadcast(model.join(langs.select("lang", "miss_n"), "lang")), "term")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf") * (col("logp_n") - col("miss_n"))).as("hit_n"))
+      val scores = docstats.crossJoin(broadcast(langs))
+        .join(hits, Seq("doc_id", "lang"), "left")
+        .select(col("doc_id"), col("actual"), col("lang"),
+          (col("prior_n") + col("miss_n") * col("t")
+            + coalesce(col("hit_n"), lit(0L))).as("score"))
+      val rn = row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang")))
+      scores.withColumn("rn", rn).filter(col("rn") === 1)
+        .groupBy(col("actual"), col("lang").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Leakage-safe target encoding: each (category, fold)'s encoding is
+    // the smoothed target mean over the OTHER folds — computed by
+    // complement subtraction (category totals minus own fold), so the
+    // out-of-fold statistic needs NO per-fold re-scan: one grouped
+    // aggregate, category-sized frames, m=10 prior smoothing toward the
+    // global mean. The feature-prep op that prevents target leakage in
+    // gradient-boosting pipelines.
+    QDef("x_target_encode",
+      """WITH r AS (
+        |  SELECT c.c_mktsegment AS cat, o.o_orderkey % 5 AS fold,
+        |    o.o_totalprice AS y
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cf AS (SELECT cat, fold, sum(y) AS s, CAST(count(*) AS DOUBLE) AS n
+        |       FROM r GROUP BY 1, 2),
+        |ct AS (SELECT cat, sum(s) AS st, sum(n) AS nt FROM cf GROUP BY 1),
+        |g AS (SELECT sum(s) / sum(n) AS prior FROM cf)
+        |SELECT cf.cat, CAST(cf.fold AS INT) AS fold,
+        |  round(((ct.st - cf.s) + 10 * g.prior) / ((ct.nt - cf.n) + 10), 4)
+        |    AS encoding
+        |FROM cf JOIN ct ON ct.cat = cf.cat, g""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val r = t.orders
+        .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("cat"),
+          pmod(col("o_orderkey"), lit(5)).cast("int").as("fold"),
+          col("o_totalprice").as("y"))
+      val cf = r.groupBy("cat", "fold")
+        .agg(sum(col("y")).as("s"), count(lit(1)).cast("double").as("n"))
+      val ct = cf.groupBy("cat").agg(sum(col("s")).as("st"), sum(col("n")).as("nt"))
+      val g = cf.agg((sum(col("s")) / sum(col("n"))).as("prior"))
+      cf.join(broadcast(ct), "cat").crossJoin(broadcast(g))
+        .select(col("cat"), col("fold"),
+          round(((col("st") - col("s")) + lit(10) * col("prior"))
+            / ((col("nt") - col("n")) + lit(10)), 4).as("encoding"))
+    },
+
     // Tokenizer fertility per language — tokens emitted per whitespace
     // word under the 3-merge BPE model trained on this corpus (the
     // tokenizer-health metric multilingual pipelines track; fertility ≫ 1

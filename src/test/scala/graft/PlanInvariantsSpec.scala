@@ -60,7 +60,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_text_pmi", "x_shard_rendezvous", "x_mutual_info",
     "x_path_trigrams", "x_sparse_cosine", "x_bootstrap_ci",
     "x_sim_binary_topk", "x_token_fertility", "x_regr_by_group",
-    "x_t_closeness", "x_rank_features")
+    "x_t_closeness", "x_rank_features", "x_nb_langid", "x_target_encode")
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
