@@ -196,6 +196,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash32Words].getName, "simhash32_words"),
     (children: Seq[Expression]) => SimHash32Words(children.head))
 
+  val jaroWinklerDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+    (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1)))
+
+  /** DuckDB-spelled alias, so ONE portable SQL text can run verbatim in
+    * both engines (the CcSql twin contract — see `x_sql_jaro`). */
+  val jaroWinklerAliasDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler_similarity"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler_similarity"),
+    (children: Seq[Expression]) => JaroWinklerSim(children(0), children(1)))
+
   /** Bloom-filter aggregate over a BIGINT key column (Spark's internal
     * `BloomFilterAggregate`, the engine behind runtime row-level filters —
     * not exposed in the public registry, surfaced here for explicit use).
@@ -216,7 +228,8 @@ object GraftFunctions {
       Shim.expression(key)))
 
   private def allDescriptors = Seq(cosineSimDescriptor, l2SqDescriptor,
-    minHash16Descriptor, simHash32WordsDescriptor)
+    minHash16Descriptor, simHash32WordsDescriptor, jaroWinklerDescriptor,
+    jaroWinklerAliasDescriptor)
 
   /** Register `cosine_sim` / `l2_sq` / `minhash16` / `simhash32_words` in an
     * existing session's function registry (usable from `spark.sql(...)`). */
@@ -233,6 +246,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.l2SqDescriptor)
     ext.injectFunction(GraftFunctions.minHash16Descriptor)
     ext.injectFunction(GraftFunctions.simHash32WordsDescriptor)
+    ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftFunctions.jaroWinklerAliasDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

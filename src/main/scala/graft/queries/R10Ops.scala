@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QDef, Tables}
+import graft.functions.JaroWinklerSim
+import graft.llm.Sampling
+import graft.ops.AsOfJoin
+
+/** Round-10 additions: fuzzy entity-resolution scoring on a native
+  * Jaro-Winkler expression, autocorrelation of a time series, linear
+  * gap-fill interpolation, histogram-compressed quantile normalization,
+  * differentially-private count release, and HITS hubs/authorities — each
+  * oracle-paired.
+  */
+object R10Ops {
+
+  /** Entity-resolution scoring as ONE portable SQL text — the DuckDB oracle
+    * of `x_jaro_entity` AND the whole Spark-SQL query of its `x_sql_jaro`
+    * twin (jaro_winkler_similarity is registered under its DuckDB spelling
+    * for exactly this). Corruption = adjacent transposition of chars 3-4
+    * (preserves the 2-char block prefix); candidates come from the prefix
+    * BLOCK join, never all-pairs — blocking is part of the operator
+    * contract, so the oracle applies the same block.
+    */
+  private[queries] val JaroEntitySql =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 4),
+      |noisy AS (
+      |  SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4, 1) ||
+      |    substr(p_name, 3, 1) || substr(p_name, 5) AS q FROM names)
+      |SELECT q, p_name AS matched,
+      |  round(jaro_winkler_similarity(q, p_name), 6) AS score
+      |FROM noisy JOIN names ON substr(q, 1, 2) = substr(p_name, 1, 2)
+      |WHERE round(jaro_winkler_similarity(q, p_name), 6) >= 0.9""".stripMargin
+
+  /** One HITS iteration, unrolled for the SQL oracle: authority = in-sum of
+    * hubs, hub = out-sum of authorities, each L1-normalized and rounded to
+    * 9dp (both engines round intermediates identically, so float-sum order
+    * drift cannot accumulate across iterations). The normalizer is a
+    * `sum(x) OVER ()` window — NOT a scalar subquery — so every CTE is
+    * referenced exactly once downstream: DuckDB inlines CTEs per reference,
+    * and a double reference per level would expand the 5-iteration chain
+    * to 4^5 scans of the base tables (observed as "too many open files"). */
+  private def hitsRound(i: Int): String =
+    s"""ar$i AS (
+       |  SELECT v.id, coalesce(s.x, 0.0) AS x FROM v LEFT JOIN (
+       |    SELECT e.dst AS id, sum(h${i - 1}.h) AS x
+       |    FROM e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst) s
+       |  ON v.id = s.id),
+       |a$i AS (SELECT id, round(x / sum(x) OVER (), 9) AS a FROM ar$i),
+       |hr$i AS (
+       |  SELECT v.id, coalesce(s.x, 0.0) AS x FROM v LEFT JOIN (
+       |    SELECT e.src AS id, sum(a$i.a) AS x
+       |    FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src) s
+       |  ON v.id = s.id),
+       |h$i AS (SELECT id, round(x / sum(x) OVER (), 9) AS h FROM hr$i)""".stripMargin
+
+  private[queries] val HitsSql = {
+    val iters = (1 to 5).map(hitsRound).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, 1.0 AS h FROM v),
+       |$iters
+       |SELECT h5.id, round(h5.h, 6) AS hub, round(a5.a, 6) AS auth
+       |FROM h5 JOIN a5 ON h5.id = a5.id""".stripMargin
+  }
+
+  /** HITS hubs/authorities, 5 fixed iterations, L1 normalization.
+    * Scale design: the expensive step is the fact-scale edge DERIVATION
+    * (three dim joins + distinct) — one shuffle each; the iteration loop
+    * then touches only the nation-dim-sized collapsed edge list with
+    * broadcast 1-row norm sums. Intermediates round to 9dp (mirrored in
+    * the oracle) so cross-engine float-sum order cannot drift. */
+  private def hits(s: SparkSession, d: String, iters: Int): DataFrame = {
+    val t = Tables(s, d)
+    val e = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val v = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    def l1Norm(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c)).as("_tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("id"), round(col(c) / col("_tot"), 9).as(c))
+    }
+    var h = v.withColumn("h", lit(1.0))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = v.join(
+          e.join(h, col("src") === col("id")).groupBy(col("dst"))
+            .agg(sum(col("h")).as("x")).withColumnRenamed("dst", "_dst"),
+          col("id") === col("_dst"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("a"))
+      a = l1Norm(aRaw, "a")
+      val hRaw = v.join(
+          e.join(a, col("dst") === col("id")).groupBy(col("src"))
+            .agg(sum(col("a")).as("x")).withColumnRenamed("src", "_src"),
+          col("id") === col("_src"), "left")
+        .select(col("id"), coalesce(col("x"), lit(0.0)).as("h"))
+      h = if (i % 2 == 0 || i == iters) l1Norm(hRaw, "h").localCheckpoint()
+          else l1Norm(hRaw, "h")
+    }
+    h.join(a.withColumnRenamed("id", "_aid"), col("id") === col("_aid"))
+      .select(col("id"), round(col("h"), 6).as("hub"), round(col("a"), 6).as("auth"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // FUZZY ENTITY SCORING: a transposition-corrupted feed matched to the
+    // clean catalog by native Jaro-Winkler (codegen'd BinaryExpression —
+    // no UDF boxing), candidates from a 2-char-prefix equi-join block. The
+    // expression is fuzz-pinned to DuckDB's jaro_winkler_similarity
+    // semantics (JaroWinklerSpec), so the oracle verifies scores directly.
+    QDef("x_jaro_entity", JaroEntitySql) { (s, d) =>
+      val names = Tables(s, d).part
+        .filter(length(col("p_name")) >= 4)
+        .select(col("p_name")).distinct()
+      val noisy = names.select(
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1),
+          substring(col("p_name"), 3, 1),
+          expr("substring(p_name, 5, length(p_name))")).as("q")).distinct()
+      val score = round(JaroWinklerSim.jaroWinkler(col("q"), col("p_name")), 6)
+      noisy.join(names,
+          substring(col("q"), 1, 2) === substring(col("p_name"), 1, 2))
+        .select(col("q"), col("p_name").as("matched"), score.as("score"))
+        .filter(col("score") >= 0.9)
+    },
+
+    // SQL-surface twin: the SAME portable text through spark.sql —
+    // parser → analyzer (jaro_winkler_similarity from the injected
+    // FunctionRegistry) → execution, held to the same DuckDB ground truth.
+    QDef("x_sql_jaro", JaroEntitySql) { (s, d) =>
+      SqlSurface.viewed(s, d, "part")
+      s.sql(JaroEntitySql)
+    },
+
+    // AUTOCORRELATION: ACF of the daily event-count series at lags 1..7 —
+    // the seasonality fingerprint (a weekly cycle shows as a lag-7 peak).
+    // The series is CALENDAR-BOUNDED (one row per day regardless of corpus
+    // size), so the unpartitioned lead() window runs over a KB frame; the
+    // corpus-scale work is the one daily count aggregate.
+    QDef("x_acf",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT c,
+        |    lead(c, 1) OVER (ORDER BY d) AS c1,
+        |    lead(c, 2) OVER (ORDER BY d) AS c2,
+        |    lead(c, 3) OVER (ORDER BY d) AS c3,
+        |    lead(c, 4) OVER (ORDER BY d) AS c4,
+        |    lead(c, 5) OVER (ORDER BY d) AS c5,
+        |    lead(c, 6) OVER (ORDER BY d) AS c6,
+        |    lead(c, 7) OVER (ORDER BY d) AS c7
+        |  FROM daily)
+        |SELECT lag_k, round(corr(x, y), 6) AS acf FROM (
+        |  SELECT 1 AS lag_k, c AS x, c1 AS y FROM lagged
+        |  UNION ALL SELECT 2, c, c2 FROM lagged
+        |  UNION ALL SELECT 3, c, c3 FROM lagged
+        |  UNION ALL SELECT 4, c, c4 FROM lagged
+        |  UNION ALL SELECT 5, c, c5 FROM lagged
+        |  UNION ALL SELECT 6, c, c6 FROM lagged
+        |  UNION ALL SELECT 7, c, c7 FROM lagged)
+        |WHERE y IS NOT NULL GROUP BY lag_k""".stripMargin) { (s, d) =>
+      val daily = Tables(s, d).events
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val w = Window.orderBy("d") // KB frame: one row per calendar day
+      val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"c$k", lead(col("c"), k).over(w))
+      }
+      lagged.select(expr(
+          "stack(7, 1, c, c1, 2, c, c2, 3, c, c3, 4, c, c4, " +
+            "5, c, c5, 6, c, c6, 7, c, c7) AS (lag_k, x, y)"))
+        .filter(col("y").isNotNull)
+        .groupBy("lag_k").agg(round(corr(col("x"), col("y")), 6).as("acf"))
+    },
+
+    // GAP-FILL INTERPOLATION: per-type daily means with deterministically
+    // knocked-out days (day-of-month ≡ 2 mod 5 — the "sensor outage"),
+    // rebuilt on a dense date spine by linear interpolation between the
+    // previous/next surviving observations. Windows partition BY SERIES
+    // KEY and the spine is calendar-bounded, so per-partition state stays
+    // KB at any corpus size; the corpus-scale work is the daily aggregate.
+    QDef("x_interpolate",
+      """WITH obs AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2),
+        |kept AS (SELECT * FROM obs WHERE day(d) % 5 <> 2),
+        |bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |spine AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds, types),
+        |j AS (
+        |  SELECT spine.event_type, spine.d, kept.v
+        |  FROM spine LEFT JOIN kept
+        |  ON spine.event_type = kept.event_type AND spine.d = kept.d),
+        |w AS (
+        |  SELECT event_type, d, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT event_type, d,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE round(pv + (nv - pv) * (d - pd) / (nd - pd), 6) END AS filled,
+        |  v IS NULL AS interpolated
+        |FROM w""".stripMargin) { (s, d) =>
+      val ev = Tables(s, d).events
+      val obs = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val kept = obs.filter(dayofmonth(col("d")) % 5 =!= 2)
+      val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val types = ev.select(col("event_type")).distinct()
+      val spine = broadcast(bounds).crossJoin(types)
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      val j = spine.join(kept, Seq("event_type", "d"), "left")
+      val prec = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val foll = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val dWhenObs = when(col("v").isNotNull, col("d"))
+      j.withColumn("pv", last(col("v"), ignoreNulls = true).over(prec))
+        .withColumn("pd", last(dWhenObs, ignoreNulls = true).over(prec))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(foll))
+        .withColumn("nd", first(dWhenObs, ignoreNulls = true).over(foll))
+        .select(col("event_type"), col("d"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(round(col("pv") + (col("nv") - col("pv"))
+              * datediff(col("d"), col("pd")) / datediff(col("nd"), col("pd")), 6))
+            .as("filled"),
+          col("v").isNull.as("interpolated"))
+    },
+
+    // QUANTILE NORMALIZATION: each segment's price distribution mapped onto
+    // the GLOBAL distribution (segment percent-rank → global quantile
+    // value) — the batch-effect correction recipe. Ranks come from
+    // HISTOGRAM-COMPRESSED frames (distinct (value → count), exact because
+    // percent_rank = cum-count-below / (n−1) depends only on the value), so
+    // the only unpartitioned window runs over the compressed value frame,
+    // never full rows; the rank→quantile mapping is the native as-of join
+    // on integer-quantized rank keys. Oracle = row-level percent_rank +
+    // DuckDB's ASOF JOIN.
+    QDef("x_quantile_norm",
+      """WITH oc AS (
+        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |seg AS (
+        |  SELECT g, v,
+        |    CAST(round((rank() OVER (PARTITION BY g ORDER BY v) - 1)
+        |      / (count(*) OVER (PARTITION BY g) - 1) * 1000000) AS BIGINT) AS rk
+        |  FROM oc),
+        |segd AS (SELECT DISTINCT g, v, rk FROM seg),
+        |gq AS (
+        |  SELECT DISTINCT v AS gv,
+        |    CAST(round((rank() OVER (ORDER BY v) - 1)
+        |      / (count(*) OVER () - 1) * 1000000) AS BIGINT) AS rk
+        |  FROM oc),
+        |globd AS (SELECT rk, max(gv) AS gv FROM gq GROUP BY rk),
+        |m AS (SELECT g, gv FROM segd ASOF JOIN globd ON segd.rk >= globd.rk)
+        |SELECT g AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_values,
+        |  round(avg(gv), 6) AS avg_norm, round(min(gv), 6) AS min_norm,
+        |  round(max(gv), 6) AS max_norm
+        |FROM m GROUP BY g""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val oc = t.orders
+        .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+      def rankKey(below: Column, n: Column): Column =
+        round(below.cast("double") / (n - lit(1)) * lit(1000000)).cast("bigint")
+      val wSegBelow = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wSegAll = Window.partitionBy("g")
+      val seg = oc.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(wSegBelow), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wSegAll))
+        .select(col("g"), col("v"), rankKey(col("below"), col("n")).as("rk"))
+      // compressed global frame: distinct values only (the one
+      // unpartitioned window in the plan — value-domain-bounded, not N)
+      val wGlobBelow = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wGlobAll = Window.partitionBy(lit(1))
+      val glob = oc.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("below", coalesce(sum(col("c")).over(wGlobBelow), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wGlobAll))
+        .select(rankKey(col("below"), col("n")).as("rk"), col("v").as("gv"))
+      val m = AsOfJoin.asofJoin(
+        seg.withColumn("k", lit(1)), glob.withColumn("k", lit(1)),
+        key = "k", ts = "rk", valueCol = "gv", valueAlias = "norm")
+      m.groupBy(col("g").as("c_mktsegment"))
+        .agg(count(lit(1)).as("n_values"),
+          round(avg(col("norm")), 6).as("avg_norm"),
+          round(min(col("norm")), 6).as("min_norm"),
+          round(max(col("norm")), 6).as("max_norm"))
+    },
+
+    // DIFFERENTIAL-PRIVACY COUNT RELEASE: per-type counts + Laplace(1/ε)
+    // noise via the inverse CDF on a DETERMINISTIC uniform (the shared
+    // portable group-hash — Sampling.groupHashBucket — so the oracle
+    // replays the identical draw; swap in a real RNG for production
+    // release). ε=1. Map-side combine does all corpus-scale work; the
+    // noise arithmetic runs on the 5-row released frame.
+    QDef("x_dp_counts", {
+      val u = s"((${Sampling.groupHashBucketSql("event_type")}) + 0.5) / 4294967296.0"
+      s"""WITH c AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1),
+         |uu AS (SELECT event_type, n, $u AS u FROM c)
+         |SELECT event_type,
+         |  round(n + -1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+         |    AS dp_count
+         |FROM uu""".stripMargin
+    }) { (s, d) =>
+      val c = Tables(s, d).events
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val u = (Sampling.groupHashBucket(col("event_type")) + lit(0.5)) /
+        lit(4294967296.0)
+      c.withColumn("u", u)
+        .select(col("event_type"),
+          round(col("n") + lit(-1.0) * signum(col("u") - 0.5)
+            * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6).as("dp_count"))
+    },
+
+    // HITS hubs/authorities over the supplier-nation → customer-nation
+    // trade graph, 5 fixed iterations (see [[hits]] for the scale design).
+    QDef("x_graph_hits", HitsSql) { (s, d) => hits(s, d, 5) }
+  )
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants of the round-10 batch the row-hash oracle can't articulate:
+  * interpolation exactness, HITS normalization/fixpoint behavior, DP noise
+  * shape, and quantile-normalization distribution preservation.
+  */
+class R10OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x_acf values are valid correlations at every lag") {
+    val rows = SparkEntry.queries("x_acf")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (1 to 7))
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+
+  test("x_interpolate: filled values on knocked-out days obey the linear formula") {
+    val out = SparkEntry.queries("x_interpolate")(spark, sf)
+    // every interpolated day sits strictly between its neighbors' values —
+    // recheck by recomputing the lerp from the SURVIVING observations
+    val obs = graft.Tables(spark, sf).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(round(avg(col("value")), 6).as("v"))
+      .filter(dayofmonth(col("d")) % 5 =!= 2)
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getDouble(2)).toMap
+    val interp = out.filter(col("interpolated")).collect()
+    assert(interp.nonEmpty)
+    interp.foreach { r =>
+      val t = r.getString(0); val d = r.getDate(1).toLocalDate
+      val prev = Iterator.iterate(d.minusDays(1))(_.minusDays(1)).take(10)
+        .find(x => obs.contains((t, x)))
+      val next = Iterator.iterate(d.plusDays(1))(_.plusDays(1)).take(10)
+        .find(x => obs.contains((t, x)))
+      (prev, next) match {
+        case (Some(p), Some(n)) =>
+          val pv = obs((t, p)); val nv = obs((t, n))
+          val frac = (d.toEpochDay - p.toEpochDay).toDouble / (n.toEpochDay - p.toEpochDay)
+          val want = BigDecimal(pv + (nv - pv) * frac)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getDouble(2) - want) < 1e-9, s"($t, $d)")
+        case _ => // edge gap: filled is null-free only inside the series
+      }
+    }
+    // observed days pass through untouched
+    val kept = out.filter(!col("interpolated")).collect()
+    kept.foreach { r =>
+      assert(obs((r.getString(0), r.getDate(1).toLocalDate)) === r.getDouble(2))
+    }
+  }
+
+  test("x_graph_hits: hubs and authorities each L1-normalize to 1") {
+    val rows = SparkEntry.queries("x_graph_hits")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hubSum = rows.map(_.getDouble(1)).sum
+    val authSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(hubSum - 1.0) < 1e-4, s"hub sum $hubSum")
+    assert(math.abs(authSum - 1.0) < 1e-4, s"auth sum $authSum")
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("x_dp_counts: released counts differ from true counts by Laplace noise") {
+    val t = graft.Tables(spark, sf).events
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("x_dp_counts")(spark, sf).collect()
+    assert(rows.length === t.size)
+    var moved = 0
+    rows.foreach { r =>
+      val noise = r.getDouble(1) - t(r.getString(0))
+      // Laplace(b=1): |noise| beyond ~7 has probability < 1e-3 per draw
+      assert(math.abs(noise) < 8.0, s"${r.getString(0)} noise $noise")
+      if (math.abs(noise) > 1e-9) moved += 1
+    }
+    assert(moved > 0, "every draw returned exactly zero noise")
+  }
+
+  test("x_quantile_norm: normalized range equals the global value range") {
+    val t = graft.Tables(spark, sf)
+    val (gMin, gMax) = {
+      val r = t.orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val rows = SparkEntry.queries("x_quantile_norm")(spark, sf).collect()
+    // every segment's mapped distribution spans the global min..max:
+    // rank 0 maps to the global minimum, rank 1e6 to the global maximum
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - gMin) < 1e-6, s"min_norm ${r.getDouble(3)}")
+      assert(math.abs(r.getDouble(4) - gMax) < 1e-6, s"max_norm ${r.getDouble(4)}")
+    }
+  }
+
+  test("x_jaro_entity: every corrupted name recovers its source above 0.9") {
+    val rows = SparkEntry.queries("x_jaro_entity")(spark, sf).collect()
+    val names = graft.Tables(spark, sf).part
+      .filter(length(col("p_name")) >= 4)
+      .select("p_name").distinct().collect().map(_.getString(0))
+    def corrupt(n: String) = n.substring(0, 2) + n.charAt(3) + n.charAt(2) + n.substring(4)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    names.foreach { n =>
+      assert(pairs.contains((corrupt(n), n)), s"lost: $n")
+    }
+  }
+}
