@@ -350,6 +350,158 @@ object R10Ops {
 
     // HITS hubs/authorities over the supplier-nation → customer-nation
     // trade graph, 5 fixed iterations (see [[hits]] for the scale design).
-    QDef("x_graph_hits", HitsSql) { (s, d) => hits(s, d, 5) }
+    QDef("x_graph_hits", HitsSql) { (s, d) => hits(s, d, 5) },
+
+    // EMBEDDING DIMENSION PROFILE: per-dimension mean / variance / label
+    // correlation over the embedding column — the feature-selection +
+    // drift-monitoring pass. posexplode THEN hash aggregate: partial
+    // (map-side) aggregation collapses each partition to `dims` rows
+    // before the shuffle, so the exchange is dims×partitions regardless
+    // of corpus size — the row "explosion" never crosses the wire.
+    QDef("x_embed_dimstats",
+      """WITH e AS (
+        |  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i,
+        |    label
+        |  FROM embeddings)
+        |SELECT i - 1 AS dim, round(avg(x), 6) AS mean,
+        |  round(var_pop(x), 6) AS variance,
+        |  round(corr(x, label), 6) AS label_corr
+        |FROM e GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables(s, d).embeddings
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("pos").as("dim"))
+        .agg(round(avg(col("col")), 6).as("mean"),
+          round(var_pop(col("col")), 6).as("variance"),
+          round(corr(col("col"), col("label")), 6).as("label_corr"))
+    },
+
+    // ROLLING CORRELATION: 7-day windowed Pearson correlation between the
+    // view and purchase daily series — the co-movement monitor. The
+    // window runs over the calendar-bounded daily frame (KB at any corpus
+    // size); the corpus-scale work is the conditional daily aggregate.
+    QDef("x_rolling_corr",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS v,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS p
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d,
+        |    row_number() OVER (ORDER BY d) AS rn,
+        |    round(corr(v, p) OVER (ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_corr
+        |  FROM daily)
+        |SELECT d, roll_corr FROM w WHERE rn >= 7""".stripMargin) { (s, d) =>
+      val daily = Tables(s, d).events
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(when(col("event_type") === "view", 1)).cast("double").as("v"),
+          count(when(col("event_type") === "purchase", 1)).cast("double").as("p"))
+      val ord = Window.orderBy("d") // KB frame: one row per calendar day
+      daily
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("roll_corr",
+          round(corr(col("v"), col("p")).over(ord.rowsBetween(-6, 0)), 6))
+        .filter(col("rn") >= 7)
+        .select(col("d"), col("roll_corr"))
+    },
+
+    // READABILITY: Flesch reading ease per language — scan-local column
+    // algebra only (three regex passes + counts), aggregated per lang.
+    // Syllables ≈ maximal vowel runs; sentences = terminal-punctuation
+    // count (floored at 1 — the corpus is unpunctuated word salad, which
+    // exercises the formula, not English prosody).
+    QDef("x_readability",
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS words,
+        |    greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS sents,
+        |    length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |      - length(replace(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'),
+        |        '#', '')) AS sylls
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(206.835 - 1.015 * (words * 1.0 / sents)
+        |    - 84.6 * (sylls * 1.0 / words)), 6) AS avg_flesch
+        |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
+      val collapsed = regexp_replace(lower(col("text")), "[aeiouy]+", "#")
+      Tables(s, d).documents
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("words"),
+          greatest(lit(1), length(regexp_replace(col("text"), "[^.!?]", "")))
+            .as("sents"),
+          (length(collapsed) - length(regexp_replace(collapsed, "#", "")))
+            .as("sylls"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(lit(206.835) - lit(1.015) * (col("words") * 1.0 / col("sents"))
+            - lit(84.6) * (col("sylls") * 1.0 / col("words"))), 6).as("avg_flesch"))
+    },
+
+    // RAKE KEYPHRASES: candidate phrases = maximal stopword-free word runs
+    // (gaps-and-islands: island id = pos − row_number over non-stop words),
+    // capped at 4 words; word score = corpus degree/frequency over the
+    // candidate set; phrase score = Σ word scores. Everything is word- or
+    // phrase-keyed aggregation — no self-joins, no driver state; the
+    // support≥5 cut keeps the output set closed under row-hash compare
+    // (a top-k would tie-break on 6dp-rounded scores at the boundary).
+    QDef("x_rake_keyphrases",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' ')
+        |      AS ws
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        |  FROM toks),
+        |w1 AS (SELECT * FROM w0 WHERE word <> ''),
+        |ns AS (
+        |  SELECT doc_id, word, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM w1
+        |  WHERE word NOT IN
+        |    ('a','the','of','and','to','in','is','on','for','with')),
+        |phr AS (
+        |  SELECT doc_id, grp, string_agg(word, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS len
+        |  FROM ns GROUP BY 1, 2),
+        |cand AS (SELECT * FROM phr WHERE len <= 4),
+        |pw AS (
+        |  SELECT doc_id, grp, phrase, len, unnest(string_split(phrase, ' '))
+        |    AS word
+        |  FROM cand),
+        |ws AS (SELECT word, count(*) AS c, sum(len) AS deg FROM pw GROUP BY 1),
+        |pscore AS (
+        |  SELECT pw.doc_id, pw.grp, pw.phrase,
+        |    sum(ws.deg * 1.0 / ws.c) AS score
+        |  FROM pw JOIN ws ON pw.word = ws.word GROUP BY 1, 2, 3)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS support,
+        |  round(max(score), 6) AS rake_score
+        |FROM pscore GROUP BY 1 HAVING count(*) >= 5""".stripMargin) { (s, d) =>
+      val stop = Seq("a", "the", "of", "and", "to", "in", "is", "on", "for", "with")
+      val words = Tables(s, d).documents
+        .select(col("doc_id"),
+          posexplode(split(regexp_replace(lower(col("text")), "[^a-z ]", " "), " ")))
+        .withColumnRenamed("col", "word")
+        .filter(col("word") =!= "")
+      val ns = words.filter(!col("word").isInCollection(stop))
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      val phr = ns.groupBy("doc_id", "grp")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("phrase"),
+          count(lit(1)).as("len"))
+        .filter(col("len") <= 4)
+      val pw = phr.select(col("doc_id"), col("grp"), col("phrase"), col("len"),
+        explode(split(col("phrase"), " ")).as("word"))
+      val wstats = pw.groupBy("word")
+        .agg(count(lit(1)).as("c"), sum(col("len")).as("deg"))
+      val pscore = pw.join(wstats, "word")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(sum(col("deg") * lit(1.0) / col("c")).as("score"))
+      pscore.groupBy("phrase")
+        .agg(count(lit(1)).as("support"), round(max(col("score")), 6).as("rake_score"))
+        .filter(col("support") >= 5)
+    }
   )
 }

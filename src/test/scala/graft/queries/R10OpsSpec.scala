@@ -95,6 +95,66 @@ class R10OpsSpec extends SparkSpec {
     }
   }
 
+  test("x_embed_dimstats: one row per dimension, nonnegative variance") {
+    val rows = SparkEntry.queries("x_embed_dimstats")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (0 until 64))
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("x_embed_dimstats plan: partial aggregation bounds the exploded shuffle") {
+    val plan = SparkEntry.queries("x_embed_dimstats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // map-side partial agg must sit below the exchange: dims×partitions
+    // rows cross the wire, not dims×corpus
+    assert(plan.contains("partial_avg") || plan.contains("Partial"),
+      s"no partial aggregate in:\n$plan")
+  }
+
+  test("x_rolling_corr: correlations valid, one row per full 7-day window") {
+    val rows = SparkEntry.queries("x_rolling_corr")(spark, sf).collect()
+    val nDays = graft.Tables(spark, sf).events
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length === (nDays - 6))
+    rows.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+
+  test("x_rake_keyphrases: no phrase contains a stopword or exceeds 4 words") {
+    val stop = Set("a", "the", "of", "and", "to", "in", "is", "on", "for", "with")
+    val rows = SparkEntry.queries("x_rake_keyphrases")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getString(0).split(" ")
+      assert(ws.length <= 4, r.getString(0))
+      assert(!ws.exists(stop), r.getString(0))
+      assert(r.getLong(1) >= 5)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("x_readability: Flesch recomputes from one document by hand") {
+    val doc = graft.Tables(spark, sf).documents
+      .select("lang", "text").head()
+    val text = doc.getString(1)
+    val words = text.split(" ", -1).length
+    val sents = math.max(1, text.count(c => c == '.' || c == '!' || c == '?'))
+    val sylls = "[aeiouy]+".r.findAllIn(text.toLowerCase).length
+    val score = 206.835 - 1.015 * (words.toDouble / sents) -
+      84.6 * (sylls.toDouble / words)
+    // the per-doc formula embedded in the aggregate, reproduced exactly
+    val sdf = graft.Tables(spark, sf).documents.limit(1)
+      .select((lit(206.835)
+        - lit(1.015) * (size(split(col("text"), " "))
+          * 1.0 / greatest(lit(1), length(regexp_replace(col("text"), "[^.!?]", ""))))
+        - lit(84.6) * ((length(regexp_replace(lower(col("text")), "[aeiouy]+", "#"))
+          - length(regexp_replace(regexp_replace(lower(col("text")), "[aeiouy]+", "#"), "#", "")))
+          * 1.0 / size(split(col("text"), " ")))).as("f"))
+      .head().getDouble(0)
+    assert(math.abs(sdf - score) < 1e-9)
+  }
+
   test("x_jaro_entity: every corrupted name recovers its source above 0.9") {
     val rows = SparkEntry.queries("x_jaro_entity")(spark, sf).collect()
     val names = graft.Tables(spark, sf).part
