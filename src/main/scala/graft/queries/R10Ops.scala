@@ -118,6 +118,80 @@ object R10Ops {
       .select(col("id"), round(col("h"), 6).as("hub"), round(col("a"), 6).as("auth"))
   }
 
+
+  /** ACF oracle — dialect-neutral, shared verbatim by the `x_sql_acf`
+    * Spark-SQL twin (the CcSql twin contract). */
+  private[queries] val AcfSql =
+    """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT c,
+        |    lead(c, 1) OVER (ORDER BY d) AS c1,
+        |    lead(c, 2) OVER (ORDER BY d) AS c2,
+        |    lead(c, 3) OVER (ORDER BY d) AS c3,
+        |    lead(c, 4) OVER (ORDER BY d) AS c4,
+        |    lead(c, 5) OVER (ORDER BY d) AS c5,
+        |    lead(c, 6) OVER (ORDER BY d) AS c6,
+        |    lead(c, 7) OVER (ORDER BY d) AS c7
+        |  FROM daily)
+        |SELECT lag_k, round(corr(x, y), 6) AS acf FROM (
+        |  SELECT 1 AS lag_k, c AS x, c1 AS y FROM lagged
+        |  UNION ALL SELECT 2, c, c2 FROM lagged
+        |  UNION ALL SELECT 3, c, c3 FROM lagged
+        |  UNION ALL SELECT 4, c, c4 FROM lagged
+        |  UNION ALL SELECT 5, c, c5 FROM lagged
+        |  UNION ALL SELECT 6, c, c6 FROM lagged
+        |  UNION ALL SELECT 7, c, c7 FROM lagged)
+        |WHERE y IS NOT NULL GROUP BY lag_k""".stripMargin
+
+  /** Rolling-correlation oracle — dialect-neutral, shared verbatim by the
+    * `x_sql_rolling` twin. */
+  private[queries] val RollingCorrSql =
+    """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS v,
+        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS p
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d,
+        |    row_number() OVER (ORDER BY d) AS rn,
+        |    round(corr(v, p) OVER (ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_corr
+        |  FROM daily)
+        |SELECT d, roll_corr FROM w WHERE rn >= 7""".stripMargin
+
+  /** One power-iteration round, unrolled for the PCA oracle: project each
+    * centered vector onto v (9dp snap), back-project per dimension, then
+    * L2-normalize (9dp snap) — the rounding cadence both engines share. */
+  private def pcaRound(i: Int): String =
+    s"""p$i AS (
+       |  SELECT e.vec_id, round(sum(e.x * v${i - 1}.val), 9) AS proj
+       |  FROM e JOIN v${i - 1} ON e.dim = v${i - 1}.dim GROUP BY e.vec_id),
+       |nv$i AS (
+       |  SELECT e.dim, sum(e.x * p$i.proj) AS raw
+       |  FROM e JOIN p$i ON e.vec_id = p$i.vec_id GROUP BY e.dim),
+       |v$i AS (
+       |  SELECT dim, round(raw / sqrt(sum(raw * raw) OVER ()), 9) AS val
+       |  FROM nv$i)""".stripMargin
+
+  private[queries] val PcaSql = {
+    val iters = (1 to 5).map(pcaRound).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |    generate_subscripts(embedding, 1) - 1 AS dim
+       |  FROM embeddings),
+       |mu AS (SELECT dim, avg(x) AS m FROM e0 GROUP BY dim),
+       |e AS (SELECT vec_id, e0.dim, x - m AS x FROM e0 JOIN mu ON e0.dim = mu.dim),
+       |v0 AS (SELECT DISTINCT dim, 0.125 AS val FROM e0),
+       |$iters,
+       |sgn AS (
+       |  SELECT CASE WHEN max(CASE WHEN dim = 0 THEN val END) >= 0
+       |    THEN 1.0 ELSE -1.0 END AS sg
+       |  FROM v5)
+       |SELECT dim, round(sg * val, 6) AS loading FROM v5, sgn""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // FUZZY ENTITY SCORING: a transposition-corrupted feed matched to the
@@ -154,28 +228,7 @@ object R10Ops {
     // size), so the unpartitioned lead() window runs over a KB frame; the
     // corpus-scale work is the one daily count aggregate.
     QDef("x_acf",
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS c
-        |  FROM events GROUP BY 1),
-        |lagged AS (
-        |  SELECT c,
-        |    lead(c, 1) OVER (ORDER BY d) AS c1,
-        |    lead(c, 2) OVER (ORDER BY d) AS c2,
-        |    lead(c, 3) OVER (ORDER BY d) AS c3,
-        |    lead(c, 4) OVER (ORDER BY d) AS c4,
-        |    lead(c, 5) OVER (ORDER BY d) AS c5,
-        |    lead(c, 6) OVER (ORDER BY d) AS c6,
-        |    lead(c, 7) OVER (ORDER BY d) AS c7
-        |  FROM daily)
-        |SELECT lag_k, round(corr(x, y), 6) AS acf FROM (
-        |  SELECT 1 AS lag_k, c AS x, c1 AS y FROM lagged
-        |  UNION ALL SELECT 2, c, c2 FROM lagged
-        |  UNION ALL SELECT 3, c, c3 FROM lagged
-        |  UNION ALL SELECT 4, c, c4 FROM lagged
-        |  UNION ALL SELECT 5, c, c5 FROM lagged
-        |  UNION ALL SELECT 6, c, c6 FROM lagged
-        |  UNION ALL SELECT 7, c, c7 FROM lagged)
-        |WHERE y IS NOT NULL GROUP BY lag_k""".stripMargin) { (s, d) =>
+      AcfSql) { (s, d) =>
       val daily = Tables(s, d).events
         .groupBy(to_date(col("ts")).as("d"))
         .agg(count(lit(1)).cast("double").as("c"))
@@ -380,18 +433,7 @@ object R10Ops {
     // window runs over the calendar-bounded daily frame (KB at any corpus
     // size); the corpus-scale work is the conditional daily aggregate.
     QDef("x_rolling_corr",
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d,
-        |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS v,
-        |    CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS p
-        |  FROM events GROUP BY 1),
-        |w AS (
-        |  SELECT d,
-        |    row_number() OVER (ORDER BY d) AS rn,
-        |    round(corr(v, p) OVER (ORDER BY d
-        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_corr
-        |  FROM daily)
-        |SELECT d, roll_corr FROM w WHERE rn >= 7""".stripMargin) { (s, d) =>
+      RollingCorrSql) { (s, d) =>
       val daily = Tables(s, d).events
         .groupBy(to_date(col("ts")).as("d"))
         .agg(count(when(col("event_type") === "view", 1)).cast("double").as("v"),
@@ -502,6 +544,161 @@ object R10Ops {
       pscore.groupBy("phrase")
         .agg(count(lit(1)).as("support"), round(max(col("score")), 6).as("rake_score"))
         .filter(col("support") >= 5)
+    },
+
+    // SQL-surface twins: the ACF and rolling-correlation oracle texts are
+    // dialect-neutral, so they run verbatim through spark.sql against the
+    // same DuckDB ground truth (the CcSql twin contract).
+    QDef("x_sql_acf", AcfSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(AcfSql)
+    },
+
+    QDef("x_sql_rolling", RollingCorrSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(RollingCorrSql)
+    },
+
+    // BENFORD AUDIT: first-significant-digit distribution of order totals
+    // vs Benford's law, with per-digit χ² contributions — the classic
+    // fabricated-data screen. The digit comes from INTEGER formatting
+    // (floor → BIGINT → string head), never float log-magnitude math,
+    // so engines can't disagree at power-of-ten boundaries. One count
+    // aggregate does all corpus-scale work; the law's expected shares are
+    // 9-row constants.
+    QDef("x_benford",
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM digits),
+        |obs AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS observed
+        |  FROM digits GROUP BY 1)
+        |SELECT obs.digit, observed,
+        |  round(total * log10(1 + 1.0 / obs.digit), 4) AS expected,
+        |  round(pow(observed - total * log10(1 + 1.0 / obs.digit), 2)
+        |    / (total * log10(1 + 1.0 / obs.digit)), 6) AS chi2_term
+        |FROM obs, n""".stripMargin) { (s, d) =>
+      val digits = Tables(s, d).orders.select(
+        substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+      val n = digits.agg(count(lit(1)).cast("double").as("total"))
+      val expShare = log10(lit(1) + lit(1.0) / col("digit"))
+      digits.groupBy("digit").agg(count(lit(1)).as("observed"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("observed"),
+          round(col("total") * expShare, 4).as("expected"),
+          round(pow(col("observed") - col("total") * expShare, 2)
+            / (col("total") * expShare), 6).as("chi2_term"))
+    },
+
+    // CLOSENESS CENTRALITY over the sparse high-value trade graph (the g4
+    // sparsification family): all-pairs BFS by frontier iteration — per
+    // round one frontier⋈edges join + a min-dist aggregate, rounds ≤
+    // diameter (8-round contract; a round past the fixpoint is a no-op) —
+    // then closeness = (reached−1)/Σdist per source. The state frame is
+    // (source, vertex, dist): |V|²-bounded, NOT corpus-bounded — the
+    // corpus-scale cost is the one edge-derivation pass. Oracle: bounded
+    // recursive CTE, min depth per (source, vertex) — the g5 BFS shape.
+    QDef("x_graph_closeness",
+      """WITH e0 AS (
+        |  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE l.l_extendedprice > 104500),
+        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |rec AS (
+        |  WITH RECURSIVE walk(s, v2, d) AS (
+        |    SELECT id, id, 0 FROM v
+        |    UNION
+        |    SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON w.v2 = e.src
+        |    WHERE w.d < 8)
+        |  SELECT s, v2, min(d) AS dist FROM walk GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT s AS id, CAST(count(*) - 1 AS DOUBLE) AS r,
+        |    CAST(sum(dist) AS DOUBLE) AS sd
+        |  FROM rec GROUP BY 1)
+        |SELECT id, CASE WHEN sd > 0 THEN round(r / sd, 6) ELSE 0.0 END
+        |  AS closeness
+        |FROM cl""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val e = t.lineitem.filter(col("l_extendedprice") > 104500)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      val v = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      var dist = v.select(col("id").as("s"), col("id").as("v2"),
+        lit(0).as("d")).localCheckpoint()
+      for (i <- 1 to 8) {
+        val expanded = dist.join(e, col("v2") === col("src"))
+          .select(col("s"), col("dst").as("v2"), (col("d") + 1).as("d"))
+        val next = dist.union(expanded)
+          .groupBy("s", "v2").agg(min(col("d")).as("d"))
+        dist = if (i % 2 == 0 || i == 8) next.localCheckpoint() else next
+      }
+      dist.groupBy(col("s").as("id"))
+        .agg((count(lit(1)) - 1).cast("double").as("r"),
+          sum(col("d")).cast("double").as("sd"))
+        .select(col("id"),
+          when(col("sd") > 0, round(col("r") / col("sd"), 6))
+            .otherwise(lit(0.0)).as("closeness"))
+    },
+
+    // PCA TOP COMPONENT by distributed power iteration: 5 rounds of
+    // x→(x·v)→Σx(x·v), the two corpus passes per round being (a) an
+    // IN-ROW dot product against the broadcast 64-double direction (no
+    // explode crosses the wire) and (b) one posexplode aggregate whose
+    // map-side partials bound the shuffle at dims×partitions. The 64-row
+    // mean/direction frames collect to the driver between rounds — KB
+    // planning barriers, the pinned-training-artifact pattern. Both
+    // engines round projections and direction components to 9dp every
+    // round, so float-sum order differences cannot accumulate; the sign
+    // is fixed by dimension 0's loading.
+    QDef("x_embed_pca", PcaSql) { (s, d) =>
+      val emb = Tables(s, d).embeddings.select("vec_id", "embedding")
+      val muRows = emb.select(posexplode(col("embedding")))
+        .groupBy("pos").agg(avg(col("col")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val dims = muRows.size
+      val muLit = array((0 until dims).map(i => lit(muRows(i))): _*)
+      val cent = emb.select(col("vec_id"),
+          zip_with(col("embedding"), muLit,
+            (x, m) => x.cast("double") - m).as("c"))
+        .localCheckpoint()
+      var v = Array.fill(dims)(0.125)
+      for (_ <- 1 to 5) {
+        val vLit = array(v.map(lit): _*)
+        val proj = cent.withColumn("p",
+          round(aggregate(zip_with(col("c"), vLit, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x), 9))
+        val raw = proj.select(posexplode(col("c")), col("p"))
+          .groupBy("pos").agg(sum(col("col") * col("p")).as("raw"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val norm = math.sqrt((0 until dims).map(i => raw(i) * raw(i)).sum)
+        v = (0 until dims).map(i =>
+          BigDecimal(raw(i) / norm)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+      }
+      val sg = if (v(0) >= 0) 1.0 else -1.0
+      val spark = emb.sparkSession
+      import spark.implicits._
+      v.zipWithIndex
+        .map { case (x, i) =>
+          (i, BigDecimal(sg * x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }
+        .toSeq.toDF("dim", "loading")
     }
   )
 }

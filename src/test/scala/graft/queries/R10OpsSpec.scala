@@ -155,6 +155,57 @@ class R10OpsSpec extends SparkSpec {
     assert(math.abs(sdf - score) < 1e-9)
   }
 
+  test("x_embed_pca: unit-norm direction, sign fixed by dim 0") {
+    val rows = SparkEntry.queries("x_embed_pca")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (0 until 64))
+    val norm = math.sqrt(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+    assert(rows.find(_.getInt(0) == 0).get.getDouble(1) >= 0.0)
+    // deterministic: a second run returns the identical direction
+    val again = SparkEntry.queries("x_embed_pca")(spark, sf).collect()
+    assert(rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap ===
+      again.map(r => r.getInt(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("x_embed_pca captures more variance than any single axis") {
+    val rows = SparkEntry.queries("x_embed_pca")(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val t = graft.Tables(spark, sf).embeddings
+    val stats = t.select(posexplode(col("embedding")))
+      .groupBy("pos").agg(avg(col("col")).as("m"), var_pop(col("col")).as("s2"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val muLit = array((0 until 64).map(i => lit(stats(i)._1)): _*)
+    val vLit = array((0 until 64).map(i => lit(rows(i))): _*)
+    val projVar = t.select(
+        aggregate(zip_with(zip_with(col("embedding"), muLit,
+          (x, m) => x.cast("double") - m), vLit, (c, v) => c * v),
+          lit(0.0), (a, x) => a + x).as("p"))
+      .agg(var_pop(col("p"))).head().getDouble(0)
+    val maxAxisVar = (0 until 64).map(i => stats(i)._2).max
+    assert(projVar >= maxAxisVar - 1e-6,
+      s"principal variance $projVar < best axis $maxAxisVar")
+  }
+
+  test("x_graph_closeness: values in [0,1]; 0 only for sink vertices") {
+    val rows = SparkEntry.queries("x_graph_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(1)
+      // 0.0 = a vertex with no out-edges (reaches nothing; by contract)
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"closeness $c")
+    }
+    assert(rows.exists(_.getDouble(1) > 0.0))
+  }
+
+  test("x_benford: expected counts sum to the observed total") {
+    val rows = SparkEntry.queries("x_benford")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (1 to 9))
+    val total = rows.map(_.getLong(1)).sum
+    val expSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(expSum - total) < 0.01, s"$expSum vs $total")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
   test("x_jaro_entity: every corrupted name recovers its source above 0.9") {
     val rows = SparkEntry.queries("x_jaro_entity")(spark, sf).collect()
     val names = graft.Tables(spark, sf).part
