@@ -699,6 +699,199 @@ object R10Ops {
             .toDouble)
         }
         .toSeq.toDF("dim", "loading")
+    },
+
+    // ISOTONIC CALIBRATION (pool-adjacent-violators): nondecreasing fit of
+    // the order-completion rate over price deciles, via the PAV minimax
+    // closed form ŷᵢ = max_{j≤i} min_{k≥i} wavg(r[j..k]) — no sequential
+    // pooling loop. Deciles come from the HISTOGRAM-COMPRESSED rank pass
+    // (the x_quantile_norm pattern); the minimax triple join runs on the
+    // 10-row bucket frame only. Outcome sums are 0/1 doubles — exact in
+    // float arithmetic, so no rounding snaps are needed before the final
+    // 6dp release.
+    QDef("x_isotonic",
+      """WITH h AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM orders),
+        |hist AS (SELECT v, count(*) AS c, sum(y) AS s FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c, s,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    sum(c) OVER () AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT least(9, CAST(floor(below * 10.0 / n) AS INTEGER)) AS bucket,
+        |    c, s
+        |  FROM cum),
+        |bs AS (
+        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_b, sum(s) AS pos
+        |  FROM b GROUP BY 1),
+        |pre AS (
+        |  SELECT bucket, n_b, pos,
+        |    sum(n_b) OVER (ORDER BY bucket) AS cn,
+        |    sum(pos) OVER (ORDER BY bucket) AS cp
+        |  FROM bs),
+        |pre0 AS (SELECT bucket, cn, cp FROM pre
+        |  UNION ALL SELECT -1, 0, 0.0),
+        |avgs AS (
+        |  SELECT j.bucket + 1 AS j, k.bucket AS k,
+        |    (k.cp - j.cp) / (k.cn - j.cn) AS a
+        |  FROM pre0 j JOIN pre0 k ON j.bucket < k.bucket),
+        |mins AS (
+        |  SELECT a.j, i.bucket AS i, min(a.a) AS mn
+        |  FROM avgs a JOIN pre i ON a.j <= i.bucket AND a.k >= i.bucket
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, max(mn) AS iso FROM mins GROUP BY 1)
+        |SELECT f.i AS bucket, bs.n_b, round(bs.pos / bs.n_b, 6) AS raw_rate,
+        |  round(f.iso, 6) AS iso_rate
+        |FROM fit f JOIN bs ON bs.bucket = f.i""".stripMargin) { (s, d) =>
+      val h = Tables(s, d).orders.select(col("o_totalprice").as("v"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val hist = h.groupBy("v").agg(count(lit(1)).as("c"), sum(col("y")).as("s"))
+      val wBelow = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(lit(1))
+      val b = hist
+        .withColumn("below", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .select(least(lit(9), floor(col("below") * 10.0 / col("n")).cast("int"))
+          .as("bucket"), col("c"), col("s"))
+      val bs = b.groupBy("bucket")
+        .agg(sum(col("c")).as("n_b"), sum(col("s")).as("pos"))
+      val wB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pre = bs
+        .withColumn("cn", sum(col("n_b")).over(wB))
+        .withColumn("cp", sum(col("pos")).over(wB))
+        .localCheckpoint() // 10-row calibration frame; every step below is KB
+      val pre0 = pre.select(col("bucket"), col("cn"), col("cp"))
+        .unionByName(s.range(1).select(lit(-1).cast("int").as("bucket"),
+          lit(0L).as("cn"), lit(0.0).as("cp")))
+      val avgs = pre0.as("j").join(pre0.as("k"),
+          col("j.bucket") < col("k.bucket"))
+        .select((col("j.bucket") + 1).as("j"), col("k.bucket").as("k"),
+          ((col("k.cp") - col("j.cp")) / (col("k.cn") - col("j.cn"))).as("a"))
+      val mins = avgs.join(pre.select(col("bucket").as("i")),
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("j", "i").agg(min(col("a")).as("mn"))
+      val fit = mins.groupBy("i").agg(max(col("mn")).as("iso"))
+      fit.join(bs, col("i") === col("bucket"))
+        .select(col("i").as("bucket"), col("n_b"),
+          round(col("pos") / col("n_b"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+    },
+
+    // GINI COEFFICIENT of customer spend per market segment (Lorenz-rank
+    // form G = 2·Σ rank·x / (n·Σx) − (n+1)/n). Ranks come from a window
+    // over the CUSTOMER-DIMENSION frame partitioned by segment; ties in
+    // spend break by custkey — Σ rank·x is tie-order-invariant, so the
+    // choice only pins determinism. Spend sums are exact-in-double cents.
+    QDef("x_gini",
+      """WITH spend AS (
+        |  SELECT c.c_mktsegment AS g, c.c_custkey,
+        |    sum(o.o_totalprice) AS x
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x, c_custkey) AS r
+        |  FROM spend)
+        |SELECT g AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(2.0 * sum(r * x) / (count(*) * sum(x))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM ranked GROUP BY 1""".stripMargin) { (s, d) =>
+      val t = Tables(s, d)
+      val spend = t.customer
+        .join(t.orders, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("g"), col("c_custkey"))
+        .agg(sum(col("o_totalprice")).as("x"))
+      val ranked = spend.withColumn("r",
+        row_number().over(Window.partitionBy("g").orderBy("x", "c_custkey")))
+      ranked.groupBy(col("g").as("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(lit(2.0) * sum(col("r") * col("x"))
+            / (count(lit(1)) * sum(col("x")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+    },
+
+    // ZIPF FIT: log-log OLS slope of the rank-frequency curve over the
+    // vocabulary frame (vocab-bounded window; the corpus contributes one
+    // word-count aggregate). regr_slope/regr_r2 are the engine-native
+    // least-squares aggregates in both engines.
+    QDef("x_text_zipf",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (
+        |  SELECT word, CAST(count(*) AS DOUBLE) AS c
+        |  FROM toks WHERE word <> '' GROUP BY 1),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rnk FROM wf)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |  round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(c), ln(rnk)), 6) AS fit_r2
+        |FROM r""".stripMargin) { (s, d) =>
+      val wf = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).cast("double").as("c"))
+      val ranked = wf.withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      ranked.agg(count(lit(1)).as("vocab"),
+        round(regr_slope(log(col("c")), log(col("rnk"))), 6).as("zipf_slope"),
+        round(regr_r2(log(col("c")), log(col("rnk"))), 6).as("fit_r2"))
+    },
+
+    // CENTROID-CLASSIFIER CONFUSION MATRIX: per-label centroids (one
+    // partial-agg'd posexplode pass, label×dim rows) collect to the driver
+    // as broadcast literals (KB training artifact), then assignment is an
+    // IN-ROW argmin over label-count distance structs — array_min's
+    // (dist, label) struct order ties to the smaller label, mirroring the
+    // oracle's ORDER BY dist, cand. Distances snap to 9dp in both engines
+    // (in-row ascending fold vs the oracle's join-sum order).
+    QDef("x_embed_confusion",
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cl, dim, round(avg(x), 6) AS cv FROM e GROUP BY 1, 2),
+        |dists AS (
+        |  SELECT e.vec_id, e.label AS true_label, c.cl AS cand,
+        |    round(sum((CAST(e.x AS DOUBLE) - c.cv)
+        |      * (CAST(e.x AS DOUBLE) - c.cv)), 9) AS dist
+        |  FROM e JOIN cent c ON e.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT vec_id, true_label, cand AS pred_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+        |  FROM dists)
+        |SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS cnt
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val centRows = emb.select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos").agg(round(avg(col("col")), 6).as("cv"))
+        .collect()
+      val dims = centRows.map(_.getInt(1)).max + 1
+      val cents = centRows.groupBy(_.getInt(0)).map { case (l, rows) =>
+        l -> {
+          val a = new Array[Double](dims)
+          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+          a
+        }
+      }.toSeq.sortBy(_._1)
+      val candidates = array(cents.map { case (l, c) =>
+        val cLit = array(c.map(lit): _*)
+        struct(
+          round(aggregate(zip_with(col("embedding"), cLit,
+              (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+            lit(0.0), (acc, x) => acc + x), 9).as("dist"),
+          lit(l).as("cand"))
+      }: _*)
+      emb.select(col("label").as("true_label"),
+          array_min(candidates).getField("cand").as("pred_label"))
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("cnt"))
     }
   )
 }

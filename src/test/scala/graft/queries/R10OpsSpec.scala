@@ -206,6 +206,51 @@ class R10OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) >= 0.0))
   }
 
+  test("x_isotonic: fit is nondecreasing and conserves weighted mass") {
+    val rows = SparkEntry.queries("x_isotonic")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 9))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(3) + 1e-9,
+        s"not monotone at bucket ${b.getInt(0)}")
+    }
+    // PAV preserves the weighted mean: Σ n·iso = Σ n·raw
+    val isoMass = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val rawMass = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(math.abs(isoMass - rawMass) < rawMass * 1e-3)
+  }
+
+  test("x_gini: coefficients in [0,1)") {
+    val rows = SparkEntry.queries("x_gini")(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= -1e-9 && g < 1.0, s"${r.getString(0)} gini $g")
+    }
+  }
+
+  test("x_text_zipf: slope negative (frequency falls with rank), r2 in [0,1]") {
+    val r = SparkEntry.queries("x_text_zipf")(spark, sf).head()
+    assert(r.getLong(0) > 10)
+    assert(r.getDouble(1) < 0.0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("x_embed_confusion: counts partition the corpus; labels closed") {
+    val rows = SparkEntry.queries("x_embed_confusion")(spark, sf).collect()
+    val t = graft.Tables(spark, sf).embeddings
+    val n = t.count()
+    assert(rows.map(_.getLong(2)).sum === n)
+    val labels = t.select("label").distinct().collect().map(_.getInt(0)).toSet
+    rows.foreach { r =>
+      assert(labels(r.getInt(0)) && labels(r.getInt(1)))
+    }
+    // the classifier beats uniform guessing: diagonal mass > 1/|labels|
+    val diag = rows.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    assert(diag.toDouble / n > 1.0 / labels.size,
+      s"diagonal $diag of $n with ${labels.size} labels")
+  }
+
   test("x_jaro_entity: every corrupted name recovers its source above 0.9") {
     val rows = SparkEntry.queries("x_jaro_entity")(spark, sf).collect()
     val names = graft.Tables(spark, sf).part
