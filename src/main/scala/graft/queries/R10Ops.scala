@@ -192,6 +192,123 @@ object R10Ops {
        |SELECT dim, round(sg * val, 6) AS loading FROM v5, sgn""".stripMargin
   }
 
+
+  /** Isotonic-calibration text — PORTABLE (e-notation literals: a decimal
+    * literal is DECIMAL in Spark SQL and would fail the dtype gate), shared
+    * verbatim by the `x_sql_isotonic` twin. */
+  private[queries] val IsotonicSql =
+    """WITH h AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1e0 ELSE 0e0 END AS y
+        |  FROM orders),
+        |hist AS (SELECT v, count(*) AS c, sum(y) AS s FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c, s,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    sum(c) OVER () AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT least(9, CAST(floor(below * 1e1 / n) AS INTEGER)) AS bucket,
+        |    c, s
+        |  FROM cum),
+        |bs AS (
+        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_b, sum(s) AS pos
+        |  FROM b GROUP BY 1),
+        |pre AS (
+        |  SELECT bucket, n_b, pos,
+        |    sum(n_b) OVER (ORDER BY bucket) AS cn,
+        |    sum(pos) OVER (ORDER BY bucket) AS cp
+        |  FROM bs),
+        |pre0 AS (SELECT bucket, cn, cp FROM pre
+        |  UNION ALL SELECT -1, 0, 0e0),
+        |avgs AS (
+        |  SELECT j.bucket + 1 AS j, k.bucket AS k,
+        |    (k.cp - j.cp) / (k.cn - j.cn) AS a
+        |  FROM pre0 j JOIN pre0 k ON j.bucket < k.bucket),
+        |mins AS (
+        |  SELECT a.j, i.bucket AS i, min(a.a) AS mn
+        |  FROM avgs a JOIN pre i ON a.j <= i.bucket AND a.k >= i.bucket
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, max(mn) AS iso FROM mins GROUP BY 1)
+        |SELECT f.i AS bucket, bs.n_b, round(bs.pos / bs.n_b, 6) AS raw_rate,
+        |  round(f.iso, 6) AS iso_rate
+        |FROM fit f JOIN bs ON bs.bucket = f.i""".stripMargin
+
+  /** Gini text — portable, shared verbatim by the `x_sql_gini` twin. */
+  private[queries] val GiniSql =
+    """WITH spend AS (
+        |  SELECT c.c_mktsegment AS g, c.c_custkey,
+        |    sum(o.o_totalprice) AS x
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x, c_custkey) AS r
+        |  FROM spend)
+        |SELECT g AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(2e0 * sum(r * x) / (count(*) * sum(x))
+        |    - (count(*) + 1e0) / count(*), 6) AS gini
+        |FROM ranked GROUP BY 1""".stripMargin
+
+  /** Binary-segmentation changepoint text — portable, shared verbatim by
+    * the `x_sql_changepoint` twin. One split of the daily value series at
+    * the day maximizing the within-segment variance reduction, all from
+    * prefix sums over the calendar-bounded frame (cumsum order is the
+    * sequential window order in BOTH engines, so the doubles agree
+    * exactly before the final rounding). */
+  private[queries] val ChangepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+      |  FROM events GROUP BY 1),
+      |pre AS (
+      |  SELECT d, v,
+      |    row_number() OVER (ORDER BY d) AS i,
+      |    sum(v) OVER (ORDER BY d) AS s,
+      |    sum(v * v) OVER (ORDER BY d) AS q,
+      |    count(*) OVER () AS n,
+      |    sum(v) OVER () AS st,
+      |    sum(v * v) OVER () AS qt
+      |  FROM pre0),
+      |cand AS (
+      |  SELECT d, i, n,
+      |    (qt - st * st / n)
+      |      - ((q - s * s / i) + ((qt - q) - (st - s) * (st - s) / (n - i)))
+      |      AS red,
+      |    s / i AS mean_left, (st - s) / (n - i) AS mean_right
+      |  FROM pre WHERE i < n),
+      |best AS (
+      |  SELECT *, row_number() OVER (ORDER BY red DESC, d) AS rk FROM cand)
+      |SELECT d AS last_day_left, round(mean_left, 6) AS mean_left,
+      |  round(mean_right, 6) AS mean_right, round(red, 6) AS var_reduction
+      |FROM best WHERE rk = 1""".stripMargin
+      .replace("FROM pre0)", "FROM daily)")
+
+  /** Degree-assortativity text — portable, shared verbatim by the
+    * `x_sql_assortativity` twin. Pearson correlation of endpoint degrees
+    * over the symmetrized sparse trade graph. */
+  private[queries] val AssortSql =
+    """WITH pc AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE l.l_extendedprice > 100000 AND s.s_nationkey <> c.c_nationkey
+      |  GROUP BY 1, 2),
+      |e0 AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (ORDER BY w DESC, src, dst) AS rk
+      |    FROM pc)
+      |  WHERE rk <= 60),
+      |und AS (SELECT src AS u, dst AS v FROM e0
+      |  UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS k FROM und GROUP BY 1)
+      |SELECT round(corr(du.k, dv.k), 6) AS assortativity,
+      |  CAST(count(*) AS BIGINT) AS m_directed
+      |FROM und JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // FUZZY ENTITY SCORING: a transposition-corrupted feed matched to the
@@ -710,43 +827,7 @@ object R10Ops {
     // float arithmetic, so no rounding snaps are needed before the final
     // 6dp release.
     QDef("x_isotonic",
-      """WITH h AS (
-        |  SELECT o_totalprice AS v,
-        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
-        |  FROM orders),
-        |hist AS (SELECT v, count(*) AS c, sum(y) AS s FROM h GROUP BY 1),
-        |cum AS (
-        |  SELECT v, c, s,
-        |    coalesce(sum(c) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
-        |    sum(c) OVER () AS n
-        |  FROM hist),
-        |b AS (
-        |  SELECT least(9, CAST(floor(below * 10.0 / n) AS INTEGER)) AS bucket,
-        |    c, s
-        |  FROM cum),
-        |bs AS (
-        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS n_b, sum(s) AS pos
-        |  FROM b GROUP BY 1),
-        |pre AS (
-        |  SELECT bucket, n_b, pos,
-        |    sum(n_b) OVER (ORDER BY bucket) AS cn,
-        |    sum(pos) OVER (ORDER BY bucket) AS cp
-        |  FROM bs),
-        |pre0 AS (SELECT bucket, cn, cp FROM pre
-        |  UNION ALL SELECT -1, 0, 0.0),
-        |avgs AS (
-        |  SELECT j.bucket + 1 AS j, k.bucket AS k,
-        |    (k.cp - j.cp) / (k.cn - j.cn) AS a
-        |  FROM pre0 j JOIN pre0 k ON j.bucket < k.bucket),
-        |mins AS (
-        |  SELECT a.j, i.bucket AS i, min(a.a) AS mn
-        |  FROM avgs a JOIN pre i ON a.j <= i.bucket AND a.k >= i.bucket
-        |  GROUP BY 1, 2),
-        |fit AS (SELECT i, max(mn) AS iso FROM mins GROUP BY 1)
-        |SELECT f.i AS bucket, bs.n_b, round(bs.pos / bs.n_b, 6) AS raw_rate,
-        |  round(f.iso, 6) AS iso_rate
-        |FROM fit f JOIN bs ON bs.bucket = f.i""".stripMargin) { (s, d) =>
+      IsotonicSql) { (s, d) =>
       val h = Tables(s, d).orders.select(col("o_totalprice").as("v"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
       val hist = h.groupBy("v").agg(count(lit(1)).as("c"), sum(col("y")).as("s"))
@@ -788,19 +869,7 @@ object R10Ops {
     // spend break by custkey — Σ rank·x is tie-order-invariant, so the
     // choice only pins determinism. Spend sums are exact-in-double cents.
     QDef("x_gini",
-      """WITH spend AS (
-        |  SELECT c.c_mktsegment AS g, c.c_custkey,
-        |    sum(o.o_totalprice) AS x
-        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT g, x,
-        |    row_number() OVER (PARTITION BY g ORDER BY x, c_custkey) AS r
-        |  FROM spend)
-        |SELECT g AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
-        |  round(2.0 * sum(r * x) / (count(*) * sum(x))
-        |    - (count(*) + 1.0) / count(*), 6) AS gini
-        |FROM ranked GROUP BY 1""".stripMargin) { (s, d) =>
+      GiniSql) { (s, d) =>
       val t = Tables(s, d)
       val spend = t.customer
         .join(t.orders, col("o_custkey") === col("c_custkey"))
@@ -892,6 +961,101 @@ object R10Ops {
           array_min(candidates).getField("cand").as("pred_label"))
         .groupBy("true_label", "pred_label")
         .agg(count(lit(1)).as("cnt"))
+    },
+
+    // CHANGEPOINT (binary segmentation, one split): the day that maximizes
+    // the within-segment variance reduction of the daily mean-value
+    // series, from prefix sums over the calendar-bounded frame — cumsum
+    // runs in the sequential window order in BOTH engines, so the doubles
+    // agree exactly until the final rounding. Complements CUSUM (which
+    // detects drift against a known baseline; this LOCATES the break).
+    QDef("x_changepoint", ChangepointSql) { (s, d) =>
+      val daily = Tables(s, d).events
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val ord = Window.orderBy("d")
+      val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val all = Window.partitionBy(lit(1))
+      val pre = daily
+        .withColumn("i", row_number().over(ord))
+        .withColumn("s", sum(col("v")).over(cum))
+        .withColumn("q", sum(col("v") * col("v")).over(cum))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("st", sum(col("v")).over(all))
+        .withColumn("qt", sum(col("v") * col("v")).over(all))
+      val cand = pre.filter(col("i") < col("n"))
+        .select(col("d"),
+          ((col("qt") - col("st") * col("st") / col("n"))
+            - ((col("q") - col("s") * col("s") / col("i"))
+              + ((col("qt") - col("q"))
+                - (col("st") - col("s")) * (col("st") - col("s"))
+                  / (col("n") - col("i"))))).as("red"),
+          (col("s") / col("i")).as("mean_left"),
+          ((col("st") - col("s")) / (col("n") - col("i"))).as("mean_right"))
+      cand.withColumn("rk",
+          row_number().over(Window.orderBy(col("red").desc, col("d"))))
+        .filter(col("rk") === 1)
+        .select(col("d").as("last_day_left"),
+          round(col("mean_left"), 6).as("mean_left"),
+          round(col("mean_right"), 6).as("mean_right"),
+          round(col("red"), 6).as("var_reduction"))
+    },
+
+    QDef("x_sql_changepoint", ChangepointSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "events")
+      s.sql(ChangepointSql)
+    },
+
+    // DEGREE ASSORTATIVITY of the sparse trade graph: Pearson correlation
+    // of endpoint degrees over the symmetrized edge list — do high-degree
+    // nations trade with high-degree nations? Degrees frame is dim-sized;
+    // the corpus cost is the one edge-derivation pass.
+    QDef("x_graph_assortativity", AssortSql) { (s, d) =>
+      val t = Tables(s, d)
+      // top-60 edges by trade volume: a SCALE-STABLE sparsification — a
+      // fixed price threshold saturates to the complete graph as the
+      // corpus grows (zero degree variance → corr divides by zero); the
+      // rank cut keeps the density, and the window runs on the
+      // dim²-bounded pair-count frame
+      val pc = t.lineitem.filter(col("l_extendedprice") > 100000)
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val e0 = pc.withColumn("rk", row_number().over(
+          Window.orderBy(col("w").desc, col("src"), col("dst"))))
+        .filter(col("rk") <= 60)
+        .select("src", "dst")
+      val und = e0.select(col("src").as("u"), col("dst").as("v"))
+        .union(e0.select(col("dst"), col("src"))).distinct()
+      val deg = und.groupBy("u").agg(count(lit(1)).cast("double").as("k"))
+      und
+        .join(deg.select(col("u").as("_u"), col("k").as("ku")), col("u") === col("_u"))
+        .join(deg.select(col("u").as("_v"), col("k").as("kv")), col("v") === col("_v"))
+        .agg(round(corr(col("ku"), col("kv")), 6).as("assortativity"),
+          count(lit(1)).as("m_directed"))
+    },
+
+    QDef("x_sql_assortativity", AssortSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem", "orders", "customer", "supplier")
+      s.sql(AssortSql)
+    },
+
+    // Portable-text twins of the isotonic and Gini queries (e-notation
+    // literals keep Spark SQL's types DOUBLE — a decimal literal would
+    // come out DECIMAL and fail the driver's dtype gate).
+    QDef("x_sql_isotonic", IsotonicSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "orders")
+      s.sql(IsotonicSql)
+    },
+
+    QDef("x_sql_gini", GiniSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "customer", "orders")
+      s.sql(GiniSql)
     }
   )
 }

@@ -251,6 +251,32 @@ class R10OpsSpec extends SparkSpec {
       s"diagonal $diag of $n with ${labels.size} labels")
   }
 
+  test("x_changepoint: split is optimal among all candidate days") {
+    val best = SparkEntry.queries("x_changepoint")(spark, sf).head()
+    assert(best.getDouble(3) >= 0.0) // variance can only fall at a split
+    // recompute every candidate's reduction and confirm argmax
+    val daily = graft.Tables(spark, sf).events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(avg(col("value")), 6).as("v"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getDouble(1))
+      .sortBy(_._1.toEpochDay)
+    val xs = daily.map(_._2)
+    def ss(a: Seq[Double]) = a.map(x => x * x).sum - math.pow(a.sum, 2) / a.length
+    val total = ss(xs.toSeq)
+    val reds = (1 until xs.length).map { k =>
+      daily(k - 1)._1 -> (total - ss(xs.take(k).toSeq) - ss(xs.drop(k).toSeq))
+    }
+    val (bd, br) = reds.maxBy(_._2)
+    assert(best.getDate(0).toLocalDate === bd)
+    assert(math.abs(best.getDouble(3) - br) < 1e-6)
+  }
+
+  test("x_graph_assortativity: coefficient in [-1,1] over a non-degenerate graph") {
+    val r = SparkEntry.queries("x_graph_assortativity")(spark, sf).head()
+    assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)
+    assert(r.getLong(1) > 0)
+  }
+
   test("x_jaro_entity: every corrupted name recovers its source above 0.9") {
     val rows = SparkEntry.queries("x_jaro_entity")(spark, sf).collect()
     val names = graft.Tables(spark, sf).part
