@@ -202,12 +202,22 @@ object R10Ops {
         |    CASE WHEN o_orderstatus = 'F' THEN 1e0 ELSE 0e0 END AS y
         |  FROM orders),
         |hist AS (SELECT v, count(*) AS c, sum(y) AS s FROM h GROUP BY 1),
-        |cum AS (
-        |  SELECT v, c, s,
-        |    coalesce(sum(c) OVER (ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
-        |    sum(c) OVER () AS n
+        |hb AS (SELECT CAST(floor(v / 1000) AS BIGINT) AS bin, v, c, s
         |  FROM hist),
+        |binpre AS (
+        |  SELECT bin,
+        |    coalesce(sum(bc) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bin_below,
+        |    sum(bc) OVER () AS n
+        |  FROM (SELECT bin, sum(c) AS bc FROM hb GROUP BY 1)),
+        |cum AS (
+        |  SELECT hb.v, hb.c, hb.s,
+        |    bp.bin_below + coalesce(sum(hb.c) OVER (PARTITION BY hb.bin
+        |      ORDER BY hb.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    bp.n
+        |  FROM hb JOIN binpre bp ON hb.bin = bp.bin),
         |b AS (
         |  SELECT least(9, CAST(floor(below * 1e1 / n) AS INTEGER)) AS bucket,
         |    c, s
@@ -235,17 +245,30 @@ object R10Ops {
         |  round(f.iso, 6) AS iso_rate
         |FROM fit f JOIN bs ON bs.bucket = f.i""".stripMargin
 
-  /** Gini text — portable, shared verbatim by the `x_sql_gini` twin. */
+  /** Gini text — portable, shared verbatim by the `x_sql_gini` twin.
+    * Lorenz ranks come from the binned two-level prefix (bin offset +
+    * within-bin row_number), so even the SQL-parsed plan sorts only
+    * (segment, spend-bin) slices — the spend domain bounds the bin frame,
+    * never the customer count. */
   private[queries] val GiniSql =
     """WITH spend AS (
         |  SELECT c.c_mktsegment AS g, c.c_custkey,
         |    sum(o.o_totalprice) AS x
         |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2),
+        |sb AS (SELECT g, c_custkey, x,
+        |  CAST(floor(x / 20000) AS BIGINT) AS bin FROM spend),
+        |binpre AS (
+        |  SELECT g, bin,
+        |    coalesce(sum(bc) OVER (PARTITION BY g ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bin_below
+        |  FROM (SELECT g, bin, count(*) AS bc FROM sb GROUP BY 1, 2)),
         |ranked AS (
-        |  SELECT g, x,
-        |    row_number() OVER (PARTITION BY g ORDER BY x, c_custkey) AS r
-        |  FROM spend)
+        |  SELECT sb.g, sb.x,
+        |    bp.bin_below + row_number() OVER (PARTITION BY sb.g, sb.bin
+        |      ORDER BY sb.x, sb.c_custkey) AS r
+        |  FROM sb JOIN binpre bp ON sb.g = bp.g AND sb.bin = bp.bin)
         |SELECT g AS c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
         |  round(2e0 * sum(r * x) / (count(*) * sum(x))
         |    - (count(*) + 1e0) / count(*), 6) AS gini
@@ -269,7 +292,7 @@ object R10Ops {
       |    count(*) OVER () AS n,
       |    sum(v) OVER () AS st,
       |    sum(v * v) OVER () AS qt
-      |  FROM pre0),
+      |  FROM daily),
       |cand AS (
       |  SELECT d, i, n,
       |    (qt - st * st / n)
@@ -282,7 +305,6 @@ object R10Ops {
       |SELECT d AS last_day_left, round(mean_left, 6) AS mean_left,
       |  round(mean_right, 6) AS mean_right, round(red, 6) AS var_reduction
       |FROM best WHERE rk = 1""".stripMargin
-      .replace("FROM pre0)", "FROM daily)")
 
   /** Degree-assortativity text — portable, shared verbatim by the
     * `x_sql_assortativity` twin. Pearson correlation of endpoint degrees
@@ -430,13 +452,17 @@ object R10Ops {
 
     // QUANTILE NORMALIZATION: each segment's price distribution mapped onto
     // the GLOBAL distribution (segment percent-rank → global quantile
-    // value) — the batch-effect correction recipe. Ranks come from
-    // HISTOGRAM-COMPRESSED frames (distinct (value → count), exact because
-    // percent_rank = cum-count-below / (n−1) depends only on the value), so
-    // the only unpartitioned window runs over the compressed value frame,
-    // never full rows; the rank→quantile mapping is the native as-of join
-    // on integer-quantized rank keys. Oracle = row-level percent_rank +
-    // DuckDB's ASOF JOIN.
+    // value) — the batch-effect correction recipe. Exact ranks come from
+    // [[graft.ops.BinnedRank]] (price-domain-bounded bin frame + per-bin
+    // slices; percent_rank = cum-count-below / (n−1) depends only on the
+    // value, so the distinct-value histogram is lossless). The
+    // rank→quantile as-of mapping is itself BINNED: rk ∈ [0, 1e6] splits
+    // into 1001 rank bins, the within-bin as-of union-window partitions by
+    // rank bin (1001-way, never one key), and a misses-the-bin lookup
+    // falls back to a carry table built on the bounded bin frame. The
+    // (n−1) divisor is guarded with greatest(·,1) in BOTH engines so a
+    // single-distinct-value frame degrades identically instead of
+    // NaN-diverging. Oracle = row-level percent_rank + DuckDB ASOF JOIN.
     QDef("x_quantile_norm",
       """WITH oc AS (
         |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
@@ -444,13 +470,14 @@ object R10Ops {
         |seg AS (
         |  SELECT g, v,
         |    CAST(round((rank() OVER (PARTITION BY g ORDER BY v) - 1)
-        |      / (count(*) OVER (PARTITION BY g) - 1) * 1000000) AS BIGINT) AS rk
+        |      / greatest(count(*) OVER (PARTITION BY g) - 1, 1) * 1000000)
+        |      AS BIGINT) AS rk
         |  FROM oc),
         |segd AS (SELECT DISTINCT g, v, rk FROM seg),
         |gq AS (
         |  SELECT DISTINCT v AS gv,
         |    CAST(round((rank() OVER (ORDER BY v) - 1)
-        |      / (count(*) OVER () - 1) * 1000000) AS BIGINT) AS rk
+        |      / greatest(count(*) OVER () - 1, 1) * 1000000) AS BIGINT) AS rk
         |  FROM oc),
         |globd AS (SELECT rk, max(gv) AS gv FROM gq GROUP BY rk),
         |m AS (SELECT g, gv FROM segd ASOF JOIN globd ON segd.rk >= globd.rk)
@@ -464,26 +491,40 @@ object R10Ops {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
       def rankKey(below: Column, n: Column): Column =
-        round(below.cast("double") / (n - lit(1)) * lit(1000000)).cast("bigint")
-      val wSegBelow = Window.partitionBy("g").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wSegAll = Window.partitionBy("g")
-      val seg = oc.groupBy("g", "v").agg(count(lit(1)).as("c"))
-        .withColumn("below", coalesce(sum(col("c")).over(wSegBelow), lit(0L)))
-        .withColumn("n", sum(col("c")).over(wSegAll))
+        round(below.cast("double") / greatest(n - lit(1), lit(1L))
+          * lit(1000000)).cast("bigint")
+      val priceBin = floor(col("v") / lit(1000)).cast("bigint")
+      val seg = graft.ops.BinnedRank.belowAndN(
+          oc.groupBy("g", "v").agg(count(lit(1)).as("c")),
+          Seq("g"), priceBin, Seq(col("v")), col("c"))
         .select(col("g"), col("v"), rankKey(col("below"), col("n")).as("rk"))
-      // compressed global frame: distinct values only (the one
-      // unpartitioned window in the plan — value-domain-bounded, not N)
-      val wGlobBelow = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wGlobAll = Window.partitionBy(lit(1))
-      val glob = oc.groupBy("v").agg(count(lit(1)).as("c"))
-        .withColumn("below", coalesce(sum(col("c")).over(wGlobBelow), lit(0L)))
-        .withColumn("n", sum(col("c")).over(wGlobAll))
+      val glob = graft.ops.BinnedRank.belowAndN(
+          oc.groupBy("v").agg(count(lit(1)).as("c")),
+          Seq.empty, priceBin, Seq(col("v")), col("c"))
         .select(rankKey(col("below"), col("n")).as("rk"), col("v").as("gv"))
+      // rank-binned as-of: globd collapsed per rk (max gv, the oracle's
+      // tie-break), then looked up within each 1000-wide rank bin; a seg
+      // row whose bin holds no earlier glob rk takes the previous bins'
+      // carry (last max-rk gv, computed on the ≤1001-row bin frame).
+      // rk 0 always exists (the global minimum), so bin 0 never misses.
+      val rkBin = floor(col("rk") / lit(1000)).cast("bigint")
+      val globd = glob.groupBy("rk").agg(max(col("gv")).as("gv"))
+        .withColumn("rkbin", rkBin)
+      // carry over the DENSE [0,1000] bin domain (a seg bin may hold no
+      // glob row at all — it still needs the last earlier-bin value)
+      val wCarry = Window.orderBy("rkbin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = s.range(0, 1001).select(col("id").as("rkbin"))
+        .join(globd.groupBy("rkbin")
+          .agg(max(struct(col("rk"), col("gv"))).as("lastg")),
+          Seq("rkbin"), "left")
+        .withColumn("prev", last(col("lastg"), ignoreNulls = true).over(wCarry))
+        .select(col("rkbin"), col("prev").getField("gv").as("carry_gv"))
       val m = AsOfJoin.asofJoin(
-        seg.withColumn("k", lit(1)), glob.withColumn("k", lit(1)),
-        key = "k", ts = "rk", valueCol = "gv", valueAlias = "norm")
+          seg.withColumn("rkbin", rkBin), globd,
+          key = "rkbin", ts = "rk", valueCol = "gv", valueAlias = "norm0")
+        .join(broadcast(carry), Seq("rkbin"), "left")
+        .withColumn("norm", coalesce(col("norm0"), col("carry_gv")))
       m.groupBy(col("g").as("c_mktsegment"))
         .agg(count(lit(1)).as("n_values"),
           round(avg(col("norm")), 6).as("avg_norm"),
@@ -831,11 +872,11 @@ object R10Ops {
       val h = Tables(s, d).orders.select(col("o_totalprice").as("v"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
       val hist = h.groupBy("v").agg(count(lit(1)).as("c"), sum(col("y")).as("s"))
-      val wBelow = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-      val wAll = Window.partitionBy(lit(1))
-      val b = hist
-        .withColumn("below", coalesce(sum(col("c")).over(wBelow), lit(0L)))
-        .withColumn("n", sum(col("c")).over(wAll))
+      // decile assignment from the binned two-level prefix (BinnedRank):
+      // the unpartitioned window runs over ≤500 price bins, and the
+      // distinct-price frame sorts in per-bin slices
+      val b = graft.ops.BinnedRank.belowAndN(hist, Seq.empty,
+          floor(col("v") / lit(1000)).cast("bigint"), Seq(col("v")), col("c"))
         .select(least(lit(9), floor(col("below") * 10.0 / col("n")).cast("int"))
           .as("bucket"), col("c"), col("s"))
       val bs = b.groupBy("bucket")
@@ -864,10 +905,12 @@ object R10Ops {
     },
 
     // GINI COEFFICIENT of customer spend per market segment (Lorenz-rank
-    // form G = 2·Σ rank·x / (n·Σx) − (n+1)/n). Ranks come from a window
-    // over the CUSTOMER-DIMENSION frame partitioned by segment; ties in
-    // spend break by custkey — Σ rank·x is tie-order-invariant, so the
-    // choice only pins determinism. Spend sums are exact-in-double cents.
+    // form G = 2·Σ rank·x / (n·Σx) − (n+1)/n). Lorenz ranks via
+    // [[graft.ops.BinnedRank]]: bin offset (spend-domain-bounded frame) +
+    // within-(segment, bin) row_number — no task ever sorts a whole
+    // segment's customers. Ties in spend break by custkey — Σ rank·x is
+    // tie-order-invariant, so the choice only pins determinism. Spend sums
+    // are exact-in-double cents.
     QDef("x_gini",
       GiniSql) { (s, d) =>
       val t = Tables(s, d)
@@ -875,8 +918,10 @@ object R10Ops {
         .join(t.orders, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("g"), col("c_custkey"))
         .agg(sum(col("o_totalprice")).as("x"))
-      val ranked = spend.withColumn("r",
-        row_number().over(Window.partitionBy("g").orderBy("x", "c_custkey")))
+      val ranked = graft.ops.BinnedRank.belowAndN(spend, Seq("g"),
+          floor(col("x") / lit(20000)).cast("bigint"),
+          Seq(col("x"), col("c_custkey")), lit(1L))
+        .withColumn("r", col("below") + lit(1L))
       ranked.groupBy(col("g").as("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
           round(lit(2.0) * sum(col("r") * col("x"))
@@ -884,10 +929,18 @@ object R10Ops {
             - (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
     },
 
-    // ZIPF FIT: log-log OLS slope of the rank-frequency curve over the
-    // vocabulary frame (vocab-bounded window; the corpus contributes one
-    // word-count aggregate). regr_slope/regr_r2 are the engine-native
-    // least-squares aggregates in both engines.
+    // ZIPF FIT: log-log OLS slope of the rank-frequency curve. The corpus
+    // contributes one word-count aggregate; vocabulary ranks (c DESC, word)
+    // are then assembled WITHOUT a global vocab sort (vocab grows with the
+    // corpus — Heaps' law) via two BinnedRank passes:
+    //  level A  r0(c) = words with count > c, from the count histogram
+    //           binned by -⌊log2 c⌋ (≤ ~40 bins; a log-bin holds
+    //           ≤ min(2^k, vocab·2^-k) distinct counts — sub-√vocab each);
+    //  level B  tie order within c, binned by the word's 2-char prefix
+    //           (charset²-bounded) — the c=1 hapax mass spreads over
+    //           (1, prefix) partitions instead of one tie run.
+    // rnk = r0 + within-tie rank; the regression is then one map-side
+    // combined regr_slope/regr_r2 aggregate in both engines.
     QDef("x_text_zipf",
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
@@ -904,8 +957,14 @@ object R10Ops {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).cast("double").as("c"))
-      val ranked = wf.withColumn("rnk",
-        row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      val ch = wf.groupBy("c").agg(count(lit(1)).as("m"))
+      val r0 = graft.ops.BinnedRank.belowAndN(ch, Seq.empty,
+          (-floor(log2(col("c")))).cast("bigint"), Seq(col("c").desc), col("m"))
+        .select(col("c"), col("below").as("r0"))
+      val ranked = graft.ops.BinnedRank.belowAndN(wf, Seq("c"),
+          substring(col("word"), 1, 2), Seq(col("word")), lit(1L))
+        .join(broadcast(r0), "c")
+        .withColumn("rnk", col("r0") + col("below") + lit(1L))
       ranked.agg(count(lit(1)).as("vocab"),
         round(regr_slope(log(col("c")), log(col("rnk"))), 6).as("zipf_slope"),
         round(regr_r2(log(col("c")), log(col("rnk"))), 6).as("fit_r2"))

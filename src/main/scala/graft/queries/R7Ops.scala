@@ -759,19 +759,24 @@ object R7Ops {
     },
 
     // EXACT per-group percentiles (Spark `percentile`, linear
-    // interpolation) — the small-group complement of x_sketch_quantile's
-    // mergeable KLL posture: per-group exact sorts are fine when groups
-    // are bounded (here: 3 return flags); unbounded groups at 100 TB take
-    // the sketch path instead. Over integer-valued l_quantity both
-    // engines interpolate on exactly-representable doubles.
+    // interpolation), HISTOGRAM-COMPRESSED: l_quantity is integer-valued
+    // with ~50 distinct values, so a (flag, quantity) pre-aggregate turns
+    // the percentile's per-group buffer from O(N/groups) rows into
+    // O(distinct) weighted entries — `percentile(v, p, freq)` interpolates
+    // on the weighted histogram exactly as on the raw rows. Values with
+    // genuinely unbounded domains take x_sketch_quantile's mergeable KLL
+    // path instead. Over integer-valued l_quantity both engines
+    // interpolate on exactly-representable doubles.
     QDef("x_percentile_exact",
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
       Tables(s, d).lineitem
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("freq"))
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))").as("ps"))
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D), freq)").as("ps"))
         .select(col("l_returnflag"),
           round(element_at(col("ps"), 1), 6).as("p50"),
           round(element_at(col("ps"), 2), 6).as("p90"))

@@ -1313,12 +1313,14 @@ object R9Ops {
             col("n").cast("long").as("at_risk"), col("surv").as("survival"))
     },
 
-    // Customer-value deciles: per-customer spend ranked into ntile(10)
-    // with a total (spend DESC, custkey) tie order, then per-decile size
-    // and spend stats. The ranked frame is customer-dimension-sized (the
-    // budget-select carve-out: the global sort orders an aggregate, never
-    // the fact corpus); at 100 TB the same cut would come from
-    // approx-percentile boundaries instead of an exact global ntile.
+    // Customer-value deciles: per-customer spend cut into ntile(10) with a
+    // total (spend DESC, custkey) tie order. The engine never runs a
+    // global one-partition ntile: ranks come from [[graft.ops.BinnedRank]]
+    // (spend-domain bins, negated for the DESC order), and the tile falls
+    // out of ntile's closed form — with n rows, b = n mod 10 leading tiles
+    // of size s+1 = ⌊n/10⌋+1, so tile(r) = ⌈r/(s+1)⌉ for r ≤ b(s+1), else
+    // b + ⌈(r − b(s+1))/s⌉ — pure arithmetic on (r, n), map-side. The
+    // exact window form lives only in the oracle SQL.
     QDef("x_ntile_deciles",
       """WITH spend AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
@@ -1330,12 +1332,22 @@ object R9Ops {
         |  round(sum(spend), 2) AS total_spend,
         |  round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
         |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val spend = Tables(s, d).orders.groupBy("o_custkey")
         .agg(round(sum(col("o_totalprice")), 2).as("spend"))
-      spend
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+      val ranked = graft.ops.BinnedRank.belowAndN(spend, Seq.empty,
+          (-floor(col("spend") / lit(20000))).cast("bigint"),
+          Seq(col("spend").desc, col("o_custkey")), lit(1L))
+        .withColumn("r", col("below") + lit(1L))
+      // ntile(10) closed form; doubles are exact here (counts ≪ 2^53)
+      val sSize = floor(col("n") / lit(10.0))
+      val b = col("n") - sSize * lit(10.0)
+      val cutoff = b * (sSize + lit(1.0))
+      val decile = when(col("r") <= cutoff,
+          floor((col("r") - lit(1.0)) / (sSize + lit(1.0))) + lit(1.0))
+        .otherwise(lit(1.0) + b
+          + floor((col("r") - cutoff - lit(1.0)) / greatest(sSize, lit(1.0))))
+        .cast("int")
+      ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), round(sum(col("spend")), 2).as("total_spend"),
           round(min(col("spend")), 2).as("min_spend"),
