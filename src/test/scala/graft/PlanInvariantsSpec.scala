@@ -7,66 +7,81 @@ package graft
   *  - `CartesianProduct`: a non-broadcast cross join means BOTH sides were
   *    too big to broadcast — O(|L|·|R|) over real data. (1-row stats glue
   *    plans as BroadcastNestedLoopJoin and stays allowed.)
-  *  - `Exchange SinglePartition` under a corpus-scale operator: the whole
-  *    dataset funneling through one task. Global scalar aggregates plan a
+  *  - `Exchange SinglePartition` under a non-aggregate consumer: the input
+  *    funnels through one task. Global scalar aggregates plan a
   *    partial/final pair whose final exchange carries one row per task —
-  *    that is fine and allowed; the invariant targets the operators whose
-  *    INPUT is corpus-sized (dedup, packing, text, sampling families,
-  *    where a careless global window/sort would hide).
+  *    fine, allowed. Everything else (global sorts/windows) must name the
+  *    BOUNDED frame it orders in [[boundedFrame]] — and the round-7 lesson
+  *    is that a carve-out comment can be wrong (x_quantile_norm called a
+  *    distinct-continuous-value frame "value-domain-bounded" when it was
+  *    ≈ row-count-sized), so every carve-out is also validated
+  *    DYNAMICALLY: the query runs at sf0.01 and sf0.1 and the records
+  *    actually written into its SinglePartition shuffles must not grow
+  *    with the data (10× rows → ≤3× records, or stay under 2000 rows).
+  *    Bin/calendar/log-histogram frames are flat under that probe;
+  *    sf-proportional funnels show ≈10× and fail.
   *
-  * Plans are built at sf0.001 (construction only — side-effecting queries
-  * write their small fixtures, nothing large executes).
+  * Static plans are built at sf0.001 (construction only); the dynamic
+  * probe executes only the carved-out names.
   */
 class PlanInvariantsSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfStatic = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+  private val sfBig = "/root/testdata/sf0.1"
 
-  // corpus-scale families: their full input must never cross one task.
-  // (Global 1-row aggregates still appear INSIDE some as broadcast stats;
-  // those exchanges carry partial rows, and the check below tolerates a
-  // SinglePartition exchange only when it feeds a 1-row aggregate —
-  // detected by the final HashAggregate/ObjectHashAggregate right above.)
-  private val corpusScale = Set(
-    "x_dedup_exact", "x_dedup_minhash_lsh", "x_dedup_simhash",
-    "x_dedup_ngram_jaccard", "x_dedup_embedding", "x_dedup_clean",
-    "x_text_langid",
-    "x_text_quality", "x_text_tokens", "x_text_fingerprint",
-    "x_text_entropy", "x_feature_hash", "x_pack_chunks", "x_pack_greedy",
-    "x_interleave", "x_mix_sources", "x_split_assign", "x_split_kfold",
-    "x_sample_stratified", "x_sample_weighted", "x_sample_balance",
-    "x_contamination", "x_ewma", "x_rolling_time", "x_normalize",
-    // round-6 batch 2 (x_budget_select is excluded BY DESIGN: its KB
-    // histogram window is an unpartitioned exchange over the aggregated
-    // bins frame, consumed by Sort→Window — R6OpsSpec carries the
-    // tailored assertion that it is fed by the bin aggregate, never
-    // corpus rows)
-    "x_contamination_fuzzy", "x_mm_neardup", "x_pack_length_buckets",
-    "x_split_group", "x_stream_distinct",
-    // round 7 (x_bpe_pairs and x_rrf_fusion are excluded BY DESIGN: their
-    // final rank windows sort bounded aggregates — charset²-sized pair
-    // counts / two 10-row rank lists — never corpus rows, the same
-    // carve-out as x_budget_select's histogram window)
-    "x_funnel_steps", "x_cdc_apply", "x_snapshot_diff", "x_drift_psi",
-    // round 9 (x_ntile_deciles, x_survival_km and x_skyline are excluded
-    // BY DESIGN: their global windows order customer-dimension /
-    // horizon-hour aggregate frames / the KB local-survivor union, never
-    // corpus rows — the x_budget_select carve-out; SkylineSpec carries the
-    // tailored assertion that the single-partition pass is fed by the
-    // bucket-local Filter, and the corpus-sized window is hash-partitioned)
-    "x_basket_pairs", "x_seq_transitions", "x_retention_cohorts",
-    "x_text_postings", "x_stream_ewma", "x_grid_knn",
-    "x_incremental_join", "x_seasonal_dow", "x_time_weighted",
-    "x_hist2d", "x_stream_anomaly", "x_dedup_srp", "x_text_boilerplate",
-    "x_text_pmi", "x_shard_rendezvous", "x_mutual_info",
-    "x_path_trigrams", "x_sparse_cosine", "x_bootstrap_ci",
-    "x_sim_binary_topk", "x_token_fertility", "x_regr_by_group",
-    "x_t_closeness", "x_rank_features", "x_nb_langid", "x_target_encode")
+  /** Complete inventory of intentional non-aggregate SinglePartition
+    * exchanges: name → the bounded frame its global sort/window orders.
+    * Opt-out, not opt-in: any OTHER registered query that plans one fails
+    * the static test; any entry here whose plan no longer needs it fails
+    * as stale; and every entry must hold up under the dynamic growth
+    * probe. */
+  private val boundedFrame: Map[String, String] = Map(
+    "x_acf" -> "daily-series lag frame — calendar-bounded",
+    "x_sql_acf" -> "daily-series lag frame — calendar-bounded (SQL twin)",
+    "x_budget_select" ->
+      "floor(score*1000) quality-bin histogram — score-domain <=1001 bins",
+    "x_sql_budget" -> "same quality-bin histogram (SQL twin)",
+    "x_pipeline_pretrain" ->
+      "final budgetSelect stage: the same quality-bin histogram window",
+    "x_changepoint" -> "daily prefix-sum frame — calendar-bounded",
+    "x_sql_changepoint" -> "daily prefix-sum frame (SQL twin)",
+    "x_cusum_drift" -> "daily mean series — calendar-bounded",
+    "x_sql_cusum" -> "daily mean series (SQL twin)",
+    "x_funnel_timing" ->
+      "view->purchase whole-minutes histogram — horizon-bounded",
+    "x_isotonic" -> "floor(price/1000) bin frame — price-domain <=500 bins",
+    "x_sql_isotonic" -> "same price-bin frame (SQL twin)",
+    "x_ntile_deciles" ->
+      "floor(spend/20000) bin frame — spend-domain-bounded (BinnedRank)",
+    "x_quantile_norm" ->
+      "price-bin frames + dense 1001-row rank-bin carry table",
+    "x_rolling_corr" -> "daily two-series frame — calendar-bounded",
+    "x_sql_rolling" -> "daily two-series frame (SQL twin)",
+    "x_skyline" ->
+      "KB local-survivor union — SkylineSpec pins the bucket-local feed",
+    "x_survival_km" -> "duration-hours at-risk histogram — horizon-bounded",
+    "x_text_zipf" -> "floor(log2(count)) bin frame — ~40 log bins")
+
+  private def staticSuspect(planStr: String): Boolean = {
+    val lines = planStr.linesIterator.toVector
+    lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Exchange SinglePartition") && {
+        // tolerated only as the final leg of a 1-row global aggregate: the
+        // operator directly consuming it must be an aggregate
+        // (HashAggregate also matches ObjectHashAggregate — substring)
+        val above = lines.take(i).reverse.find(_.trim.nonEmpty)
+        !above.exists(a =>
+          a.contains("HashAggregate") || a.contains("SortAggregate"))
+      }
+    }
+  }
 
   test("no CartesianProduct in any registered query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
-          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          try fn(spark, sfStatic).queryExecution.executedPlan.toString
           catch { case e: Throwable => s"CONSTRUCTION FAILED: ${e.getMessage}" }
         if (plan.contains("CartesianProduct") || plan.contains("CONSTRUCTION FAILED"))
           Some(name -> plan.linesIterator.take(3).mkString(" | "))
@@ -75,28 +90,47 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.map(_._1).mkString(", "))
   }
 
-  test("corpus-scale operators never funnel their input through one partition") {
-    val offenders = corpusScale.toSeq.sorted.flatMap { name =>
-      val fn = SparkEntry.queries(name)
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      val lines = plan.linesIterator.toVector
-      val bad = lines.zipWithIndex.exists { case (l, i) =>
-        l.contains("Exchange SinglePartition") && {
-          // tolerated only as the final leg of a 1-row global aggregate:
-          // the operator directly consuming it must be an aggregate
-          val above = lines.take(i).reverse.find(_.trim.nonEmpty)
-          // HashAggregate also matches ObjectHashAggregate (substring)
-          !above.exists(a => a.contains("HashAggregate") || a.contains("SortAggregate"))
-        }
-      }
-      if (bad) Some(name) else None
+  test("every registered query: non-aggregate SinglePartition exchanges " +
+      "require a justified bounded-frame carve-out (opt-out, stale entries flagged)") {
+    val suspects = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfStatic).queryExecution.executedPlan.toString
+        if (staticSuspect(plan)) Some(name) else None
+    }.toSet
+    val missing = (suspects -- boundedFrame.keySet).toSeq.sorted
+    val stale = (boundedFrame.keySet -- suspects).toSeq.sorted
+    assert(missing.isEmpty && stale.isEmpty,
+      s"unjustified single-partition funnels: ${missing.mkString(", ")}; " +
+        s"stale carve-outs: ${stale.mkString(", ")}")
+  }
+
+  test("carved-out single-partition frames stay bounded as data scales 10x") {
+    def spRecords(name: String, sf: String): Long = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val recs = PlanProbe
+        .singlePartitionShuffleRecords(df.queryExecution.executedPlan)
+      spark.catalog.clearCache()
+      recs.sum
     }
-    assert(offenders.isEmpty, offenders.mkString(", "))
+    val measured = boundedFrame.keys.toSeq.sorted.map { name =>
+      (name, spRecords(name, sfMid), spRecords(name, sfBig))
+    }
+    // probe sanity: a metric-name mismatch would read all-zero and pass
+    // vacuously; the price-bin frames alone guarantee hundreds of rows
+    assert(measured.exists(_._3 > 100L),
+      s"probe read ~zero records everywhere — metric extraction broken? $measured")
+    val offenders = measured.flatMap { case (name, atMid, atBig) =>
+      if (atBig > 3 * math.max(atMid, 1L) && atBig > 2000L)
+        Some(s"$name: $atMid -> $atBig rows through SinglePartition")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
   test("substring dedup: no forced broadcast hint — AQE owns the build-side " +
       "choice, and the mark join is keyed on xxhash64, not the window text") {
-    val qe = SparkEntry.queries("x_dedup_substring")(spark, sfDir).queryExecution
+    val qe = SparkEntry.queries("x_dedup_substring")(spark, sfStatic).queryExecution
     // a broadcast() hint would survive analysis as ResolvedHint and reach
     // the optimized Join as strategy=broadcast; its absence means AQE
     // picks broadcast-vs-shuffle from ACTUAL dupWins stats at runtime
