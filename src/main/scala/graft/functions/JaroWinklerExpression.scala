@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
@@ -10,19 +9,24 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime kernel shared by interpreted eval and generated code.
   *
-  * Textbook Jaro-Winkler (Winkler 1990), implemented to match DuckDB's
-  * `jaro_winkler_similarity` bit-for-bit so the oracle can verify the
-  * scores directly (probed 2026-08-14: MARTHA/MARHTA=0.9611…,
-  * DIXON/DICKSONX=0.8133…, ab/ba=0.0, boost only when jaro > 0.7,
-  * prefix capped at 4, p=0.1):
-  *  - match window = max(|a|,|b|)/2 − 1 (floor, min 0)
-  *  - transpositions = half the out-of-order matched characters
+  * Textbook Jaro-Winkler (Winkler 1990) over the RAW UTF-8 BYTE sequence —
+  * exactly DuckDB's `jaro_winkler_similarity` semantics, so the oracle can
+  * verify the scores directly for ANY input, not just ASCII (probed
+  * 2026-08-14: MARTHA/MARHTA=0.9611…, DIXON/DICKSONX=0.8133…, ab/ba=0.0,
+  * and the multibyte set café/cafe=0.84833…, 日本語/日本=0.93333…,
+  * αβγδ/αβδγ=0.975 — all bit-equal to the byte model; a UTF-16 charAt
+  * implementation diverges on every one of those because lengths, the
+  * match window, and the prefix all shift for multibyte chars). Working on
+  * bytes also drops the two per-row String decodes from the hot
+  * block-join loop:
+  *  - match window = max(|a|,|b|)/2 − 1 (floor, min 0), in BYTES
+  *  - transpositions = half the out-of-order matched bytes
   *  - jw = jaro + l·0.1·(1 − jaro) iff jaro > 0.7, l = common prefix ≤ 4
   */
 object JaroWinklerUtil {
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
-    val s = a.toString
-    val t = b.toString
+    val s = a.getBytes
+    val t = b.getBytes
     val n = s.length
     val m = t.length
     // DuckDB scores ANY empty side 0.0 — including ''/'' (fuzz-probed
@@ -39,7 +43,7 @@ object JaroWinklerUtil {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
         }
         j += 1
@@ -47,14 +51,14 @@ object JaroWinklerUtil {
       i += 1
     }
     if (matches == 0) return 0.0
-    // out-of-order matched chars, walked in order on both sides
+    // out-of-order matched bytes, walked in order on both sides
     var transHalves = 0
     var k = 0
     i = 0
     while (i < n) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) transHalves += 1
+        if (s(i) != t(k)) transHalves += 1
         k += 1
       }
       i += 1
@@ -65,7 +69,7 @@ object JaroWinklerUtil {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(n, m))
-    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    while (l < maxL && s(l) == t(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
@@ -76,14 +80,14 @@ object JaroWinklerUtil {
   * proper `BinaryExpression` whose generated code calls the static kernel
   * (same pattern as [[SimHash32]]).
   */
-case class JaroWinklerSim(left: Expression, right: Expression) extends BinaryExpression {
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  // ExpectsInputTypes (not a bare dataType check): the analyzer inserts
+  // the standard implicit casts, so SQL calls like jaro_winkler(NULL, col)
+  // (NullType literal) resolve and return NULL like built-in string
+  // functions instead of failing analysis
+  override def inputTypes = Seq(StringType, StringType) // Seq[AbstractDataType] is private[sql]; covariance conforms
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"

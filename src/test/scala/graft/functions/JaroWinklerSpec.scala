@@ -28,6 +28,25 @@ class JaroWinklerSpec extends SparkSpec {
     assert(jw("abc", "abc") === 1.0)
   }
 
+  test("non-ASCII matches DuckDB — the kernel walks raw UTF-8 BYTES, " +
+      "not UTF-16 code units (values probed against DuckDB 2026-08-14)") {
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-12)
+    assert(math.abs(jw("über", "uber") - 0.7833333333333333) < 1e-12)
+    assert(math.abs(jw("naïve", "naive") - 0.8577777777777779) < 1e-12)
+    assert(math.abs(jw("日本語", "日本") - 0.9333333333333333) < 1e-12)
+    assert(math.abs(jw("αβγδ", "αβδγ") - 0.975) < 1e-12)
+    assert(math.abs(jw("héllo", "hello") - 0.8400000000000001) < 1e-12)
+    // 2-byte chars: byte window is wider than a char window would be,
+    // but a 1-char pair still can't transpose — ñ (0xC3B1) vs n diverge
+    assert(jw("ñ", "n") === 0.0)
+  }
+
+  test("NULL literal through SQL resolves (implicit cast) and returns NULL") {
+    val r = spark.sql(
+      "SELECT jaro_winkler(NULL, 'x') AS a, jaro_winkler('x', NULL) AS b").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("empty sides score 0.0 — the DuckDB quirk") {
     assert(jw("", "abc") === 0.0)
     assert(jw("abc", "") === 0.0)
