@@ -42,8 +42,10 @@ object StarGraph {
       |  WHERE l.l_extendedprice > 100000)""".stripMargin
 
   /** GraphX-semantics static PageRank, unrolled to 10 iterations of SQL for
-    * the DuckDB oracle (no recursive-CTE aggregation needed). */
-  private val PageRankSql: String = {
+    * the DuckDB oracle (no recursive-CTE aggregation needed) — generic in
+    * the edges CTE so the nation graph (g3) and the region "states" graph
+    * (g7) share one oracle text. */
+  private def pageRankSqlFor(edgesCte: String): String = {
     val iters = (1 to 10).map { i =>
       s"""r$i AS (
          |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0) AS pr
@@ -52,7 +54,7 @@ object StarGraph {
          |    FROM ew JOIN r${i - 1} ON ew.src = r${i - 1}.id GROUP BY ew.dst) c
          |  ON v.id = c.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${EdgesCte},
+    s"""WITH ${edgesCte},
        |e AS (SELECT src, dst, count(*) AS w FROM edges GROUP BY src, dst),
        |o AS (SELECT src, sum(w) AS outdeg FROM e GROUP BY src),
        |ew AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.outdeg AS weight
@@ -62,6 +64,47 @@ object StarGraph {
        |$iters
        |SELECT id, round(pr, 6) AS pr FROM r10""".stripMargin
   }
+  private val PageRankSql: String = pageRankSqlFor(EdgesCte)
+
+  /** The "states" graph of the reference's SECOND GraphFrames suite
+    * (/root/reference/src/graphframes_flights.py:91-155): flights joined
+    * twice against the airports dim to lift airport endpoints to their
+    * STATE, then the same metrics over the coarser graph. Star-schema
+    * equivalent: nation→REGION via the region dim — built with the
+    * reference's exact rename-order mechanics (ref :98-105, the J10
+    * subtlety): both joins hit the SAME decoded dim frame, the first
+    * USING-join's STATE is consumed by an immediate rename before the
+    * second join re-introduces the name. */
+  private def regionEdges(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    // the "airports" analogue: (nationkey, STATE = region name)
+    val nationState = t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name").as("STATE"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationState.withColumnRenamed("n_nationkey", "c_nationkey")),
+        Seq("c_nationkey"))
+      .withColumnRenamed("STATE", "src")
+      .join(broadcast(nationState.withColumnRenamed("n_nationkey", "s_nationkey")),
+        Seq("s_nationkey"))
+      .withColumnRenamed("STATE", "dst")
+      .select("src", "dst")
+  }
+
+  private val RegionEdgesCte =
+    """edges AS (
+      |  SELECT rc.r_name AS src, rs.r_name AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      |  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      |  JOIN region rs ON ns.n_regionkey = rs.r_regionkey)""".stripMargin
 
   val defs: Seq[QDef] = Seq(
 
@@ -134,6 +177,36 @@ object StarGraph {
       (s, d) =>
         GraphMetrics.bfsHops(
           edges(s, d, Some(col("l_extendedprice") > 100000)), source = 0L)
+    },
+
+    // G6 — "states" graph edge construction (ref:
+    // src/graphframes_flights.py:98-109): the rename-order double dim join
+    // lifting both endpoints to their region, collapsed with
+    // multiplicities like g1.
+    QDef("g6_state_edges",
+      s"""WITH ${RegionEdgesCte}
+         |SELECT src, dst, count(*) AS cnt FROM edges GROUP BY src, dst""".stripMargin) {
+      (s, d) => regionEdges(s, d).groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    },
+
+    // G7 — state-graph inDegrees (ref: src/graphframes_flights.py:119-123):
+    // parallel edges counted.
+    QDef("g7_state_indegrees",
+      s"""WITH ${RegionEdgesCte}
+         |SELECT dst AS id, count(*) AS inDegree FROM edges GROUP BY dst""".stripMargin) {
+      (s, d) => GraphMetrics.inDegrees(regionEdges(s, d))
+    },
+
+    // G8 — state-graph static PageRank (ref:
+    // src/graphframes_flights.py:131-133): resetProb=0.15, maxIter=10,
+    // with the vertex set passed EXPLICITLY as the reference builds it
+    // (union + distinct of both endpoints, ref :108-109).
+    QDef("g8_state_pagerank", pageRankSqlFor(RegionEdgesCte)) { (s, d) =>
+      val e = regionEdges(s, d)
+      val vertices = e.select(col("src").as("id"))
+        .union(e.select(col("dst"))).distinct()
+      GraphMetrics.staticPageRank(e, 0.15, 10, Some(vertices))
+        .select(col("id"), round(col("pr"), 6).as("pr"))
     }
   )
 }
