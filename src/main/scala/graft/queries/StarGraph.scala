@@ -45,7 +45,7 @@ object StarGraph {
     * the DuckDB oracle (no recursive-CTE aggregation needed) — generic in
     * the edges CTE so the nation graph (g3) and the region "states" graph
     * (g7) share one oracle text. */
-  private def pageRankSqlFor(edgesCte: String): String = {
+  private def pageRankSqlFor(edgesCte: String, dp: Int = 6): String = {
     val iters = (1 to 10).map { i =>
       s"""r$i AS (
          |  SELECT v.id, 0.15 + 0.85 * coalesce(c.contrib, 0) AS pr
@@ -62,7 +62,7 @@ object StarGraph {
        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |r0 AS (SELECT id, 1.0 AS pr FROM v),
        |$iters
-       |SELECT id, round(pr, 6) AS pr FROM r10""".stripMargin
+       |SELECT id, round(pr, $dp) AS pr FROM r10""".stripMargin
   }
   private val PageRankSql: String = pageRankSqlFor(EdgesCte)
 
@@ -207,6 +207,23 @@ object StarGraph {
         .union(e.select(col("dst"))).distinct()
       GraphMetrics.staticPageRank(e, 0.15, 10, Some(vertices))
         .select(col("id"), round(col("pr"), 6).as("pr"))
+    },
+
+    // GraphX-path PageRank as a REGISTERED operator (not just the spec
+    // cross-check): the RDD/Pregel implementation a user would reach for
+    // at cluster scale, verified against the same unrolled-SQL oracle.
+    // GraphX's message-sum order differs from the DataFrame loop's, so
+    // the doubles agree only to ~1e-9 (GraphMetricsSpec pins that bound);
+    // the release rounds at 4dp — a ~1e-5 boundary-flip margin — instead
+    // of the DF path's 6dp, which sits too close to the drift to hash
+    // stably across scale factors.
+    QDef("x_graphx_pagerank", pageRankSqlFor(EdgesCte, dp = 4)) { (s, d) =>
+      val e = edges(s, d)
+      // GraphX widens vertex ids to VertexId (long); restore the edge
+      // frame's nationkey dtype so the schema matches the oracle's
+      GraphMetrics.pageRankGraphX(s, e, 0.15, 10)
+        .select(col("id").cast(e.schema("src").dataType).as("id"),
+          round(col("pr"), 4).as("pr"))
     }
   )
 }
