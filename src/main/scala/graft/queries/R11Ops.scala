@@ -10,6 +10,44 @@ import org.apache.spark.sql.functions._
   */
 object R11Ops {
 
+  /** Two-sample KS text — PORTABLE, the binned two-level CDF form (the
+    * IsotonicSql/GiniSql posture: even the SQL-parsed plan's only
+    * unpartitioned window orders the ⌊v/1000⌋ price-bin frame, never the
+    * distinct-value frame). Shared verbatim by the `x_sql_ks` twin. */
+  private[queries] val KsSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (
+      |  SELECT v,
+      |    sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+      |  FROM oc GROUP BY 1),
+      |hb AS (SELECT v, c1, c2, CAST(floor(v / 1000) AS BIGINT) AS bin
+      |  FROM hist),
+      |binpre AS (
+      |  SELECT bin,
+      |    coalesce(sum(bc1) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1,
+      |    coalesce(sum(bc2) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b2,
+      |    sum(bc1) OVER () AS n1, sum(bc2) OVER () AS n2
+      |  FROM (SELECT bin, sum(c1) AS bc1, sum(c2) AS bc2 FROM hb GROUP BY 1)),
+      |cum AS (
+      |  SELECT hb.v, bp.n1, bp.n2,
+      |    bp.b1 + sum(hb.c1) OVER (PARTITION BY hb.bin ORDER BY hb.v) AS a1,
+      |    bp.b2 + sum(hb.c2) OVER (PARTITION BY hb.bin ORDER BY hb.v) AS a2
+      |  FROM hb JOIN binpre bp ON hb.bin = bp.bin),
+      |d AS (
+      |  SELECT v, n1, n2,
+      |    round(abs(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2), 6)
+      |      AS dv
+      |  FROM cum)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  dv AS d_stat, v AS at_value
+      |FROM d ORDER BY dv DESC, v DESC LIMIT 1""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // TWO-SAMPLE KOLMOGOROV-SMIRNOV: D = max |F₁(v) − F₂(v)| between the
@@ -22,30 +60,7 @@ object R11Ops {
     // (≤500 rows), the per-value cumulative is (bin, v)-partitioned. The
     // divisions are integer/integer in IEEE doubles — bit-identical in
     // both engines — so the argmax tie-break on (rounded D, v) agrees.
-    QDef("x_ks_test",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
-        |hist AS (
-        |  SELECT v,
-        |    sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
-        |    sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
-        |  FROM oc GROUP BY 1),
-        |cum AS (
-        |  SELECT v,
-        |    sum(c1) OVER (ORDER BY v) AS a1,
-        |    sum(c2) OVER (ORDER BY v) AS a2,
-        |    sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
-        |  FROM hist),
-        |d AS (
-        |  SELECT v, n1, n2,
-        |    round(abs(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2), 6)
-        |      AS dv
-        |  FROM cum)
-        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-        |  dv AS d_stat, v AS at_value
-        |FROM d ORDER BY dv DESC, v DESC LIMIT 1""".stripMargin) { (s, d) =>
+    QDef("x_ks_test", KsSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -80,6 +95,13 @@ object R11Ops {
           max(struct(col("dv"), col("v"), col("n1"), col("n2"))).as("top"))
         .select(col("top.n1").as("n1"), col("top.n2").as("n2"),
           col("top.dv").as("d_stat"), col("top.v").as("at_value"))
+    },
+
+    // The KS statistic through Spark's SQL parser — ONE portable text
+    // shared verbatim with the DuckDB oracle (the SQL-twin contract).
+    QDef("x_sql_ks", KsSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "orders", "customer")
+      s.sql(KsSql)
     },
 
     // CRAMÉR'S V: strength of association between two categoricals

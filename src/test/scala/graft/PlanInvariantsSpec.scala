@@ -61,7 +61,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_skyline" ->
       "KB local-survivor union — SkylineSpec pins the bucket-local feed",
     "x_survival_km" -> "duration-hours at-risk histogram — horizon-bounded",
-    "x_text_zipf" -> "floor(log2(count)) bin frame — ~40 log bins")
+    "x_text_zipf" -> "floor(log2(count)) bin frame — ~40 log bins",
+    "x_ks_test" -> "floor(price/1000) bin frame — binned two-sample CDFs",
+    "x_sql_ks" -> "same price-bin frame (SQL twin)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector

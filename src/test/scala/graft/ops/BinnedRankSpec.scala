@@ -65,6 +65,24 @@ class BinnedRankSpec extends SparkSpec {
       == naive.select("id", "r").as[(Long, Long)].collect().toMap)
   }
 
+  test("edge cases: degenerate single-value histogram, and a single-row group") {
+    // the whole frame is ONE histogram row (ties pre-aggregated per the
+    // contract): below = 0, n = the full weight
+    val one = Seq((5.0, 5L)).toDF("v", "c")
+    val t = BinnedRank.belowAndN(one, Seq.empty,
+        floor(col("v")).cast("bigint"), Seq(col("v")), col("c"))
+      .select("below", "n").as[(Long, Long)].collect().toSeq
+    assert(t == Seq((0L, 5L)))
+    // singleton group next to a multi-row group
+    val g = Seq(("g1", 1.0), ("g2", 3.0), ("g2", 7.0)).toDF("g", "v")
+    val r = BinnedRank.belowAndN(g, Seq("g"),
+        floor(col("v")).cast("bigint"), Seq(col("v")), lit(1L))
+      .select("g", "v", "below", "n").as[(String, Double, Long, Long)]
+      .collect().map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    assert(r(("g1", 1.0)) == ((0L, 1L)))
+    assert(r(("g2", 3.0)) == ((0L, 2L)) && r(("g2", 7.0)) == ((1L, 2L)))
+  }
+
   test("plan contract: data shuffles by (groups, bin), and the twice-referenced " +
       "input computes once (exchange/stage reuse)") {
     val df = graft.SparkEntry.queries("x_gini")(spark, "/root/testdata/sf0.001")
