@@ -257,7 +257,7 @@ object R10Ops {
         |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |  GROUP BY 1, 2),
         |sb AS (SELECT g, c_custkey, x,
-        |  CAST(floor(x / 20000) AS BIGINT) AS bin FROM spend),
+        |  CAST(floor(x / 5000) AS BIGINT) AS bin FROM spend),
         |binpre AS (
         |  SELECT g, bin,
         |    coalesce(sum(bc) OVER (PARTITION BY g ORDER BY bin
@@ -919,7 +919,7 @@ object R10Ops {
         .groupBy(col("c_mktsegment").as("g"), col("c_custkey"))
         .agg(sum(col("o_totalprice")).as("x"))
       val ranked = graft.ops.BinnedRank.belowAndN(spend, Seq("g"),
-          floor(col("x") / lit(20000)).cast("bigint"),
+          floor(col("x") / lit(5000)).cast("bigint"),
           Seq(col("x"), col("c_custkey")), lit(1L))
         .withColumn("r", col("below") + lit(1L))
       ranked.groupBy(col("g").as("c_mktsegment"))

@@ -1335,7 +1335,7 @@ object R9Ops {
       val spend = Tables(s, d).orders.groupBy("o_custkey")
         .agg(round(sum(col("o_totalprice")), 2).as("spend"))
       val ranked = graft.ops.BinnedRank.belowAndN(spend, Seq.empty,
-          (-floor(col("spend") / lit(20000))).cast("bigint"),
+          (-floor(col("spend") / lit(5000))).cast("bigint"),
           Seq(col("spend").desc, col("o_custkey")), lit(1L))
         .withColumn("r", col("below") + lit(1L))
       // ntile(10) closed form; doubles are exact here (counts ≪ 2^53)

@@ -53,7 +53,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_isotonic" -> "floor(price/1000) bin frame — price-domain <=500 bins",
     "x_sql_isotonic" -> "same price-bin frame (SQL twin)",
     "x_ntile_deciles" ->
-      "floor(spend/20000) bin frame — spend-domain-bounded (BinnedRank)",
+      "floor(spend/5000) bin frame — spend-domain-bounded (BinnedRank)",
     "x_quantile_norm" ->
       "price-bin frames + dense 1001-row rank-bin carry table",
     "x_rolling_corr" -> "daily two-series frame — calendar-bounded",
