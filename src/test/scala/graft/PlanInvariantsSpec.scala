@@ -63,7 +63,15 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_survival_km" -> "duration-hours at-risk histogram — horizon-bounded",
     "x_text_zipf" -> "floor(log2(count)) bin frame — ~40 log bins",
     "x_ks_test" -> "floor(price/1000) bin frame — binned two-sample CDFs",
-    "x_sql_ks" -> "same price-bin frame (SQL twin)")
+    "x_sql_ks" -> "same price-bin frame (SQL twin)",
+    "x_mannwhitney" ->
+      "floor(price/1000) bin frame — binned joint rank histogram (BinnedRank)",
+    "x_sql_mannwhitney" -> "same price-bin frame (SQL twin)",
+    "x_spearman_corr" ->
+      "price/1000 + acctbal/100 bin frames — two BinnedRank passes",
+    "x_decision_stump" ->
+      "floor(price/1000) bin frame — binned split-candidate CDF",
+    "x_pacf" -> "daily-series lag frame — calendar-bounded (ACF input)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
