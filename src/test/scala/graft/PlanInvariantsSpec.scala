@@ -71,7 +71,9 @@ class PlanInvariantsSpec extends SparkSpec {
       "price/1000 + acctbal/100 bin frames — two BinnedRank passes",
     "x_decision_stump" ->
       "floor(price/1000) bin frame — binned split-candidate CDF",
-    "x_pacf" -> "daily-series lag frame — calendar-bounded (ACF input)")
+    "x_pacf" -> "daily-series lag frame — calendar-bounded (ACF input)",
+    "x_auc_rank" ->
+      "floor(price/1000) bin frame — binned score-rank histogram (BinnedRank)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
