@@ -73,7 +73,11 @@ class PlanInvariantsSpec extends SparkSpec {
       "floor(price/1000) bin frame — binned split-candidate CDF",
     "x_pacf" -> "daily-series lag frame — calendar-bounded (ACF input)",
     "x_auc_rank" ->
-      "floor(price/1000) bin frame — binned score-rank histogram (BinnedRank)")
+      "floor(price/1000) bin frame — binned score-rank histogram (BinnedRank)",
+    "x_kruskal_wallis" ->
+      "floor(price/1000) bin frame — binned joint rank histogram (BinnedRank)",
+    "x_logrank" ->
+      "duration-hours at-risk histogram — horizon-bounded (KM frame)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
