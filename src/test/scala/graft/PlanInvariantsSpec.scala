@@ -77,7 +77,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_kruskal_wallis" ->
       "floor(price/1000) bin frame — binned joint rank histogram (BinnedRank)",
     "x_logrank" ->
-      "duration-hours at-risk histogram — horizon-bounded (KM frame)")
+      "duration-hours at-risk histogram — horizon-bounded (KM frame)",
+    "x_wasserstein" ->
+      "floor(price/1000) bin frame — binned two-sample CDF + next-value stitch",
+    "x_page_hinkley" ->
+      "daily mean series — calendar-bounded (CUSUM family)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
