@@ -81,7 +81,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_wasserstein" ->
       "floor(price/1000) bin frame — binned two-sample CDF + next-value stitch",
     "x_page_hinkley" ->
-      "daily mean series — calendar-bounded (CUSUM family)")
+      "daily mean series — calendar-bounded (CUSUM family)",
+    "x_lift_gain" ->
+      "negated floor(price/1000) bin frame — ntile closed form (BinnedRank)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
