@@ -83,7 +83,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_page_hinkley" ->
       "daily mean series — calendar-bounded (CUSUM family)",
     "x_lift_gain" ->
-      "negated floor(price/1000) bin frame — ntile closed form (BinnedRank)")
+      "negated floor(price/1000) bin frame — ntile closed form (BinnedRank)",
+    "x_rfm_segments" ->
+      ("recency-days + frequency + floor(spend/5000) bin frames — three " +
+        "quintile closed forms (BinnedRank)"))
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
