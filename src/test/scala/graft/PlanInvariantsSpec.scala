@@ -86,7 +86,9 @@ class PlanInvariantsSpec extends SparkSpec {
       "negated floor(price/1000) bin frame — ntile closed form (BinnedRank)",
     "x_rfm_segments" ->
       ("recency-days + frequency + floor(spend/5000) bin frames — three " +
-        "quintile closed forms (BinnedRank)"))
+        "quintile closed forms (BinnedRank)"),
+    "x_runs_test" ->
+      "daily sign series — calendar-bounded (lag over the daily frame)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
