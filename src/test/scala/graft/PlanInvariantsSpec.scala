@@ -88,7 +88,11 @@ class PlanInvariantsSpec extends SparkSpec {
       ("recency-days + frequency + floor(spend/5000) bin frames — three " +
         "quintile closed forms (BinnedRank)"),
     "x_runs_test" ->
-      "daily sign series — calendar-bounded (lag over the daily frame)")
+      "daily sign series — calendar-bounded (lag over the daily frame)",
+    "x_pettitt" ->
+      "daily value histogram + rank prefix — calendar-bounded frames",
+    "x_lorenz_deciles" ->
+      "floor(spend/5000) bin frame — ntile closed form (BinnedRank)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
