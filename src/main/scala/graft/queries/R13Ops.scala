@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object R13Ops {
 
+  /** Weight-of-evidence statistic as ONE portable SQL text — the DuckDB
+    * oracle of `x_woe_iv` AND the whole Spark-SQL query of the
+    * `x_sql_woe` twin (the CcSql twin contract). */
+  private[queries] val WoeSql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(count(*) AS BIGINT) AS tot
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(pos) AS BIGINT) AS pos_t,
+      |  CAST(sum(tot - pos) AS BIGINT) AS neg_t FROM cells)
+      |SELECT priority, pos, tot - pos AS neg,
+      |  round(ln((pos / CAST(pos_t AS DOUBLE))
+      |    / ((tot - pos) / CAST(neg_t AS DOUBLE))), 4) AS woe,
+      |  round((pos / CAST(pos_t AS DOUBLE)
+      |      - (tot - pos) / CAST(neg_t AS DOUBLE))
+      |    * ln((pos / CAST(pos_t AS DOUBLE))
+      |      / ((tot - pos) / CAST(neg_t AS DOUBLE))), 6) AS iv_term
+      |FROM cells, t""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // WEIGHT OF EVIDENCE + INFORMATION VALUE of order priority for
@@ -22,23 +43,7 @@ object R13Ops {
     // ONE contingency aggregate (5 cells); totals on the cell frame; the
     // WoE log runs on exact-integer ratios so both engines evaluate the
     // identical doubles before the 4/6 dp release.
-    QDef("x_woe_iv",
-      """WITH cells AS (
-        |  SELECT o_orderpriority AS priority,
-        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS pos,
-        |    CAST(count(*) AS BIGINT) AS tot
-        |  FROM orders GROUP BY 1),
-        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS pos_t,
-        |  CAST(sum(tot - pos) AS BIGINT) AS neg_t FROM cells)
-        |SELECT priority, pos, tot - pos AS neg,
-        |  round(ln((pos / CAST(pos_t AS DOUBLE))
-        |    / ((tot - pos) / CAST(neg_t AS DOUBLE))), 4) AS woe,
-        |  round((pos / CAST(pos_t AS DOUBLE)
-        |      - (tot - pos) / CAST(neg_t AS DOUBLE))
-        |    * ln((pos / CAST(pos_t AS DOUBLE))
-        |      / ((tot - pos) / CAST(neg_t AS DOUBLE))), 6) AS iv_term
-        |FROM cells, t""".stripMargin) { (s, d) =>
+    QDef("x_woe_iv", WoeSql) { (s, d) =>
       val cells = Tables(s, d).orders
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))

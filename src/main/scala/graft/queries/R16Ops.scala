@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object R16Ops {
 
+  /** Cohen's kappa as ONE portable SQL text — the DuckDB oracle of
+    * `x_cohens_kappa` AND the whole Spark-SQL query of the
+    * `x_sql_kappa` twin (the CcSql twin contract). */
+  private[queries] val KappaSql =
+    """WITH r AS (SELECT
+      |  CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM orders),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(a * b) AS BIGINT) AS n11,
+      |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM r),
+      |k AS (SELECT n, (n11 + n00) / CAST(n AS DOUBLE) AS po,
+      |  ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+      |    + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE))
+      |    AS pe
+      |  FROM s)
+      |SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
+      |  round((po - pe) / (1 - pe), 6) AS kappa
+      |FROM k""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // TUKEY FENCES per market segment: exact interpolated Q1/Q3
@@ -110,26 +134,7 @@ object R16Ops {
     // price (≥150k) vs high priority (urgent/high): chance-corrected
     // agreement from ONE 4-cell contingency pass; every probability is
     // an exact integer ratio so both engines evaluate identical doubles.
-    QDef("x_cohens_kappa",
-      """WITH r AS (SELECT
-        |  CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS a,
-        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END AS b
-        |  FROM orders),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(a * b) AS BIGINT) AS n11,
-        |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
-        |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
-        |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
-        |  FROM r),
-        |k AS (SELECT n, (n11 + n00) / CAST(n AS DOUBLE) AS po,
-        |  ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
-        |    + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE))
-        |    AS pe
-        |  FROM s)
-        |SELECT n, round(po, 6) AS po, round(pe, 6) AS pe,
-        |  round((po - pe) / (1 - pe), 6) AS kappa
-        |FROM k""".stripMargin) { (s, d) =>
+    QDef("x_cohens_kappa", R16Ops.KappaSql) { (s, d) =>
       val r = Tables(s, d).orders.select(
         when(col("o_totalprice") >= 150000, 1L).otherwise(0L).as("a"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)

@@ -92,7 +92,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_pettitt" ->
       "daily value histogram + rank prefix — calendar-bounded frames",
     "x_lorenz_deciles" ->
-      "floor(spend/5000) bin frame — ntile closed form (BinnedRank)")
+      "floor(spend/5000) bin frame — ntile closed form (BinnedRank)",
+    "x_durbin_watson" ->
+      "daily residual series — calendar-bounded (lag over the daily frame)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
