@@ -94,7 +94,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_lorenz_deciles" ->
       "floor(spend/5000) bin frame — ntile closed form (BinnedRank)",
     "x_durbin_watson" ->
-      "daily residual series — calendar-bounded (lag over the daily frame)")
+      "daily residual series — calendar-bounded (lag over the daily frame)",
+    "x_abc_analysis" ->
+      "negated floor(spend/5000) bin frame — cents prefix sums (BinnedRank)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
