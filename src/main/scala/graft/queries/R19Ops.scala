@@ -25,14 +25,14 @@ object R19Ops {
     // (dist, σ) table. The corpus contributes ONE edge-derivation pass;
     // every subsequent frame is nation-sized.
     QDef("x_graph_betweenness",
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |  WHERE l.l_extendedprice > 104500),
-        |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
         |p1 AS (SELECT src AS s, dst AS v, CAST(1 AS BIGINT) AS c FROM e),
         |p2 AS (SELECT p.s, e.dst AS v, CAST(sum(p.c) AS BIGINT) AS c
         |  FROM p1 p JOIN e ON p.v = e.src GROUP BY 1, 2),
@@ -48,14 +48,14 @@ object R19Ops {
         |  FROM p6 p JOIN e ON p.v = e.src GROUP BY 1, 2),
         |p8 AS (SELECT p.s, e.dst AS v, CAST(sum(p.c) AS BIGINT) AS c
         |  FROM p7 p JOIN e ON p.v = e.src GROUP BY 1, 2),
-        |paths AS (
+        |paths AS MATERIALIZED (
         |  SELECT 1 AS d, * FROM p1 UNION ALL SELECT 2, * FROM p2
         |  UNION ALL SELECT 3, * FROM p3 UNION ALL SELECT 4, * FROM p4
         |  UNION ALL SELECT 5, * FROM p5 UNION ALL SELECT 6, * FROM p6
         |  UNION ALL SELECT 7, * FROM p7 UNION ALL SELECT 8, * FROM p8),
-        |dist AS (SELECT s, v, CAST(min(d) AS INTEGER) AS dist
+        |dist AS MATERIALIZED (SELECT s, v, CAST(min(d) AS INTEGER) AS dist
         |  FROM paths WHERE s <> v GROUP BY 1, 2),
-        |sig AS (SELECT p.s, p.v, dist.dist, CAST(sum(p.c) AS BIGINT)
+        |sig AS MATERIALIZED (SELECT p.s, p.v, dist.dist, CAST(sum(p.c) AS BIGINT)
         |    AS sigma
         |  FROM paths p JOIN dist ON p.s = dist.s AND p.v = dist.v
         |    AND p.d = dist.dist
