@@ -16,6 +16,72 @@ import org.apache.spark.sql.functions._
   */
 object R14Ops {
 
+  /** Kruskal-Wallis as ONE portable SQL text — the DuckDB oracle of
+    * `x_kruskal_wallis` AND the whole Spark-SQL query of the
+    * `x_sql_kruskal` twin. Like MannWhitneySql, the rank prefix is the
+    * BINNED two-level form, so the parsed twin's only unpartitioned
+    * window orders the bounded bin frame (the round-8 dynamic probe
+    * rejected a first draft that ranked the raw distinct-price frame —
+    * 15k → 150k rows through SinglePartition at 10×). */
+  private[queries] val KruskalSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM oc GROUP BY 1, 2),
+      |vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
+      |hb AS (SELECT v, cv, CAST(floor(v / 1000) AS BIGINT) AS bin
+      |  FROM vh),
+      |binpre AS (
+      |  SELECT bin,
+      |    CAST(coalesce(sum(bc) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS bb
+      |  FROM (SELECT bin, CAST(sum(cv) AS BIGINT) AS bc FROM hb GROUP BY 1)),
+      |r AS (SELECT hb.v, hb.cv,
+      |  bp.bb + CAST(coalesce(sum(hb.cv) OVER (PARTITION BY hb.bin
+      |    ORDER BY hb.v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS below
+      |  FROM hb JOIN binpre bp ON hb.bin = bp.bin),
+      |gr AS (SELECT gv.g, CAST(sum(gv.c) AS BIGINT) AS n_g,
+      |  CAST(sum(gv.c * (2 * r.below + r.cv + 1)) AS BIGINT) AS two_r
+      |  FROM gv JOIN r ON gv.v = r.v GROUP BY 1),
+      |tt AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie3,
+      |  CAST(sum(cv) AS BIGINT) AS nn FROM vh),
+      |h AS (SELECT
+      |  (12.0e0 / (CAST(max(tt.nn) AS DOUBLE) * (max(tt.nn) + 1))
+      |      * sum((two_r / 2.0e0) * (two_r / 2.0e0) / n_g)
+      |    - 3.0e0 * (max(tt.nn) + 1))
+      |   / (1 - max(tt.tie3)
+      |        / (CAST(max(tt.nn) AS DOUBLE) * max(tt.nn) * max(tt.nn)
+      |           - max(tt.nn))) AS hst
+      |  FROM gr, tt)
+      |SELECT gr.g AS segment, gr.n_g AS n,
+      |  round(gr.two_r / 2.0e0, 1) AS rank_sum,
+      |  round(h.hst, 4) AS h_stat
+      |FROM gr, h""".stripMargin
+
+  /** Jarque-Bera as ONE portable SQL text — oracle of `x_jarque_bera`
+    * and whole query of the `x_sql_jb` twin. */
+  private[queries] val JbSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS mu
+      |  FROM oc GROUP BY 1),
+      |z AS (SELECT oc.g, oc.v - m.mu AS z, m.n
+      |  FROM oc JOIN m ON oc.g = m.g),
+      |st AS (SELECT g, max(n) AS n, avg(z * z) AS m2,
+      |  avg(z * z * z) AS m3, avg(z * z * z * z) AS m4
+      |  FROM z GROUP BY 1)
+      |SELECT g AS segment, n,
+      |  round(m3 / pow(m2, 1.5e0), 4) AS skewness,
+      |  round(m4 / (m2 * m2) - 3, 4) AS kurtosis_ex,
+      |  round(n / 6.0e0 * (pow(m3 / pow(m2, 1.5e0), 2)
+      |    + pow(m4 / (m2 * m2) - 3, 2) / 4), 2) AS jb
+      |FROM st""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // KRUSKAL-WALLIS H: do order-price DISTRIBUTIONS differ across the 5
@@ -26,35 +92,7 @@ object R14Ops {
     // until the final division), and the tie correction from the same
     // histogram. N(N+1) is evaluated in DOUBLE — at 100 TB the BIGINT
     // square would sit near overflow.
-    QDef("x_kruskal_wallis",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-        |  FROM oc GROUP BY 1, 2),
-        |vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
-        |r AS (SELECT v, cv,
-        |  CAST(coalesce(sum(cv) OVER (ORDER BY v
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) AS below
-        |  FROM vh),
-        |gr AS (SELECT gv.g, CAST(sum(gv.c) AS BIGINT) AS n_g,
-        |  CAST(sum(gv.c * (2 * r.below + r.cv + 1)) AS BIGINT) AS two_r
-        |  FROM gv JOIN r ON gv.v = r.v GROUP BY 1),
-        |tt AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie3,
-        |  CAST(sum(cv) AS BIGINT) AS nn FROM vh),
-        |h AS (SELECT
-        |  (12.0e0 / (CAST(max(tt.nn) AS DOUBLE) * (max(tt.nn) + 1))
-        |      * sum((two_r / 2.0e0) * (two_r / 2.0e0) / n_g)
-        |    - 3.0e0 * (max(tt.nn) + 1))
-        |   / (1 - max(tt.tie3)
-        |        / (CAST(max(tt.nn) AS DOUBLE) * max(tt.nn) * max(tt.nn)
-        |           - max(tt.nn))) AS hst
-        |  FROM gr, tt)
-        |SELECT gr.g AS segment, gr.n_g AS n,
-        |  round(gr.two_r / 2.0e0, 1) AS rank_sum,
-        |  round(h.hst, 4) AS h_stat
-        |FROM gr, h""".stripMargin) { (s, d) =>
+    QDef("x_kruskal_wallis", KruskalSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -297,23 +335,7 @@ object R14Ops {
     // map-side-combined aggregate of z²/z³/z⁴) — both engines evaluate
     // the identical deviations, and the corpus never leaves the
     // executors. JB = n/6·(S² + K²/4) released at 2 dp.
-    QDef("x_jarque_bera",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS mu
-        |  FROM oc GROUP BY 1),
-        |z AS (SELECT oc.g, oc.v - m.mu AS z, m.n
-        |  FROM oc JOIN m ON oc.g = m.g),
-        |st AS (SELECT g, max(n) AS n, avg(z * z) AS m2,
-        |  avg(z * z * z) AS m3, avg(z * z * z * z) AS m4
-        |  FROM z GROUP BY 1)
-        |SELECT g AS segment, n,
-        |  round(m3 / pow(m2, 1.5e0), 4) AS skewness,
-        |  round(m4 / (m2 * m2) - 3, 4) AS kurtosis_ex,
-        |  round(n / 6.0e0 * (pow(m3 / pow(m2, 1.5e0), 2)
-        |    + pow(m4 / (m2 * m2) - 3, 2) / 4), 2) AS jb
-        |FROM st""".stripMargin) { (s, d) =>
+    QDef("x_jarque_bera", JbSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),

@@ -12,6 +12,52 @@ import org.apache.spark.sql.functions._
   */
 object R22Ops {
 
+  /** Cochran's Q as ONE portable SQL text — oracle of `x_cochran_q` and
+    * whole query of the `x_sql_cochran` twin. */
+  private[queries] val CochranSql =
+    """WITH r AS (SELECT
+      |  CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END AS b,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS c
+      |  FROM orders),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb,
+      |  CAST(sum(c) AS BIGINT) AS cc,
+      |  CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS r2
+      |  FROM r),
+      |q AS (SELECT n, ca, cb, cc,
+      |  CAST(ca + cb + cc AS BIGINT) AS t, r2 FROM s)
+      |SELECT n, ca AS high_price, cb AS high_priority, cc AS finished,
+      |  round(3 * 2 * ((ca - t / 3.0e0) * (ca - t / 3.0e0)
+      |      + (cb - t / 3.0e0) * (cb - t / 3.0e0)
+      |      + (cc - t / 3.0e0) * (cc - t / 3.0e0))
+      |    / (3.0e0 * t - r2), 4) AS q_stat
+      |FROM q""".stripMargin
+
+  /** Odds ratio as ONE portable SQL text — oracle of `x_odds_ratio` and
+    * whole query of the `x_sql_odds` twin. */
+  private[queries] val OddsSql =
+    """WITH r AS (SELECT
+      |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS b
+      |  FROM orders),
+      |s AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+      |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM r),
+      |k AS (SELECT n11, n10, n01, n00,
+      |  (CAST(n11 AS DOUBLE) * n00) / (CAST(n10 AS DOUBLE) * n01) AS orr,
+      |  sqrt(1.0e0 / n11 + 1.0e0 / n10 + 1.0e0 / n01 + 1.0e0 / n00) AS se
+      |  FROM s)
+      |SELECT n11, n10, n01, n00, round(orr, 4) AS odds_ratio,
+      |  round(ln(orr), 4) AS log_or,
+      |  round(exp(ln(orr) - 1.96e0 * se), 4) AS ci_lo,
+      |  round(exp(ln(orr) + 1.96e0 * se), 4) AS ci_hi
+      |FROM k""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // GRANGER LAG-1 TEST: do yesterday's views help predict today's
@@ -114,26 +160,7 @@ object R22Ops {
     // high priority, finished status): do the three flags mark the same
     // share of orders? ONE indicator aggregate — column totals and the
     // row-sum square sum — then the closed form on a 1-row frame.
-    QDef("x_cochran_q",
-      """WITH r AS (SELECT
-        |  CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS a,
-        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END AS b,
-        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS c
-        |  FROM orders),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb,
-        |  CAST(sum(c) AS BIGINT) AS cc,
-        |  CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS r2
-        |  FROM r),
-        |q AS (SELECT n, ca, cb, cc,
-        |  CAST(ca + cb + cc AS BIGINT) AS t, r2 FROM s)
-        |SELECT n, ca AS high_price, cb AS high_priority, cc AS finished,
-        |  round(3 * 2 * ((ca - t / 3.0e0) * (ca - t / 3.0e0)
-        |      + (cb - t / 3.0e0) * (cb - t / 3.0e0)
-        |      + (cc - t / 3.0e0) * (cc - t / 3.0e0))
-        |    / (3.0e0 * t - r2), 4) AS q_stat
-        |FROM q""".stripMargin) { (s, d) =>
+    QDef("x_cochran_q", CochranSql) { (s, d) =>
       val r = Tables(s, d).orders.select(
         when(col("o_totalprice") >= 150000, 1L).otherwise(0L).as("a"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
@@ -183,26 +210,7 @@ object R22Ops {
     // ODDS RATIO of finished status given high priority, with the Wald
     // 95% interval — the effect-size view of the x_woe_iv contingency.
     // ONE 4-cell indicator pass; exact integer cells.
-    QDef("x_odds_ratio",
-      """WITH r AS (SELECT
-        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END AS a,
-        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS b
-        |  FROM orders),
-        |s AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
-        |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
-        |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
-        |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
-        |  FROM r),
-        |k AS (SELECT n11, n10, n01, n00,
-        |  (CAST(n11 AS DOUBLE) * n00) / (CAST(n10 AS DOUBLE) * n01) AS orr,
-        |  sqrt(1.0e0 / n11 + 1.0e0 / n10 + 1.0e0 / n01 + 1.0e0 / n00) AS se
-        |  FROM s)
-        |SELECT n11, n10, n01, n00, round(orr, 4) AS odds_ratio,
-        |  round(ln(orr), 4) AS log_or,
-        |  round(exp(ln(orr) - 1.96e0 * se), 4) AS ci_lo,
-        |  round(exp(ln(orr) + 1.96e0 * se), 4) AS ci_hi
-        |FROM k""".stripMargin) { (s, d) =>
+    QDef("x_odds_ratio", OddsSql) { (s, d) =>
       val r = Tables(s, d).orders.select(
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L).as("a"),

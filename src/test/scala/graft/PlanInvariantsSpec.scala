@@ -96,7 +96,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_durbin_watson" ->
       "daily residual series — calendar-bounded (lag over the daily frame)",
     "x_abc_analysis" ->
-      "negated floor(spend/5000) bin frame — cents prefix sums (BinnedRank)")
+      "negated floor(spend/5000) bin frame — cents prefix sums (BinnedRank)",
+    "x_sql_kruskal" ->
+      "same price-bin frame as x_kruskal_wallis (SQL twin)")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
