@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object R23Ops {
 
+  /** VIF as ONE portable SQL text — oracle of `x_vif` and whole query
+    * of the `x_sql_vif` twin. */
+  private[queries] val VifSql =
+    """WITH c AS (SELECT
+      |  round(corr(l_quantity, l_discount), 6) AS rqd,
+      |  round(corr(l_quantity, l_tax), 6) AS rqt,
+      |  round(corr(l_discount, l_tax), 6) AS rdt,
+      |  CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem),
+      |r2 AS (SELECT n,
+      |  (rqd * rqd + rqt * rqt - 2 * rqd * rqt * rdt) / (1 - rdt * rdt)
+      |    AS r2q,
+      |  (rqd * rqd + rdt * rdt - 2 * rqd * rdt * rqt) / (1 - rqt * rqt)
+      |    AS r2d,
+      |  (rqt * rqt + rdt * rdt - 2 * rqt * rdt * rqd) / (1 - rqd * rqd)
+      |    AS r2t
+      |  FROM c)
+      |SELECT n, round(1 / (1 - r2q), 4) AS vif_quantity,
+      |  round(1 / (1 - r2d), 4) AS vif_discount,
+      |  round(1 / (1 - r2t), 4) AS vif_tax
+      |FROM r2""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // LASPEYRES / PAASCHE / FISHER PRICE INDEX by ship year vs the 1995
@@ -129,25 +151,7 @@ object R23Ops {
     // 3×3 correlation matrix in closed form — ONE moment pass, snapped
     // r's, 1-row algebra. The multicollinearity screen before any
     // in-database regression.
-    QDef("x_vif",
-      """WITH c AS (SELECT
-        |  round(corr(l_quantity, l_discount), 6) AS rqd,
-        |  round(corr(l_quantity, l_tax), 6) AS rqt,
-        |  round(corr(l_discount, l_tax), 6) AS rdt,
-        |  CAST(count(*) AS BIGINT) AS n
-        |  FROM lineitem),
-        |r2 AS (SELECT n,
-        |  (rqd * rqd + rqt * rqt - 2 * rqd * rqt * rdt) / (1 - rdt * rdt)
-        |    AS r2q,
-        |  (rqd * rqd + rdt * rdt - 2 * rqd * rdt * rqt) / (1 - rqt * rqt)
-        |    AS r2d,
-        |  (rqt * rqt + rdt * rdt - 2 * rqt * rdt * rqd) / (1 - rqd * rqd)
-        |    AS r2t
-        |  FROM c)
-        |SELECT n, round(1 / (1 - r2q), 4) AS vif_quantity,
-        |  round(1 / (1 - r2d), 4) AS vif_discount,
-        |  round(1 / (1 - r2t), 4) AS vif_tax
-        |FROM r2""".stripMargin) { (s, d) =>
+    QDef("x_vif", VifSql) { (s, d) =>
       val c = Tables(s, d).lineitem.agg(
         round(corr(col("l_quantity"), col("l_discount")), 6).as("rqd"),
         round(corr(col("l_quantity"), col("l_tax")), 6).as("rqt"),

@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
   */
 object R24Ops {
 
+  /** Theil's U as ONE portable SQL text — oracle of `x_theil_u` and
+    * whole query of the `x_sql_theilu` twin. */
+  private[queries] val TheilUSql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS p, o_orderstatus AS s,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+      |hj AS (SELECT -sum((c / CAST(n.n AS DOUBLE))
+      |    * ln(c / CAST(n.n AS DOUBLE))) AS hps
+      |  FROM cells, n),
+      |hp AS (SELECT -sum((cp / CAST(n.n AS DOUBLE))
+      |    * ln(cp / CAST(n.n AS DOUBLE))) AS hp
+      |  FROM (SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM cells
+      |        GROUP BY 1), n),
+      |hs AS (SELECT -sum((cs / CAST(n.n AS DOUBLE))
+      |    * ln(cs / CAST(n.n AS DOUBLE))) AS hs
+      |  FROM (SELECT s, CAST(sum(c) AS BIGINT) AS cs FROM cells
+      |        GROUP BY 1), n)
+      |SELECT n.n, round(hs.hs, 6) AS h_status, round(hp.hp, 6)
+      |    AS h_priority,
+      |  round(hj.hps, 6) AS h_joint,
+      |  round((hs.hs + hp.hp - hj.hps) / hs.hs, 6) AS theil_u
+      |FROM n, hj, hp, hs""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // Kruskal-Wallis through Spark's SQL parser — same shared text. The
@@ -43,28 +68,7 @@ object R24Ops {
     // ASYMMETRIC complement of x_cramers_v / x_mutual_info, U(status |
     // priority) = (H(S) + H(P) − H(P,S)) / H(S). ONE 15-cell contingency
     // aggregate; marginal entropies from exact integer ratios.
-    QDef("x_theil_u",
-      """WITH cells AS (
-        |  SELECT o_orderpriority AS p, o_orderstatus AS s,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM orders GROUP BY 1, 2),
-        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
-        |hj AS (SELECT -sum((c / CAST(n.n AS DOUBLE))
-        |    * ln(c / CAST(n.n AS DOUBLE))) AS hps
-        |  FROM cells, n),
-        |hp AS (SELECT -sum((cp / CAST(n.n AS DOUBLE))
-        |    * ln(cp / CAST(n.n AS DOUBLE))) AS hp
-        |  FROM (SELECT p, CAST(sum(c) AS BIGINT) AS cp FROM cells
-        |        GROUP BY 1), n),
-        |hs AS (SELECT -sum((cs / CAST(n.n AS DOUBLE))
-        |    * ln(cs / CAST(n.n AS DOUBLE))) AS hs
-        |  FROM (SELECT s, CAST(sum(c) AS BIGINT) AS cs FROM cells
-        |        GROUP BY 1), n)
-        |SELECT n.n, round(hs.hs, 6) AS h_status, round(hp.hp, 6)
-        |    AS h_priority,
-        |  round(hj.hps, 6) AS h_joint,
-        |  round((hs.hs + hp.hp - hj.hps) / hs.hs, 6) AS theil_u
-        |FROM n, hj, hp, hs""".stripMargin) { (s, d) =>
+    QDef("x_theil_u", TheilUSql) { (s, d) =>
       val cells = Tables(s, d).orders
         .groupBy(col("o_orderpriority").as("p"),
           col("o_orderstatus").as("st"))
