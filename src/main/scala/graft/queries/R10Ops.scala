@@ -961,9 +961,12 @@ object R10Ops {
       val r0 = graft.ops.BinnedRank.belowAndN(ch, Seq.empty,
           (-floor(log2(col("c")))).cast("bigint"), Seq(col("c").desc), col("m"))
         .select(col("c"), col("below").as("r0"))
+      // No forced broadcast on r0: distinct counts grow ~√(corpus tokens)
+      // under Zipf, so at 100 TB the histogram is millions of rows — let
+      // AQE pick broadcast while it is small and hash-join `c` once not.
       val ranked = graft.ops.BinnedRank.belowAndN(wf, Seq("c"),
           substring(col("word"), 1, 2), Seq(col("word")), lit(1L))
-        .join(broadcast(r0), "c")
+        .join(r0, "c")
         .withColumn("rnk", col("r0") + col("below") + lit(1L))
       ranked.agg(count(lit(1)).as("vocab"),
         round(regr_slope(log(col("c")), log(col("rnk"))), 6).as("zipf_slope"),

@@ -159,7 +159,7 @@ object R15Ops {
     // mean-centered cumulative range over standard deviation, averaged
     // per block length, log-log slope = H. Every window partitions by
     // (block length, block) — partitions are ≤15 rows by construction (≤ block length at any span) —
-    // and the fit runs on a 4-row frame. Block means and the released
+    // and the fit runs on a 5-row frame. Block means and the released
     // averages snap at 6 dp so both engines aggregate identical doubles.
     QDef("x_hurst",
       """WITH daily AS (

@@ -131,7 +131,8 @@ object R18Ops {
         |SELECT nation, n AS items, richness,
         |  round(exp(shannon), 4) AS hill1,
         |  round(1 / simpson, 4) AS hill2,
-        |  round(shannon / ln(richness), 6) AS evenness
+        |  CASE WHEN richness > 1 THEN round(shannon / ln(richness), 6)
+        |       ELSE CAST(NULL AS DOUBLE) END AS evenness
         |FROM h""".stripMargin) { (s, d) =>
       val t = Tables(s, d)
       val nb = t.lineitem
@@ -153,7 +154,10 @@ object R18Ops {
       h.select(col("nation"), col("n").as("items"), col("richness"),
         round(exp(col("shannon")), 4).as("hill1"),
         round(lit(1) / col("simpson"), 4).as("hill2"),
-        round(col("shannon") / log(col("richness")), 6).as("evenness"))
+        // richness=1 ⇒ ln(richness)=0 ⇒ 0/0 NaN; single-brand nations
+        // have no defined evenness, so release NULL (matches the oracle).
+        when(col("richness") > 1,
+          round(col("shannon") / log(col("richness")), 6)).as("evenness"))
     },
 
     // GRUBBS' OUTLIER TEST per market segment: G = max|v−μ|/σ with the

@@ -113,7 +113,7 @@ object R23Ops {
         |    / (2 * (s2.sse / (s2.n - 2)) * (1 - e.h) * (1 - e.h)) AS d
         |  FROM e, s2)
         |SELECT dd AS day, round(d, 6) AS cooks_d
-        |FROM cd ORDER BY d DESC, dd LIMIT 5""".stripMargin) { (s, d) =>
+        |FROM cd ORDER BY cooks_d DESC, day LIMIT 5""".stripMargin) { (s, d) =>
       val daily = Tables(s, d).events
         .groupBy(to_date(col("ts")).as("dd"))
         .agg(round(avg(col("value")), 6).as("v"))

@@ -63,6 +63,13 @@ object R24Ops {
       s.sql(R22Ops.OddsSql)
     },
 
+    // Theil's U through Spark's SQL parser, same shared text — the
+    // SQL-surface twin the TheilUSql comment promises.
+    QDef("x_sql_theilu", TheilUSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "orders")
+      s.sql(TheilUSql)
+    },
+
     // THEIL'S U (uncertainty coefficient): how much does knowing the
     // order priority reduce uncertainty about the status — the
     // ASYMMETRIC complement of x_cramers_v / x_mutual_info, U(status |

@@ -64,18 +64,25 @@ object R9Ops {
       |  round(c / n, 6) AS p
       |FROM t JOIN tot ON tot.src = t.src""".stripMargin
 
-  private[queries] val KCoreSql =
-    s"""WITH items AS (
-       |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
-       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-       |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM items),
-       |pr AS (
-       |  SELECT a.item AS u, b.item AS v, count(*) AS supp
-       |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
-       |  GROUP BY 1, 2),
-       |e0 AS (SELECT u, v FROM pr, n WHERE supp / n_orders >= 0.025),
-       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-       |a0 AS (SELECT DISTINCT u FROM e),
+  /** Corpus-scale half of the k-core text: one basket collapse → pair
+    * support → relative-threshold edge list, symmetrized. Shared verbatim
+    * by the oracle text AND the `x_sql_kcore` edge materialization, so the
+    * two cannot drift. */
+  private[queries] val KCoreEdgeCtes =
+    """items AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM items),
+      |pr AS (
+      |  SELECT a.item AS u, b.item AS v, count(*) AS supp
+      |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT u, v FROM pr, n WHERE supp / n_orders >= 0.025)""".stripMargin
+
+  /** Peel half: 4 unrolled rounds over a relation named `e` (a CTE in the
+    * oracle; a checkpointed temp view in the Spark twin). */
+  private[queries] val KCorePeelBody =
+    s"""a0 AS (SELECT DISTINCT u FROM e),
        |${peelRound(1)},
        |${peelRound(2)},
        |${peelRound(3)},
@@ -83,6 +90,11 @@ object R9Ops {
        |SELECT e.u AS id, CAST(count(*) AS BIGINT) AS deg
        |FROM e JOIN a4 x ON x.u = e.u JOIN a4 y ON y.u = e.v
        |GROUP BY 1""".stripMargin
+
+  private[queries] val KCoreSql =
+    s"""WITH $KCoreEdgeCtes,
+       |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |$KCorePeelBody""".stripMargin
 
   /** CUSUM drift detection as ONE portable SQL text — oracle of
     * `x_cusum_drift` and the whole query of `x_sql_cusum`. The closed
@@ -667,11 +679,22 @@ object R9Ops {
             .as("fertility"))
     },
 
-    // The k-core peel through Spark's SQL parser — ONE portable text
-    // shared verbatim with the DuckDB oracle (the CcSql twin contract).
+    // The k-core peel through Spark's SQL parser — both halves are the
+    // SAME text the DuckDB oracle runs (the CcSql twin contract), but
+    // Spark doesn't materialize multiply-referenced CTEs, so executing the
+    // oracle text flat re-derives the corpus-scale edge CTE once per peel
+    // round (6 references ⇒ ~6 corpus passes). Materialize the edge frame
+    // ONCE (`localCheckpoint` — the iterative-graph pattern of
+    // graph/GraphMetrics.scala) behind a temp view named `e`, then run the
+    // peel half verbatim over it — the exact refactor a view/CTE
+    // materialization pass would do, expressed at the API surface.
     QDef("x_sql_kcore", R9Ops.KCoreSql) { (s, d) =>
       SqlSurface.viewed(s, d, "lineitem", "part")
-      s.sql(R9Ops.KCoreSql)
+      s.sql(s"""WITH ${R9Ops.KCoreEdgeCtes}
+               |SELECT u, v FROM e0 UNION SELECT v, u FROM e0""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("e")
+      s.sql(s"WITH ${R9Ops.KCorePeelBody}")
     },
 
     // Column profiling — the warehouse DESCRIBE/stats pass: count, nulls,
@@ -772,7 +795,10 @@ object R9Ops {
       val tx = pairs.groupBy("x").agg(sum(col("n")).as("nx"))
       val ty = pairs.groupBy("y").agg(sum(col("n")).as("ny"))
       val tot = pairs.agg(sum(col("n")).as("t"))
-      pairs.join(broadcast(tx), "x").join(broadcast(ty), "y")
+      // tx/ty are vocabulary-sized marginals (Heaps' law — they grow with
+      // the corpus): no forced broadcast; the x/y keys hash-distribute and
+      // AQE still broadcasts while the vocab is actually small.
+      pairs.join(tx, "x").join(ty, "y")
         .crossJoin(broadcast(tot))
         .filter(col("n") >= 30)
         .select(col("x"), col("y"), col("n").cast("long").as("n"),

@@ -41,6 +41,24 @@ object StarGraph {
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE l.l_extendedprice > 100000)""".stripMargin
 
+  /** Per-vertex triangle count oracle over the canonicalized sparse
+    * subgraph — shared by `g4_triangle_count` (DataFrame engine) and
+    * `x_graphx_triangles` (the GraphX RDD path). */
+  private val TriangleSql =
+    s"""WITH ${SparseEdgesCte},
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |tri AS (
+       |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+       |  FROM und t1 JOIN und t2 ON t1.b = t2.a
+       |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b),
+       |verts AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+       |pv AS (SELECT id, count(*) AS triangles FROM (
+       |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |  GROUP BY id)
+       |SELECT verts.id, coalesce(pv.triangles, 0) AS triangles
+       |FROM verts LEFT JOIN pv ON verts.id = pv.id""".stripMargin
+
   /** GraphX-semantics static PageRank, unrolled to 10 iterations of SQL for
     * the DuckDB oracle (no recursive-CTE aggregation needed) — generic in
     * the edges CTE so the nation graph (g3) and the region "states" graph
@@ -134,20 +152,7 @@ object StarGraph {
 
     // G4 — per-vertex triangle count over the canonicalized (undirected,
     // deduped, no self-loop) sparse subgraph (ref: src/graphframes_flights.py:48-49).
-    QDef("g4_triangle_count",
-      s"""WITH ${SparseEdgesCte},
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM edges WHERE src <> dst),
-         |tri AS (
-         |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
-         |  FROM und t1 JOIN und t2 ON t1.b = t2.a
-         |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b),
-         |verts AS (SELECT a AS id FROM und UNION SELECT b FROM und),
-         |pv AS (SELECT id, count(*) AS triangles FROM (
-         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
-         |  GROUP BY id)
-         |SELECT verts.id, coalesce(pv.triangles, 0) AS triangles
-         |FROM verts LEFT JOIN pv ON verts.id = pv.id""".stripMargin) { (s, d) =>
+    QDef("g4_triangle_count", TriangleSql) { (s, d) =>
       GraphMetrics.triangleCounts(edges(s, d, Some(col("l_extendedprice") > 100000)))
     },
 
@@ -224,6 +229,20 @@ object StarGraph {
       GraphMetrics.pageRankGraphX(s, e, 0.15, 10)
         .select(col("id").cast(e.schema("src").dataType).as("id"),
           round(col("pr"), 4).as("pr"))
+    },
+
+    // GraphX-path triangle count as a REGISTERED operator (the RDD
+    // cross-check of g4, same oracle text). TriangleCount.run canonicalizes
+    // internally (dedup + orient src<dst) but keeps every vertex of its
+    // input graph, so self-loop-only vertices are dropped HERE (src≠dst)
+    // to match the oracle's vertex set (endpoints of canonical edges);
+    // counts are exact integers, so the release needs no rounding margin.
+    QDef("x_graphx_triangles", TriangleSql) { (s, d) =>
+      val e = edges(s, d, Some(col("l_extendedprice") > 100000))
+        .filter(col("src") =!= col("dst"))
+      GraphMetrics.triangleCountGraphX(s, e)
+        .select(col("id").cast(e.schema("src").dataType).as("id"),
+          col("triangles"))
     }
   )
 }
