@@ -27,6 +27,16 @@ object Bench {
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .sortBy { case (n, _) => (family(n), n) }
     val firstMm = ordered.indexWhere { case (n, _) => family(n) == 1 }
+    // Per-query JVM heap high-water mark: reset the heap pools' peak
+    // before each query, read the max after — separates allocation-
+    // pressure regressions (x_sim_ivfpq_recall, round-8 watch item) from
+    // plan regressions without re-running anything under a profiler.
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    val buildSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val peakMb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = ordered
       .zipWithIndex.map { case ((name, fn), i) =>
       if (i == firstMm) {
@@ -36,13 +46,28 @@ object Bench {
         System.gc()
         Thread.sleep(200) // let the ContextCleaner drain its ref queue
       }
+      heapPools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
       // failed queries record -1 (and land in "failed") so a broken query
       // can never silently contribute a plausible-looking time to the total
+      // Build and execute timed SEPARATELY: for most queries build is plan
+      // construction (~ms), but the layout queries (x_partition_pruned,
+      // x_sorted_scan, x_zorder_scan, x_dsv2_partitioned) materialize
+      // their layout eagerly during build — splitting the phases keeps a
+      // read-path plan regression visible under tmp-dir write IO variance.
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          val df = fn(spark, sfDir)
+          val tBuilt = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if ((tBuilt - t0) / 1e9 > 0.25)
+            buildSecs(name) = (tBuilt - t0) / 1e9
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+      val pk = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+      if (pk > 1024) peakMb(name) = pk
       val dt = name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       // outside the timed span. clearCache releases CacheManager entries
       // (the flights queries' cache()d CSV preprocessing); localCheckpoint
@@ -62,7 +87,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .toSeq.sorted.mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val builds = buildSecs.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val peaks = peakMb.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build_sec":$builds,"heap_peak_mb":$peaks,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

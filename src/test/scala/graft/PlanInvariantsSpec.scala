@@ -100,7 +100,15 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_abc_analysis" ->
       "negated floor(spend/5000) bin frame — cents prefix sums (BinnedRank)",
     "x_sql_kruskal" ->
-      "same price-bin frame as x_kruskal_wallis (SQL twin)")
+      "same price-bin frame as x_kruskal_wallis (SQL twin)",
+    "x_cliffs_delta" ->
+      "floor(price/1000) bin frame — binned c2-cumulative (BinnedRank)",
+    "x_sql_cliffs" -> "same price-bin frame (SQL twin)",
+    "x_mood_median" ->
+      "floor(price/1000) bin frame — binned median selection (BinnedRank)",
+    "x_hampel" -> "daily mean series — calendar-bounded rolling window",
+    "x_rolling_quantile" ->
+      "daily mean series — calendar-bounded rolling window")
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
@@ -143,7 +151,7 @@ class PlanInvariantsSpec extends SparkSpec {
         s"stale carve-outs: ${stale.mkString(", ")}")
   }
 
-  test("carved-out single-partition frames stay bounded as data scales 10x") {
+  test("carved-out single-partition frames stay bounded as data scales 10x and 100x") {
     def spRecords(name: String, sf: String): Long = {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
@@ -152,16 +160,27 @@ class PlanInvariantsSpec extends SparkSpec {
       spark.catalog.clearCache()
       recs.sum
     }
+    // third decade: deterministic 10x upscale of sf0.1 (ProbeSf1), so
+    // "flat under 10x" is actually asserted as "flat under 100x" —
+    // sf-root growth (√n frames) that squeaks under one decade's 3x
+    // rule compounds to ~10x over two and fails
+    val sfHuge = ProbeSf1.ensure(spark)
     val measured = boundedFrame.keys.toSeq.sorted.map { name =>
-      (name, spRecords(name, sfMid), spRecords(name, sfBig))
+      (name, spRecords(name, sfMid), spRecords(name, sfBig),
+        spRecords(name, sfHuge))
     }
     // probe sanity: a metric-name mismatch would read all-zero and pass
     // vacuously; the price-bin frames alone guarantee hundreds of rows
     assert(measured.exists(_._3 > 100L),
       s"probe read ~zero records everywhere — metric extraction broken? $measured")
-    val offenders = measured.flatMap { case (name, atMid, atBig) =>
-      if (atBig > 3 * math.max(atMid, 1L) && atBig > 2000L)
-        Some(s"$name: $atMid -> $atBig rows through SinglePartition")
+    val offenders = measured.flatMap { case (name, atMid, atBig, atHuge) =>
+      val decade1 = atBig > 3 * math.max(atMid, 1L) && atBig > 2000L
+      val decade2 = atHuge > 3 * math.max(atBig, 1L) && atHuge > 2000L
+      // compounded: two decades may each pass 3x yet multiply to ~9x+ —
+      // √n growth lands here (≈10x over 100x data)
+      val compounded = atHuge > 6 * math.max(atMid, 1L) && atHuge > 2000L
+      if (decade1 || decade2 || compounded)
+        Some(s"$name: $atMid -> $atBig -> $atHuge rows through SinglePartition")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
@@ -239,7 +258,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_theilsen_trend" -> "daily pair/median frames — calendar-bounded",
     "x_tukey_fences" -> "per-segment fence frame — 5 segments",
     "x_vocab_overlap" -> "per-source vocab counts — source-domain",
-    "x_winsorize" -> "per-group percentile frame — group-domain-bounded")
+    "x_winsorize" -> "per-group percentile frame — group-domain-bounded",
+    "x_friedman" -> "month x segment cell-mean frame — 60 rows",
+    "x_tukey_hsd" -> "per-segment moment frame — 5 segments")
 
   private val CorpusTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings", "flights")
