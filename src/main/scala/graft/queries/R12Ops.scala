@@ -72,6 +72,26 @@ object R12Ops {
       |      - tie3 / ((n1 + n2) * (n1 + n2 - 1.0e0)))), 4) AS z
       |FROM stats""".stripMargin
 
+  /** One-way ANOVA as ONE portable SQL text — oracle of `x_anova_f` and
+    * whole query of the `x_sql_anova` twin (the CcSql twin contract). */
+  private[queries] val AnovaSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
+      |  var_samp(v) AS s2 FROM oc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |  CAST(count(*) AS BIGINT) AS k,
+      |  sum(n * m) / sum(n) AS gm FROM st),
+      |agg AS (SELECT max(k) AS k, max(nn) AS nn,
+      |  sum(n * (m - gm) * (m - gm)) AS ssb,
+      |  sum((n - 1) * s2) AS ssw FROM st, tot)
+      |SELECT CAST(k - 1 AS BIGINT) AS df_between,
+      |  CAST(nn - k AS BIGINT) AS df_within,
+      |  round((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
+      |  round(ssb / (ssb + ssw), 4) AS eta_sq
+      |FROM agg""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // MANN-WHITNEY U (Wilcoxon rank-sum): the nonparametric complement to
@@ -127,23 +147,7 @@ object R12Ops {
     // x_ab_ttest posture — no row-level data leaves the executors twice).
     // F and η² are released at 4 dp, inside the repo's double-aggregate
     // parity convention.
-    QDef("x_anova_f",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
-        |  var_samp(v) AS s2 FROM oc GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  sum(n * m) / sum(n) AS gm FROM st),
-        |agg AS (SELECT max(k) AS k, max(nn) AS nn,
-        |  sum(n * (m - gm) * (m - gm)) AS ssb,
-        |  sum((n - 1) * s2) AS ssw FROM st, tot)
-        |SELECT CAST(k - 1 AS BIGINT) AS df_between,
-        |  CAST(nn - k AS BIGINT) AS df_within,
-        |  round((ssb / (k - 1)) / (ssw / (nn - k)), 4) AS f_stat,
-        |  round(ssb / (ssb + ssw), 4) AS eta_sq
-        |FROM agg""".stripMargin) { (s, d) =>
+    QDef("x_anova_f", R12Ops.AnovaSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),

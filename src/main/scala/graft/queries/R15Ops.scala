@@ -15,6 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object R15Ops {
 
+  /** Jensen-Shannon divergence as ONE portable SQL text — oracle of
+    * `x_js_divergence` and whole query of the `x_sql_js` twin. */
+  private[queries] val JsSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |bins AS (SELECT CAST(floor(v / 1000) AS BIGINT) AS b,
+      |  CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ca,
+      |  CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cb
+      |  FROM oc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb,
+      |  CAST(count(*) AS BIGINT) AS n_bins FROM bins),
+      |terms AS (SELECT tot.n_bins,
+      |  CASE WHEN ca > 0 THEN (ca / CAST(na AS DOUBLE))
+      |    * ln(2 * (ca / CAST(na AS DOUBLE))
+      |        / (ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE)))
+      |    ELSE 0 END AS tp,
+      |  CASE WHEN cb > 0 THEN (cb / CAST(nb AS DOUBLE))
+      |    * ln(2 * (cb / CAST(nb AS DOUBLE))
+      |        / (ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE)))
+      |    ELSE 0 END AS tq
+      |  FROM bins, tot)
+      |SELECT max(n_bins) AS n_bins,
+      |  round(0.5e0 * sum(tp) + 0.5e0 * sum(tq), 6) AS jsd,
+      |  round(sqrt(greatest(0.5e0 * sum(tp) + 0.5e0 * sum(tq), 0)), 6)
+      |    AS jsd_distance
+      |FROM terms""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // 1-D WASSERSTEIN (earth mover's) DISTANCE between the BUILDING and
@@ -99,35 +131,7 @@ object R15Ops {
     // binned contingency aggregate; probabilities are exact integer
     // ratios so both engines evaluate identical doubles; zero-mass bins
     // contribute 0 by the p·ln(p) convention.
-    QDef("x_js_divergence",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
-        |bins AS (SELECT CAST(floor(v / 1000) AS BIGINT) AS b,
-        |  CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS ca,
-        |  CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS cb
-        |  FROM oc GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-        |  CAST(sum(cb) AS BIGINT) AS nb,
-        |  CAST(count(*) AS BIGINT) AS n_bins FROM bins),
-        |terms AS (SELECT tot.n_bins,
-        |  CASE WHEN ca > 0 THEN (ca / CAST(na AS DOUBLE))
-        |    * ln(2 * (ca / CAST(na AS DOUBLE))
-        |        / (ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE)))
-        |    ELSE 0 END AS tp,
-        |  CASE WHEN cb > 0 THEN (cb / CAST(nb AS DOUBLE))
-        |    * ln(2 * (cb / CAST(nb AS DOUBLE))
-        |        / (ca / CAST(na AS DOUBLE) + cb / CAST(nb AS DOUBLE)))
-        |    ELSE 0 END AS tq
-        |  FROM bins, tot)
-        |SELECT max(n_bins) AS n_bins,
-        |  round(0.5e0 * sum(tp) + 0.5e0 * sum(tq), 6) AS jsd,
-        |  round(sqrt(greatest(0.5e0 * sum(tp) + 0.5e0 * sum(tq), 0)), 6)
-        |    AS jsd_distance
-        |FROM terms""".stripMargin) { (s, d) =>
+    QDef("x_js_divergence", R15Ops.JsSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),

@@ -16,6 +16,49 @@ import org.apache.spark.sql.functions._
   */
 object R16Ops {
 
+  /** Markov entropy rate as ONE portable SQL text — oracle of
+    * `x_entropy_rate` and whole query of the `x_sql_entropy_rate` twin. */
+  private[queries] val EntropyRateSql =
+    """WITH s AS (SELECT user_id, event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS nxt
+      |  FROM events),
+      |t AS (SELECT event_type AS src, nxt AS dst,
+      |  CAST(count(*) AS BIGINT) AS c
+      |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM t),
+      |ce AS (SELECT t.src, max(m.ns) AS out_transitions,
+      |  -sum((c / CAST(m.ns AS DOUBLE)) * ln(c / CAST(m.ns AS DOUBLE)))
+      |    AS hs
+      |  FROM t JOIN m ON t.src = m.src GROUP BY 1),
+      |er AS (SELECT round(sum((out_transitions / CAST(nt AS DOUBLE)) * hs),
+      |    6) AS entropy_rate
+      |  FROM ce, tot)
+      |SELECT ce.src, ce.out_transitions, round(ce.hs, 6) AS cond_entropy,
+      |  er.entropy_rate
+      |FROM ce, er""".stripMargin
+
+  /** Gumbel extreme-value fit as ONE portable SQL text — oracle of
+    * `x_gumbel_extremes` and whole query of the `x_sql_gumbel` twin. */
+  private[queries] val GumbelSql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS c
+      |  FROM events GROUP BY 1),
+      |dm AS (SELECT CAST(h AS DATE) AS dd, max(c) AS mx
+      |  FROM hourly GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(mx), 6) AS m,
+      |  round(stddev_samp(mx), 6) AS s FROM dm),
+      |fit AS (SELECT n, m, s,
+      |  s * 0.7796968012336293e0 AS beta,
+      |  m - 0.5772156649015329e0 * s * 0.7796968012336293e0 AS mu
+      |  FROM st)
+      |SELECT n AS n_blocks, round(mu, 4) AS mu, round(beta, 4) AS beta,
+      |  round(mu - beta * ln(-ln(1 - 1.0e0 / 10)), 4) AS return_10,
+      |  round(mu - beta * ln(-ln(1 - 1.0e0 / 100)), 4) AS return_100
+      |FROM fit""".stripMargin
+
+
   /** Cohen's kappa as ONE portable SQL text — the DuckDB oracle of
     * `x_cohens_kappa` AND the whole Spark-SQL query of the
     * `x_sql_kappa` twin (the CcSql twin contract). */
@@ -160,26 +203,7 @@ object R16Ops {
     // (user ORDER BY ts, event_id)). Corpus work is the keyed lag window
     // + one grouped count; the entropy algebra runs on the ≤25-cell
     // transition frame.
-    QDef("x_entropy_rate",
-      """WITH s AS (SELECT user_id, event_type,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    AS nxt
-        |  FROM events),
-        |t AS (SELECT event_type AS src, nxt AS dst,
-        |  CAST(count(*) AS BIGINT) AS c
-        |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |m AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM t GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM t),
-        |ce AS (SELECT t.src, max(m.ns) AS out_transitions,
-        |  -sum((c / CAST(m.ns AS DOUBLE)) * ln(c / CAST(m.ns AS DOUBLE)))
-        |    AS hs
-        |  FROM t JOIN m ON t.src = m.src GROUP BY 1),
-        |er AS (SELECT round(sum((out_transitions / CAST(nt AS DOUBLE)) * hs),
-        |    6) AS entropy_rate
-        |  FROM ce, tot)
-        |SELECT ce.src, ce.out_transitions, round(ce.hs, 6) AS cond_entropy,
-        |  er.entropy_rate
-        |FROM ce, er""".stripMargin) { (s, d) =>
+    QDef("x_entropy_rate", R16Ops.EntropyRateSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val sdf = Tables(s, d).events
@@ -207,22 +231,7 @@ object R16Ops {
     // 10- and 100-day return levels — capacity-planning on top of the
     // hourly aggregate. Corpus work is two map-side-combined aggregates;
     // the fit runs on a 1-row stats frame with 6-dp snapped moments.
-    QDef("x_gumbel_extremes",
-      """WITH hourly AS (
-        |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS DOUBLE) AS c
-        |  FROM events GROUP BY 1),
-        |dm AS (SELECT CAST(h AS DATE) AS dd, max(c) AS mx
-        |  FROM hourly GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, round(avg(mx), 6) AS m,
-        |  round(stddev_samp(mx), 6) AS s FROM dm),
-        |fit AS (SELECT n, m, s,
-        |  s * 0.7796968012336293e0 AS beta,
-        |  m - 0.5772156649015329e0 * s * 0.7796968012336293e0 AS mu
-        |  FROM st)
-        |SELECT n AS n_blocks, round(mu, 4) AS mu, round(beta, 4) AS beta,
-        |  round(mu - beta * ln(-ln(1 - 1.0e0 / 10)), 4) AS return_10,
-        |  round(mu - beta * ln(-ln(1 - 1.0e0 / 100)), 4) AS return_100
-        |FROM fit""".stripMargin) { (s, d) =>
+    QDef("x_gumbel_extremes", R16Ops.GumbelSql) { (s, d) =>
       val hourly = Tables(s, d).events
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).cast("double").as("c"))

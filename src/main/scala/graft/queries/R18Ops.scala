@@ -12,6 +12,51 @@ import org.apache.spark.sql.functions._
   */
 object R18Ops {
 
+  /** Grubbs' outlier test as ONE portable SQL text — oracle of `x_grubbs`
+    * and whole query of the `x_sql_grubbs` twin. */
+  private[queries] val GrubbsSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS mu,
+      |  round(stddev_samp(v), 6) AS sd FROM oc GROUP BY 1),
+      |dev AS (SELECT oc.g, oc.v, abs(oc.v - m.mu) / m.sd AS dv
+      |  FROM oc JOIN m ON oc.g = m.g),
+      |mx AS (SELECT g, max(dv) AS g_stat FROM dev GROUP BY 1),
+      |pick AS (SELECT dev.g, max(dev.v) AS extreme_value
+      |  FROM dev JOIN mx ON dev.g = mx.g AND dev.dv = mx.g_stat
+      |  GROUP BY 1)
+      |SELECT m.g AS segment, m.n, round(mx.g_stat, 4) AS g_stat,
+      |  pick.extreme_value
+      |FROM m JOIN mx ON m.g = mx.g JOIN pick ON m.g = pick.g""".stripMargin
+
+  /** Hill-number diversity ladder as ONE portable SQL text — oracle of
+    * `x_hill_diversity` and whole query of the `x_sql_hill` twin. */
+  private[queries] val HillSql =
+    """WITH nb AS (
+      |  SELECT n.n_name AS nation, p.p_brand AS brand,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT nation, CAST(sum(c) AS BIGINT) AS n FROM nb GROUP BY 1),
+      |h AS (SELECT nb.nation, max(t.n) AS n,
+      |  CAST(count(*) AS BIGINT) AS richness,
+      |  -sum((c / CAST(t.n AS DOUBLE)) * ln(c / CAST(t.n AS DOUBLE)))
+      |    AS shannon,
+      |  sum((c / CAST(t.n AS DOUBLE)) * (c / CAST(t.n AS DOUBLE)))
+      |    AS simpson
+      |  FROM nb JOIN t ON nb.nation = t.nation GROUP BY 1)
+      |SELECT nation, n AS items, richness,
+      |  round(exp(shannon), 4) AS hill1,
+      |  round(1 / simpson, 4) AS hill2,
+      |  CASE WHEN richness > 1 THEN round(shannon / ln(richness), 6)
+      |       ELSE CAST(NULL AS DOUBLE) END AS evenness
+      |FROM h""".stripMargin
+
+
   val defs: Seq[QDef] = Seq(
 
     // SAX SYMBOLIZATION of the daily event-count series: 3-day PAA
@@ -111,29 +156,7 @@ object R18Ops {
     // (q=2), and Pielou evenness — the ecology-style diversity ladder
     // over the (nation × brand) frame, which is value-domain-bounded
     // (25 nations × 25 brands) after ONE fact-scale aggregate.
-    QDef("x_hill_diversity",
-      """WITH nb AS (
-        |  SELECT n.n_name AS nation, p.p_brand AS brand,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM lineitem l
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |  JOIN part p ON l.l_partkey = p.p_partkey
-        |  GROUP BY 1, 2),
-        |t AS (SELECT nation, CAST(sum(c) AS BIGINT) AS n FROM nb GROUP BY 1),
-        |h AS (SELECT nb.nation, max(t.n) AS n,
-        |  CAST(count(*) AS BIGINT) AS richness,
-        |  -sum((c / CAST(t.n AS DOUBLE)) * ln(c / CAST(t.n AS DOUBLE)))
-        |    AS shannon,
-        |  sum((c / CAST(t.n AS DOUBLE)) * (c / CAST(t.n AS DOUBLE)))
-        |    AS simpson
-        |  FROM nb JOIN t ON nb.nation = t.nation GROUP BY 1)
-        |SELECT nation, n AS items, richness,
-        |  round(exp(shannon), 4) AS hill1,
-        |  round(1 / simpson, 4) AS hill2,
-        |  CASE WHEN richness > 1 THEN round(shannon / ln(richness), 6)
-        |       ELSE CAST(NULL AS DOUBLE) END AS evenness
-        |FROM h""".stripMargin) { (s, d) =>
+    QDef("x_hill_diversity", R18Ops.HillSql) { (s, d) =>
       val t = Tables(s, d)
       val nb = t.lineitem
         .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
@@ -164,21 +187,7 @@ object R18Ops {
     // attaining price — three grouped passes (snapped moments broadcast
     // back, max deviation, then the deviation-equality pick, exact
     // because both engines derive identical doubles), never a sort.
-    QDef("x_grubbs",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS mu,
-        |  round(stddev_samp(v), 6) AS sd FROM oc GROUP BY 1),
-        |dev AS (SELECT oc.g, oc.v, abs(oc.v - m.mu) / m.sd AS dv
-        |  FROM oc JOIN m ON oc.g = m.g),
-        |mx AS (SELECT g, max(dv) AS g_stat FROM dev GROUP BY 1),
-        |pick AS (SELECT dev.g, max(dev.v) AS extreme_value
-        |  FROM dev JOIN mx ON dev.g = mx.g AND dev.dv = mx.g_stat
-        |  GROUP BY 1)
-        |SELECT m.g AS segment, m.n, round(mx.g_stat, 4) AS g_stat,
-        |  pick.extreme_value
-        |FROM m JOIN mx ON m.g = mx.g JOIN pick ON m.g = pick.g""".stripMargin) {
+    QDef("x_grubbs", R18Ops.GrubbsSql) {
       (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders

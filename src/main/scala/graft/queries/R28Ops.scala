@@ -80,6 +80,133 @@ object R28Ops {
       |    AS f_welch
       |FROM parts""".stripMargin
 
+
+  /** Cohen's d / Hedges' g as ONE portable SQL text — oracle of
+    * `x_cohens_d` and whole query of the `x_sql_cohens` twin. */
+  private[queries] val CohensSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS m,
+      |  round(var_samp(v), 6) AS s2 FROM oc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(n * m) AS sv,
+      |  sum((n - 1) * s2 + n * m * m) AS sq FROM st),
+      |r AS (SELECT g, n, m, s2, nn,
+      |  (sv - n * m) / (nn - n) AS mr,
+      |  (sq - ((n - 1) * s2 + n * m * m)
+      |    - (nn - n) * ((sv - n * m) / (nn - n))
+      |      * ((sv - n * m) / (nn - n))) / (nn - n - 1) AS s2r
+      |  FROM st, tot),
+      |d AS (SELECT g, n, m - mr AS diff,
+      |  (m - mr) / sqrt(((n - 1) * s2 + (nn - n - 1) * s2r) / (nn - 2))
+      |    AS cd, nn
+      |  FROM r)
+      |SELECT g AS segment, n, round(diff, 4) AS mean_diff,
+      |  round(cd, 4) AS cohens_d,
+      |  round(cd * (1 - 3.0e0 / (4 * nn - 9)), 4) AS hedges_g
+      |FROM d""".stripMargin
+
+
+  /** Tukey-Kramer HSD as ONE portable SQL text — oracle of `x_tukey_hsd`
+    * and whole query of the `x_sql_tukey` twin. */
+  private[queries] val TukeySql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS m,
+      |  round(var_samp(v), 6) AS s2 FROM oc GROUP BY 1),
+      |msw AS (SELECT sum((n - 1) * s2) / (sum(n) - count(*)) AS msw
+      |  FROM st)
+      |SELECT /*+ BROADCAST(b) */ a.g AS seg_a, b.g AS seg_b,
+      |  round(a.m - b.m, 4) AS mean_diff,
+      |  round(abs(a.m - b.m)
+      |    / sqrt(msw.msw / 2 * (1.0e0 / a.n + 1.0e0 / b.n)), 4) AS q_stat
+      |FROM st a JOIN st b ON a.g < b.g, msw""".stripMargin
+
+
+  /** Friedman test as ONE portable SQL text — oracle of `x_friedman`
+    * and whole query of the `x_sql_friedman` twin. */
+  private[queries] val FriedmanSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, CAST(month(o.o_orderdate) AS INT) AS b,
+      |    o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cells AS (SELECT b, g, round(avg(v), 6) AS m FROM oc GROUP BY 1, 2),
+      |r AS (SELECT a.b, a.g,
+      |  sum(CASE WHEN c2.m < a.m THEN 1.0e0
+      |           WHEN c2.m = a.m THEN 0.5e0 ELSE 0 END) + 0.5e0 AS rk
+      |  FROM cells a JOIN cells c2 ON a.b = c2.b GROUP BY 1, 2),
+      |rs AS (SELECT g, sum(rk) AS rj FROM r GROUP BY 1),
+      |dims AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
+      |chi AS (SELECT max(n) AS n, max(k) AS k,
+      |  round(12.0e0 / (max(n) * max(k) * (max(k) + 1)) * sum(rj * rj)
+      |    - 3.0e0 * max(n) * (max(k) + 1), 4) AS chi2
+      |  FROM rs, dims)
+      |SELECT rs.g AS segment, round(rs.rj, 1) AS rank_sum,
+      |  chi.n AS n_blocks, chi.k, chi.chi2
+      |FROM rs, chi""".stripMargin
+
+
+  /** Mood's median test as ONE portable SQL text — oracle of
+    * `x_mood_median` and whole query of the `x_sql_mood` twin. */
+  private[queries] val MoodSql =
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM oc GROUP BY 1),
+      |hb AS (SELECT v, c, CAST(floor(v / 1000) AS BIGINT) AS bin FROM hist),
+      |binpre AS (
+      |  SELECT bin,
+      |    CAST(coalesce(sum(bc) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS bb
+      |  FROM (SELECT bin, CAST(sum(c) AS BIGINT) AS bc FROM hb GROUP BY 1)),
+      |cum AS (
+      |  SELECT hb.v, hb.c,
+      |    bp.bb + CAST(coalesce(sum(hb.c) OVER (PARTITION BY hb.bin
+      |      ORDER BY hb.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS below
+      |  FROM hb JOIN binpre bp ON hb.bin = bp.bin),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+      |med AS (SELECT min(v) AS mv FROM cum, tot
+      |  WHERE below + c >= CAST(floor((n + 1) / 2.0e0) AS BIGINT)),
+      |cls AS (SELECT g,
+      |  CAST(sum(CASE WHEN v > mv THEN 1 ELSE 0 END) AS BIGINT) AS above,
+      |  CAST(count(*) AS BIGINT) AS n_g
+      |  FROM oc, med GROUP BY 1),
+      |mg AS (SELECT CAST(sum(above) AS BIGINT) AS a,
+      |  CAST(sum(n_g) AS BIGINT) AS nn FROM cls),
+      |chi AS (SELECT round(sum(
+      |    (above - n_g * a / CAST(nn AS DOUBLE))
+      |      * (above - n_g * a / CAST(nn AS DOUBLE))
+      |      / (n_g * a / CAST(nn AS DOUBLE))
+      |    + ((n_g - above) - n_g * (nn - a) / CAST(nn AS DOUBLE))
+      |      * ((n_g - above) - n_g * (nn - a) / CAST(nn AS DOUBLE))
+      |      / (n_g * (nn - a) / CAST(nn AS DOUBLE))), 4) AS chi2
+      |  FROM cls, mg)
+      |SELECT cls.g AS segment, cls.n_g, cls.above,
+      |  round(cls.n_g * mg.a / CAST(mg.nn AS DOUBLE), 4) AS expected_above,
+      |  chi.chi2
+      |FROM cls, mg, chi""".stripMargin
+
+
+  /** Poisson dispersion as ONE portable SQL text — oracle of
+    * `x_poisson_dispersion` and whole query of the `x_sql_poisson` twin. */
+  private[queries] val PoissonSql =
+    """WITH dc AS (SELECT event_type,
+      |  CAST(date_trunc('day', ts) AS DATE) AS d,
+      |  CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |  round(avg(c), 6) AS m, round(var_samp(c), 6) AS s2
+      |  FROM dc GROUP BY 1)
+      |SELECT event_type, n_days, round(m, 4) AS mean_daily,
+      |  round(s2, 4) AS var_daily, round(s2 / m, 4) AS dispersion,
+      |  round((n_days - 1) * s2 / m, 4) AS chi2
+      |FROM st""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // CLIFF'S DELTA: the ordinal effect size behind the Mann-Whitney z —
@@ -156,28 +283,7 @@ object R28Ops {
     // closed form from the 5-row stats frame (Σv and Σv² reconstructed
     // from snapped n/m/s², never a second corpus pass), pooled SD over
     // both sides. The standardized-effect screen behind every A/B read.
-    QDef("x_cohens_d",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS m,
-        |  round(var_samp(v), 6) AS s2 FROM oc GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(n * m) AS sv,
-        |  sum((n - 1) * s2 + n * m * m) AS sq FROM st),
-        |r AS (SELECT g, n, m, s2, nn,
-        |  (sv - n * m) / (nn - n) AS mr,
-        |  (sq - ((n - 1) * s2 + n * m * m)
-        |    - (nn - n) * ((sv - n * m) / (nn - n))
-        |      * ((sv - n * m) / (nn - n))) / (nn - n - 1) AS s2r
-        |  FROM st, tot),
-        |d AS (SELECT g, n, m - mr AS diff,
-        |  (m - mr) / sqrt(((n - 1) * s2 + (nn - n - 1) * s2r) / (nn - 2))
-        |    AS cd, nn
-        |  FROM r)
-        |SELECT g AS segment, n, round(diff, 4) AS mean_diff,
-        |  round(cd, 4) AS cohens_d,
-        |  round(cd * (1 - 3.0e0 / (4 * nn - 9)), 4) AS hedges_g
-        |FROM d""".stripMargin) { (s, d) =>
+    QDef("x_cohens_d", CohensSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -212,19 +318,7 @@ object R28Ops {
     // after the ANOVA — which segment pairs actually differ. MSW from the
     // same snapped 5-row moment frame; the pair expansion is a triangular
     // join of that frame (the x_lorenz_deciles posture).
-    QDef("x_tukey_hsd",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS m,
-        |  round(var_samp(v), 6) AS s2 FROM oc GROUP BY 1),
-        |msw AS (SELECT sum((n - 1) * s2) / (sum(n) - count(*)) AS msw
-        |  FROM st)
-        |SELECT a.g AS seg_a, b.g AS seg_b,
-        |  round(a.m - b.m, 4) AS mean_diff,
-        |  round(abs(a.m - b.m)
-        |    / sqrt(msw.msw / 2 * (1.0e0 / a.n + 1.0e0 / b.n)), 4) AS q_stat
-        |FROM st a JOIN st b ON a.g < b.g, msw""".stripMargin) { (s, d) =>
+    QDef("x_tukey_hsd", TukeySql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -252,26 +346,7 @@ object R28Ops {
     // corpus aggregate, snapped 6 dp) rank WITHIN each 5-cell block by an
     // average-rank self-join of the 60-row cell frame (cnt_less +
     // (cnt_eq+1)/2 — ties exact in both engines); χ²_F from rank sums.
-    QDef("x_friedman",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, CAST(month(o.o_orderdate) AS INT) AS b,
-        |    o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |cells AS (SELECT b, g, round(avg(v), 6) AS m FROM oc GROUP BY 1, 2),
-        |r AS (SELECT a.b, a.g,
-        |  sum(CASE WHEN c2.m < a.m THEN 1.0e0
-        |           WHEN c2.m = a.m THEN 0.5e0 ELSE 0 END) + 0.5e0 AS rk
-        |  FROM cells a JOIN cells c2 ON a.b = c2.b GROUP BY 1, 2),
-        |rs AS (SELECT g, sum(rk) AS rj FROM r GROUP BY 1),
-        |dims AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
-        |  CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
-        |chi AS (SELECT max(n) AS n, max(k) AS k,
-        |  round(12.0e0 / (max(n) * max(k) * (max(k) + 1)) * sum(rj * rj)
-        |    - 3.0e0 * max(n) * (max(k) + 1), 4) AS chi2
-        |  FROM rs, dims)
-        |SELECT rs.g AS segment, round(rs.rj, 1) AS rank_sum,
-        |  chi.n AS n_blocks, chi.k, chi.chi2
-        |FROM rs, chi""".stripMargin) { (s, d) =>
+    QDef("x_friedman", FriedmanSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -304,46 +379,7 @@ object R28Ops {
     // interpolation to diverge on), then a 5×2 above/at-or-below
     // contingency and its χ². Counts stay BIGINT; expecteds are exact
     // integer ratios.
-    QDef("x_mood_median",
-      """WITH oc AS (
-        |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM oc GROUP BY 1),
-        |hb AS (SELECT v, c, CAST(floor(v / 1000) AS BIGINT) AS bin FROM hist),
-        |binpre AS (
-        |  SELECT bin,
-        |    CAST(coalesce(sum(bc) OVER (ORDER BY bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS bb
-        |  FROM (SELECT bin, CAST(sum(c) AS BIGINT) AS bc FROM hb GROUP BY 1)),
-        |cum AS (
-        |  SELECT hb.v, hb.c,
-        |    bp.bb + CAST(coalesce(sum(hb.c) OVER (PARTITION BY hb.bin
-        |      ORDER BY hb.v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS below
-        |  FROM hb JOIN binpre bp ON hb.bin = bp.bin),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
-        |med AS (SELECT min(v) AS mv FROM cum, tot
-        |  WHERE below + c >= (n + 1) // 2),
-        |cls AS (SELECT g,
-        |  CAST(sum(CASE WHEN v > mv THEN 1 ELSE 0 END) AS BIGINT) AS above,
-        |  CAST(count(*) AS BIGINT) AS n_g
-        |  FROM oc, med GROUP BY 1),
-        |mg AS (SELECT CAST(sum(above) AS BIGINT) AS a,
-        |  CAST(sum(n_g) AS BIGINT) AS nn FROM cls),
-        |chi AS (SELECT round(sum(
-        |    (above - n_g * a / CAST(nn AS DOUBLE))
-        |      * (above - n_g * a / CAST(nn AS DOUBLE))
-        |      / (n_g * a / CAST(nn AS DOUBLE))
-        |    + ((n_g - above) - n_g * (nn - a) / CAST(nn AS DOUBLE))
-        |      * ((n_g - above) - n_g * (nn - a) / CAST(nn AS DOUBLE))
-        |      / (n_g * (nn - a) / CAST(nn AS DOUBLE))), 4) AS chi2
-        |  FROM cls, mg)
-        |SELECT cls.g AS segment, cls.n_g, cls.above,
-        |  round(cls.n_g * mg.a / CAST(mg.nn AS DOUBLE), 4) AS expected_above,
-        |  chi.chi2
-        |FROM cls, mg, chi""".stripMargin) { (s, d) =>
+    QDef("x_mood_median", MoodSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
@@ -443,18 +479,7 @@ object R28Ops {
     // dispersed vs Poisson (variance/mean ≈ 1)? Daily counts are exact
     // integers, so per-type moments over the (type × 30-day) frame derive
     // identical doubles; χ² = (n−1)·s²/m̄ is the classic dispersion test.
-    QDef("x_poisson_dispersion",
-      """WITH dc AS (SELECT event_type,
-        |  CAST(date_trunc('day', ts) AS DATE) AS d,
-        |  CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-        |  round(avg(c), 6) AS m, round(var_samp(c), 6) AS s2
-        |  FROM dc GROUP BY 1)
-        |SELECT event_type, n_days, round(m, 4) AS mean_daily,
-        |  round(s2, 4) AS var_daily, round(s2 / m, 4) AS dispersion,
-        |  round((n_days - 1) * s2 / m, 4) AS chi2
-        |FROM st""".stripMargin) { (s, d) =>
+    QDef("x_poisson_dispersion", PoissonSql) { (s, d) =>
       val dc = Tables(s, d).events
         .groupBy(col("event_type"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("c"))

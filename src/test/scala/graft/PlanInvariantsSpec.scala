@@ -106,6 +106,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_cliffs" -> "same price-bin frame (SQL twin)",
     "x_mood_median" ->
       "floor(price/1000) bin frame — binned median selection (BinnedRank)",
+    "x_sql_mood" -> "same price-bin frame (SQL twin)",
     "x_hampel" -> "daily mean series — calendar-bounded rolling window",
     "x_rolling_quantile" ->
       "daily mean series — calendar-bounded rolling window")
@@ -260,7 +261,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_vocab_overlap" -> "per-source vocab counts — source-domain",
     "x_winsorize" -> "per-group percentile frame — group-domain-bounded",
     "x_friedman" -> "month x segment cell-mean frame — 60 rows",
-    "x_tukey_hsd" -> "per-segment moment frame — 5 segments")
+    "x_tukey_hsd" -> "per-segment moment frame — 5 segments",
+    "x_sql_tukey" ->
+      ("same 5-row moment frame (SQL twin; Spark-only BROADCAST hint " +
+        "comment keeps the parser's non-equi pair join off CartesianProduct)"))
 
   private val CorpusTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings", "flights")
@@ -282,23 +286,45 @@ class PlanInvariantsSpec extends SparkSpec {
     * broadcast WITHOUT passing a node that bounds row count independently
     * of data scale: a global (groupless) aggregate or a literal limit.
     * Grouped aggregates pass through — their key domain may or may not be
-    * bounded, which is exactly what the carve-out + dynamic probe decide. */
-  private def unboundedCorpusFrame(root: logical.LogicalPlan): Boolean = {
-    def walk(p: logical.LogicalPlan): Boolean = p match {
+    * bounded, which is exactly what the carve-out + dynamic probe decide.
+    * SQL-parsed queries keep their CTE structure in the analyzed plan
+    * (`CTERelationRef` leaves), so refs resolve through `cteDefs` — a
+    * hinted CTE alias over a corpus aggregate is as visible as the
+    * Dataset-API form. */
+  private def unboundedCorpusFrame(root: logical.LogicalPlan,
+      cteDefs: Map[Long, logical.LogicalPlan]): Boolean = {
+    def walk(p: logical.LogicalPlan, seen: Set[Long]): Boolean = p match {
       case a: logical.Aggregate if a.groupingExpressions.isEmpty => false
       case _: logical.GlobalLimit => false
+      case r: logical.CTERelationRef =>
+        !seen(r.cteId) &&
+          cteDefs.get(r.cteId).exists(walk(_, seen + r.cteId))
       case l: logical.LeafNode => corpusLeaf(l)
-      case other => other.children.exists(walk)
+      case other => other.children.exists(walk(_, seen))
     }
-    walk(root)
+    walk(root, Set.empty)
   }
 
-  private def suspectHintFrames(analyzed: logical.LogicalPlan): Seq[logical.LogicalPlan] =
+  private def cteDefsOf(analyzed: logical.LogicalPlan): Map[Long, logical.LogicalPlan] =
     analyzed.collect {
+      case d: logical.CTERelationDef => d.id -> d.child
+    }.toMap
+
+  private def suspectHintFrames(analyzed: logical.LogicalPlan): Seq[logical.LogicalPlan] = {
+    // Spark's own InlineCTE substitutes CTERelationRef leaves with their
+    // definitions (attribute mapping included), so a hinted CTE alias in
+    // a SQL twin yields the same standalone-executable frame as the
+    // Dataset-API form — both for this walk and for the dynamic probe's
+    // row counts.
+    val plan = org.apache.spark.sql.catalyst.optimizer
+      .InlineCTE(alwaysInline = true).apply(analyzed)
+    val defs = cteDefsOf(plan)
+    plan.collect {
       case h: logical.ResolvedHint
           if h.hints.strategy.contains(logical.BROADCAST) &&
-            unboundedCorpusFrame(h.child) => h.child
+            unboundedCorpusFrame(h.child, defs) => h.child
     }
+  }
 
   test("forced broadcast() on a corpus-derived frame requires a justified " +
       "bounded-frame carve-out (opt-out, stale entries flagged)") {
@@ -327,8 +353,8 @@ class PlanInvariantsSpec extends SparkSpec {
   test("carved-out corpus broadcast frames stay bounded as data scales 10x") {
     assume(boundedBroadcast.nonEmpty)
     def hintedRows(name: String, sf: String): Long = {
-      val analyzed = SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
-      val rows = suspectHintFrames(analyzed)
+      val df = SparkEntry.queries(name)(spark, sf)
+      val rows = suspectHintFrames(df.queryExecution.analyzed)
         .map(f => org.apache.spark.sql.graft.Shim.ofRows(spark, f).count()).sum
       spark.catalog.clearCache()
       rows
