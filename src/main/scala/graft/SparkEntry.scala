@@ -23,7 +23,7 @@ object SparkEntry {
       R17Ops.defs ++ R18Ops.defs ++ R19Ops.defs ++ R20Ops.defs ++
       R21Ops.defs ++ R22Ops.defs ++ R23Ops.defs ++ R24Ops.defs ++
       R25Ops.defs ++ R26Ops.defs ++ R27Ops.defs ++ R28Ops.defs ++
-      R29Ops.defs
+      R29Ops.defs ++ R30Ops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

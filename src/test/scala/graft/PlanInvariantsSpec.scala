@@ -108,6 +108,8 @@ class PlanInvariantsSpec extends SparkSpec {
       "floor(price/1000) bin frame — binned median selection (BinnedRank)",
     "x_sql_mood" -> "same price-bin frame (SQL twin)",
     "x_hampel" -> "daily mean series — calendar-bounded rolling window",
+    "x_sql_poisson_glm" ->
+      "daily count frame — calendar-bounded observed-day row_number",
     "x_rolling_quantile" ->
       "daily mean series — calendar-bounded rolling window")
 
