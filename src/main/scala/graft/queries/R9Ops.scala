@@ -242,14 +242,18 @@ object R9Ops {
         planes = 32, bandBits = 8, dims = 64, tau = 0.9)
     },
 
-    // Measured SRP recall against brute-force truth on a sub-universe
-    // (1 in 5 clone families — the x_pq_recall discipline: ground truth
-    // restricted to a sample so the exact pass stays bounded at every SF;
-    // the brute pair join broadcasts the KB sample →
-    // BroadcastNestedLoopJoin, never a corpus cross product).
+    // Measured SRP recall against brute-force truth on a sub-universe:
+    // 1 in 20 clone families UP TO AN ABSOLUTE CAP of 4000 base ids — a
+    // fixed-fraction sample alone is sf-proportional, so the truth-side
+    // broadcast (and the O(|sub|^2) exact pass) would grow with the
+    // corpus; the id cap pins the probe set (round-9 two-decade probe
+    // catch). Below the cap (all driver SFs) results are unchanged; the
+    // brute pair join broadcasts the bounded probe set ->
+    // BroadcastNestedLoopJoin, never a corpus cross product.
     QDef("x_dedup_srp_recall",
       s"""WITH $SrpCtes,
-         |sub AS (SELECT * FROM ee WHERE (vec_id % 1000000) % 20 = 1),
+         |sub AS (SELECT * FROM ee
+         |  WHERE (vec_id % 1000000) % 20 = 1 AND (vec_id % 1000000) < 4000),
          |tdots AS (
          |  SELECT e1.vec_id AS d1, e2.vec_id AS d2, sum(e1.e * e2.e) AS dot
          |  FROM sub e1 JOIN sub e2 ON e2.j = e1.j AND e1.vec_id < e2.vec_id
@@ -270,7 +274,8 @@ object R9Ops {
          |    ELSE n_found / CAST(n_true AS DOUBLE) END, 6) AS recall
          |FROM nt, nf""".stripMargin) { (s, d) =>
       val aug = R9Ops.srpAugmented(Tables(s, d))
-      val sub = aug.filter((col("vec_id") % 1000000) % 20 === 1)
+      val sub = aug.filter((col("vec_id") % 1000000) % 20 === 1
+        && (col("vec_id") % 1000000) < 4000)
       val l = sub.select(col("vec_id").as("d1"), col("embedding").as("e1"))
       val r = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
       val truth = l.join(broadcast(r), col("d1") < col("d2"))

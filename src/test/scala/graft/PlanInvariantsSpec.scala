@@ -111,7 +111,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_poisson_glm" ->
       "daily count frame — calendar-bounded observed-day row_number",
     "x_rolling_quantile" ->
-      "daily mean series — calendar-bounded rolling window")
+      "daily mean series — calendar-bounded rolling window",
+    "x_conformal" ->
+      ("floor(residual/100) bin frame — residual-domain-bounded " +
+        "(measured 1035→1040 bins under 10× data; BinnedRank)"))
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
@@ -266,7 +269,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_tukey_hsd" -> "per-segment moment frame — 5 segments",
     "x_sql_tukey" ->
       ("same 5-row moment frame (SQL twin; Spark-only BROADCAST hint " +
-        "comment keeps the parser's non-equi pair join off CartesianProduct)"))
+        "comment keeps the parser's non-equi pair join off CartesianProduct)"),
+    "x_assoc_rules" -> "per-brand basket marginals — 25 brands")
 
   private val CorpusTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings", "flights")
@@ -361,13 +365,20 @@ class PlanInvariantsSpec extends SparkSpec {
       spark.catalog.clearCache()
       rows
     }
+    // same two-decade coverage as the SinglePartition probe: sf1 from
+    // ProbeSf1, per-decade 3x rule + compounded 6x (catches sqrt growth)
+    val sfHuge = ProbeSf1.ensure(spark)
     val measured = (boundedBroadcast.keySet -- fixtureProportionalEval)
       .toSeq.sorted.map { name =>
-        (name, hintedRows(name, sfMid), hintedRows(name, sfBig))
+        (name, hintedRows(name, sfMid), hintedRows(name, sfBig),
+          hintedRows(name, sfHuge))
       }
-    val offenders = measured.flatMap { case (name, atMid, atBig) =>
-      if (atBig > 3 * math.max(atMid, 1L) && atBig > 2000L)
-        Some(s"$name: $atMid -> $atBig broadcast rows")
+    val offenders = measured.flatMap { case (name, atMid, atBig, atHuge) =>
+      val decade1 = atBig > 3 * math.max(atMid, 1L) && atBig > 2000L
+      val decade2 = atHuge > 3 * math.max(atBig, 1L) && atHuge > 2000L
+      val compounded = atHuge > 6 * math.max(atMid, 1L) && atHuge > 2000L
+      if (decade1 || decade2 || compounded)
+        Some(s"$name: $atMid -> $atBig -> $atHuge broadcast rows")
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
