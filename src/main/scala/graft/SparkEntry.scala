@@ -23,7 +23,8 @@ object SparkEntry {
       R17Ops.defs ++ R18Ops.defs ++ R19Ops.defs ++ R20Ops.defs ++
       R21Ops.defs ++ R22Ops.defs ++ R23Ops.defs ++ R24Ops.defs ++
       R25Ops.defs ++ R26Ops.defs ++ R27Ops.defs ++ R28Ops.defs ++
-      R29Ops.defs ++ R30Ops.defs
+      R29Ops.defs ++ R30Ops.defs ++ R31Ops.defs ++ R32Ops.defs ++
+      R33Ops.defs ++ R34Ops.defs ++ R35Ops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

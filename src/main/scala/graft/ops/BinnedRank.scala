@@ -44,32 +44,48 @@ import org.apache.spark.sql.functions._
 object BinnedRank {
 
   def belowAndN(df: DataFrame, groups: Seq[String], bin: Column,
-      order: Seq[Column], cnt: Column): DataFrame = {
+      order: Seq[Column], cnt: Column): DataFrame =
+    belowAndNMany(df, groups, bin, order, Seq("" -> cnt))
+
+  /** [[belowAndN]] for SEVERAL count measures in ONE pass: each
+    * (suffix, cnt) yields `below<suffix>` + `n<suffix>` columns, with the
+    * whole scaffold sharing the single (groups, bin) shuffle — a
+    * two-sample statistic (Anderson-Darling, the joint CDF family) needs
+    * both its group cumulative and the combined cumulative, and two
+    * belowAndN calls would shuffle the histogram twice. */
+  def belowAndNMany(df: DataFrame, groups: Seq[String], bin: Column,
+      order: Seq[Column], cnts: Seq[(String, Column)]): DataFrame = {
     val g = groups.map(col)
-    val withBin = df.withColumn("__bin", bin).withColumn("__c", cnt)
-    // level 1: bounded bin frame — the only (possibly) unpartitioned window
+    val withBin0 = df.withColumn("__bin", bin)
+    val withBin = cnts.foldLeft(withBin0) { case (d, (sfx, c)) =>
+      d.withColumn(s"__c$sfx", c)
+    }
     val wBinPrefix = Window.partitionBy(g: _*).orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBinAll = Window.partitionBy(g: _*)
-    val binPre = withBin
-      .groupBy((g :+ col("__bin")): _*).agg(sum(col("__c")).as("__bc"))
-      .withColumn("__binBelow",
-        coalesce(sum(col("__bc")).over(wBinPrefix), lit(0L)))
-      .withColumn("n", sum(col("__bc")).over(wBinAll))
-      .drop("__bc")
-    // level 2: within-bin prefix, hash-partitioned by (groups, bin)
+    val binPre0 = withBin
+      .groupBy((g :+ col("__bin")): _*)
+      .agg(sum(col(s"__c${cnts.head._1}")).as(s"__bc${cnts.head._1}"),
+        cnts.tail.map { case (sfx, _) =>
+          sum(col(s"__c$sfx")).as(s"__bc$sfx")
+        }: _*)
+    val binPre = cnts.foldLeft(binPre0) { case (d, (sfx, _)) =>
+      d.withColumn(s"__binBelow$sfx",
+          coalesce(sum(col(s"__bc$sfx")).over(wBinPrefix), lit(0L)))
+        .withColumn(s"n$sfx", sum(col(s"__bc$sfx")).over(wBinAll))
+    }.drop(cnts.map(c => s"__bc${c._1}"): _*)
     val wWithin = Window.partitionBy((g :+ col("__bin")): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // no broadcast hint: the join keys equal the window's partitioning, so
-    // a shuffle join adds no exchange on the data side, and AQE still
-    // picks broadcast when the (usually tiny) bin frame fits — robust even
-    // when a composite bin key makes the bin frame grow
-    withBin
-      .withColumn("__withinBelow",
-        coalesce(sum(col("__c")).over(wWithin), lit(0L)))
-      .join(binPre, groups :+ "__bin")
-      .withColumn("below", col("__binBelow") + col("__withinBelow"))
-      .drop("__bin", "__c", "__withinBelow", "__binBelow")
+    val joined = cnts.foldLeft(withBin) { case (d, (sfx, _)) =>
+      d.withColumn(s"__withinBelow$sfx",
+        coalesce(sum(col(s"__c$sfx")).over(wWithin), lit(0L)))
+    }.join(binPre, groups :+ "__bin")
+    cnts.foldLeft(joined) { case (d, (sfx, _)) =>
+      d.withColumn(s"below$sfx",
+          col(s"__binBelow$sfx") + col(s"__withinBelow$sfx"))
+        .drop(s"__c$sfx", s"__withinBelow$sfx", s"__binBelow$sfx")
+    }.drop("__bin")
   }
+
 }

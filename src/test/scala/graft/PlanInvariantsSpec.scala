@@ -114,7 +114,20 @@ class PlanInvariantsSpec extends SparkSpec {
       "daily mean series — calendar-bounded rolling window",
     "x_conformal" ->
       ("floor(residual/100) bin frame — residual-domain-bounded " +
-        "(measured 1035→1040 bins under 10× data; BinnedRank)"))
+        "(measured 1035→1040 bins under 10× data; BinnedRank)"),
+    "x_anderson_darling" ->
+      "floor(price/1000) bin frame — binned joint CDFs (BinnedRank, 2 measures)",
+    "x_sql_ad" -> "same price-bin frame (SQL twin)",
+    "x_holt_forecast" ->
+      "daily count series — calendar-bounded double-EWMA windows",
+    "x_sprt" -> "daily URGENT-count series — calendar-bounded LLR prefix",
+    "x_ar2_yw" -> "daily count series — calendar-bounded ACF lag frame",
+    "x_cochrane_orcutt" ->
+      "daily count series — calendar-bounded residual-lag frame")
+    // NB x_cox_ph's at-risk reverse-cumulative windows (the x_survival_km
+    // horizon-bounded frame) execute inside the driver-side Newton fit
+    // (collected bounded frame), so the returned plan the static walk
+    // sees is the tiny result frame — same posture as x_logistic_glm.
 
   private def staticSuspect(planStr: String): Boolean = {
     val lines = planStr.linesIterator.toVector
@@ -270,7 +283,17 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_tukey" ->
       ("same 5-row moment frame (SQL twin; Spark-only BROADCAST hint " +
         "comment keeps the parser's non-equi pair join off CartesianProduct)"),
-    "x_assoc_rules" -> "per-brand basket marginals — 25 brands")
+    "x_rich_club" ->
+      ("degree-valued k grid — vertex-domain-bounded (the hint keeps the " +
+        "non-equi grid joins off CartesianProduct)"),
+    "x_dirichlet_mom" -> "event-type spine frame — type-domain (5 rows)",
+    "x_intrinsic_dim" ->
+      "capped probe set (vec_id < 200, absolute) — probe-set-bounded",
+    "x_ndcg" -> "query-vector frame — probe-set-bounded (x_sim family)")
+    // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
+    // behind the pinned (localCheckpoint) basket frame, so the audit's
+    // corpus-leaf walk never reaches a corpus table — no carve-out needed
+    // (adding one trips the stale check).
 
   private val CorpusTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings", "flights")
