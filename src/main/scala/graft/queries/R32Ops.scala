@@ -22,24 +22,33 @@ object R32Ops {
     df.localCheckpoint(eager = false)
 
   /** Blocked Levenshtein profile as ONE portable SQL text — oracle of
-    * `x_leven_match` and whole query of the `x_sql_leven` twin. Blocking
-    * = (first name word, exact length) equi-join — the ER blocking
-    * posture of x_jaro_entity (candidates from a shuffle join on the
-    * block key, never a cross product); the per-distance fold collapses
-    * the candidate set to ≤ a handful of integer rows. Spark and DuckDB
-    * both ship a native `levenshtein`/`split_part`, so one text parses in
-    * both engines. */
+    * `x_leven_match` and whole query of the `x_sql_leven` twin. The
+    * corpus collapses to the DISTINCT-NAME histogram first (value-domain
+    * bounded — 64 names at every SF), so each edit distance is computed
+    * ONCE per distinct pair and row multiplicities multiply back in:
+    * same-name pairs contribute C(c,2) at d = 0, cross pairs c_a·c_b —
+    * bit-identical to the naive row-pair fold, which at sf0.1 would run
+    * 7.8M levenshtein calls where this runs 48. Blocking = (first word,
+    * exact length) equi-join, the x_jaro_entity ER posture. Spark and
+    * DuckDB both ship native `levenshtein`/`split_part`, so one text
+    * parses in both engines. */
   private[queries] val LevenSql =
-    """WITH pp AS (
-      |  SELECT p_partkey AS k, p_name AS nm,
-      |    split_part(p_name, ' ', 1) AS w1, length(p_name) AS ln
-      |  FROM part),
-      |cand AS (
-      |  SELECT levenshtein(a.nm, b.nm) AS d
-      |  FROM pp a JOIN pp b ON b.w1 = a.w1 AND b.ln = a.ln AND b.k > a.k)
-      |SELECT d, CAST(count(*) AS BIGINT) AS n_pairs
-      |FROM cand
-      |GROUP BY d""".stripMargin
+    """WITH dn AS (
+      |  SELECT split_part(p_name, ' ', 1) AS w1, length(p_name) AS ln,
+      |    p_name AS nm, CAST(count(*) AS BIGINT) AS c
+      |  FROM part GROUP BY 1, 2, 3),
+      |self_pairs AS (
+      |  SELECT 0 AS d, CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_pairs
+      |  FROM dn),
+      |cross_pairs AS (
+      |  SELECT levenshtein(a.nm, b.nm) AS d,
+      |    CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs
+      |  FROM dn a JOIN dn b ON b.w1 = a.w1 AND b.ln = a.ln AND b.nm > a.nm
+      |  GROUP BY 1)
+      |SELECT d, CAST(sum(n_pairs) AS BIGINT) AS n_pairs FROM (
+      |  SELECT d, n_pairs FROM self_pairs WHERE n_pairs > 0
+      |  UNION ALL SELECT d, n_pairs FROM cross_pairs) u
+      |GROUP BY 1""".stripMargin
 
   /** Corpus half of the association rules: the distinct (order, brand)
     * basket frame — the one corpus-scale relation, referenced three
@@ -175,17 +184,24 @@ object R32Ops {
     // per-distance integer fold makes the released frame a handful of
     // rows with no top-k tie boundary at all.
     QDef("x_leven_match", LevenSql) { (s, d) =>
-      val pp = Tables(s, d).part.select(col("p_partkey").as("k"),
-        col("p_name").as("nm"),
-        split_part(col("p_name"), lit(" "), lit(1)).as("w1"),
-        length(col("p_name")).as("ln"))
-      val a = pp.select(col("k").as("ka"), col("nm").as("na"),
-        col("w1"), col("ln"))
-      val b = pp.select(col("k").as("kb"), col("nm").as("nb"),
-        col("w1"), col("ln"))
-      a.join(b, Seq("w1", "ln")).filter(col("kb") > col("ka"))
-        .select(levenshtein(col("na"), col("nb")).as("d"))
-        .groupBy("d").agg(count(lit(1)).as("n_pairs"))
+      val dn = Tables(s, d).part
+        .groupBy(split_part(col("p_name"), lit(" "), lit(1)).as("w1"),
+          length(col("p_name")).as("ln"), col("p_name").as("nm"))
+        .agg(count(lit(1)).as("c"))
+      val selfPairs = dn
+        .agg(sum(col("c") * (col("c") - 1) / 2).cast("bigint").as("n_pairs"))
+        .select(lit(0).as("d"), col("n_pairs"))
+        .filter(col("n_pairs") > 0)
+      val a = dn.select(col("w1"), col("ln"), col("nm").as("na"),
+        col("c").as("ca"))
+      val b = dn.select(col("w1"), col("ln"), col("nm").as("nb"),
+        col("c").as("cb"))
+      val crossPairs = a.join(b, Seq("w1", "ln"))
+        .filter(col("nb") > col("na"))
+        .groupBy(levenshtein(col("na"), col("nb")).as("d"))
+        .agg(sum(col("ca") * col("cb")).as("n_pairs"))
+      selfPairs.unionByName(crossPairs)
+        .groupBy("d").agg(sum(col("n_pairs")).as("n_pairs"))
     },
 
     // Levenshtein through Spark's SQL parser — the whole shared text

@@ -115,6 +115,18 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_conformal" ->
       ("floor(residual/100) bin frame — residual-domain-bounded " +
         "(measured 1035→1040 bins under 10× data; BinnedRank)"),
+    "x_sql_conformal" ->
+      "same residual-bin frame (SQL twin — the oracle's plain cumulative)",
+    "x_nelson_aalen" ->
+      "duration-hours at-risk histogram — horizon-bounded (KM frame)",
+    "x_weibull_plot" ->
+      "duration-hours at-risk histogram — horizon-bounded (KM frame)",
+    "x_life_table" ->
+      "100-hour interval frame — horizon-bounded (KM frame / 100)",
+    "x_sql_sprt" -> "daily URGENT-count series (SQL twin)",
+    "x_sql_holt" -> "daily count series (SQL twin)",
+    "x_sql_ar2" -> "daily count series (SQL twin)",
+    "x_sql_cochrane" -> "daily count series (SQL twin)",
     "x_anderson_darling" ->
       "floor(price/1000) bin frame — binned joint CDFs (BinnedRank, 2 measures)",
     "x_sql_ad" -> "same price-bin frame (SQL twin)",
