@@ -24,7 +24,9 @@ object SparkEntry {
       R21Ops.defs ++ R22Ops.defs ++ R23Ops.defs ++ R24Ops.defs ++
       R25Ops.defs ++ R26Ops.defs ++ R27Ops.defs ++ R28Ops.defs ++
       R29Ops.defs ++ R30Ops.defs ++ R31Ops.defs ++ R32Ops.defs ++
-      R33Ops.defs ++ R34Ops.defs ++ R35Ops.defs ++ R36Ops.defs
+      R33Ops.defs ++ R34Ops.defs ++ R35Ops.defs ++ R36Ops.defs ++
+      R37Ops.defs ++ R38Ops.defs ++ R39Ops.defs ++ R40Ops.defs ++
+      R41Ops.defs ++ R42Ops.defs ++ R43Ops.defs ++ R44Ops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

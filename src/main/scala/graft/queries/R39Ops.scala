@@ -1,0 +1,463 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-39 batch: the recommender / attribution / robust-fit block —
+  * item-item collaborative filtering (cosine over basket co-occurrence),
+  * k-NN label classification over the embedding corpus, LAD (median)
+  * regression by IRLS on the binned histogram, rank-1 ALS matrix
+  * factorization from ONE corpus collapse, and Markov-chain removal-
+  * effect attribution over user journeys.
+  *
+  * Scale posture: co-occurrence expands in-row per basket (never a
+  * corpus self-join); k-NN rides the capped-probe broadcast of the
+  * x_sim family; the fits follow the R30/R31 pinned-training posture —
+  * the corpus contributes one (or for ALS one 4-table) collapse to a
+  * value-domain-bounded frame, and the iterative algebra runs driver-
+  * side on KB frames with a 9 dp snap per round so the unrolled oracle
+  * CTEs replay identical arithmetic.
+  */
+object R39Ops {
+
+  private def snap9(v: Double) =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Lazy-checkpoint pin (the Dedup.pin posture): the IRLS loop issues
+    * several actions against the same corpus histogram — pin it so each
+    * round reuses one materialization instead of replaying the scan. */
+  private def pin(df: org.apache.spark.sql.DataFrame) =
+    df.localCheckpoint(eager = false)
+
+  // ---- item-item collaborative filtering ----
+
+  /** Item-CF as ONE portable text — oracle of `x_item_cf` and whole
+    * query of the `x_sql_itemcf` twin. Co-occurrence counts over order
+    * baskets (BasketSql's collapse, both directions), cosine
+    * c_ab/√(c_a·c_b), top-3 neighbors per item. */
+  private[queries] val ItemCfSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |ic AS (SELECT item, CAST(count(*) AS DOUBLE) AS c
+      |  FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT)
+      |    AS cooc
+      |  FROM items a JOIN items b ON a.o = b.o AND a.item <> b.item
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT ia, ib, cooc,
+      |  round(cooc / sqrt(ca.c * cb.c), 6) AS cosine
+      |  FROM pairs JOIN ic ca ON ca.item = pairs.ia
+      |  JOIN ic cb ON cb.item = pairs.ib),
+      |r AS (SELECT ia, ib, cooc, cosine,
+      |  row_number() OVER (PARTITION BY ia ORDER BY cosine DESC, ib)
+      |    AS rn
+      |  FROM sc)
+      |SELECT ia AS item, ib AS neighbor, cooc, cosine,
+      |  CAST(rn AS INT) AS rank
+      |FROM r WHERE rn <= 3""".stripMargin
+
+  // ---- k-NN classification over embeddings ----
+
+  /** 5-NN majority-label prediction as ONE DuckDB text — oracle of
+    * `x_knn_classify` (no parser twin: the embedding explode uses
+    * DuckDB's unnest(range())). Capped probes, exact cosine top-5,
+    * majority vote with (count desc, label asc) tie-break. */
+  private[queries] def knnOracle: String =
+    s"""WITH ${StarExt.EmbExpl},
+       |${StarExt.NormsCte},
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.e * b.e) AS dot
+       |  FROM ee a JOIN ee b ON b.j = a.j
+       |    AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, cid,
+       |    round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = qid
+       |  JOIN norms nc ON nc.vec_id = cid),
+       |ranked AS (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |      AS rank
+       |  FROM scored),
+       |votes AS (SELECT r.qid, lc.label AS nl, CAST(count(*) AS BIGINT)
+       |    AS c
+       |  FROM ranked r JOIN lab lc ON lc.vec_id = r.cid
+       |  WHERE r.rank <= 5 GROUP BY 1, 2),
+       |pred AS (SELECT qid, nl,
+       |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS rn
+       |  FROM votes)
+       |SELECT p.qid, lq.label AS actual, p.nl AS predicted,
+       |  CASE WHEN lq.label = p.nl THEN 1 ELSE 0 END AS correct
+       |FROM pred p JOIN lab lq ON lq.vec_id = p.qid
+       |WHERE p.rn = 1""".stripMargin
+
+  // ---- LAD (median) regression by IRLS ----
+
+  /** One IRLS round toward the LAD line given params from `$prev`:
+    * weights w = 1/max(|r|, 0.5) (k$ units), closed weighted solve,
+    * 9 dp snap — the quantile-regression counterpart of HuberSql's
+    * rounds (same histogram, different loss). */
+  private def ladRound(i: Int): String = {
+    val p = s"q${i - 1}"
+    val r = s"(hist.yb - $p.a - $p.b * hist.x)"
+    val w = s"(1.0e0 / (CASE WHEN abs($r) > 0.5e0 THEN abs($r) ELSE 0.5e0 END))"
+    s"""qw$i AS (SELECT
+       |  sum(hist.n * $w) AS sw,
+       |  sum(hist.n * $w * hist.x) AS swx,
+       |  sum(hist.n * $w * hist.yb) AS swy,
+       |  sum(hist.n * $w * hist.x * hist.x) AS swxx,
+       |  sum(hist.n * $w * hist.x * hist.yb) AS swxy
+       |  FROM hist CROSS JOIN $p),
+       |q$i AS (SELECT
+       |  round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+       |    * swx) / sw, 9) AS a,
+       |  round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) AS b
+       |  FROM qw$i)""".stripMargin
+  }
+
+  /** LAD regression as ONE portable text — oracle of `x_quantile_reg`.
+    * OLS init + 3 IRLS rounds on the value-domain-bounded (quantity ×
+    * 0.1 k$-snapped price) histogram; releases the robust line and its
+    * weighted mean absolute residual. */
+  private[queries] val LadSql = {
+    val rounds = (1 to 3).map(ladRound).mkString(",\n")
+    s"""WITH hraw AS (SELECT l_quantity AS x,
+       |  l_extendedprice / 1000.0e0 AS y FROM lineitem),
+       |hist AS (SELECT x, round(y, 1) AS yb, CAST(count(*) AS BIGINT)
+       |    AS n
+       |  FROM hraw GROUP BY 1, 2),
+       |m0 AS (SELECT
+       |  sum(n * 1.0e0) AS sw, sum(n * x * 1.0e0) AS swx,
+       |  sum(n * yb) AS swy, sum(n * x * x * 1.0e0) AS swxx,
+       |  sum(n * x * yb) AS swxy FROM hist),
+       |q0 AS (SELECT
+       |  round((swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+       |    * swx) / sw, 9) AS a,
+       |  round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 9) AS b
+       |  FROM m0),
+       |$rounds,
+       |fin AS (SELECT
+       |  sum(hist.n * abs(hist.yb - q3.a - q3.b * hist.x)) / sum(hist.n)
+       |    AS mae,
+       |  max(q3.a) AS a, max(q3.b) AS b
+       |  FROM hist CROSS JOIN q3)
+       |SELECT round(a, 6) AS intercept_k, round(b, 6) AS slope_k,
+       |  round(mae, 6) AS mae_k
+       |FROM fin""".stripMargin
+  }
+
+  // ---- rank-1 ALS ----
+
+  /** Rank-1 ALS as ONE DuckDB text — oracle of `x_als_factor`. The
+    * corpus collapses ONCE to the (brand × segment) mean-quantity
+    * matrix (125 cells, MATERIALIZED — every round re-reads it); three
+    * alternating closed-form solves with a 9 dp snap per half-round;
+    * releases the brand factors and the final fit RMSE. */
+  private[queries] val AlsSql = {
+    def uRound(i: Int) =
+      s"""u$i AS MATERIALIZED (SELECT r0.b,
+         |  round(sum(r0.r * v.v)
+         |    / (SELECT sum(vv.v * vv.v) FROM v${i - 1} vv), 9) AS u
+         |  FROM r0 JOIN v${i - 1} v ON v.s = r0.s GROUP BY 1)""".stripMargin
+    def vRound(i: Int) =
+      s"""v$i AS MATERIALIZED (SELECT r0.s,
+         |  round(sum(r0.r * u.u)
+         |    / (SELECT sum(uu.u * uu.u) FROM u$i uu), 9) AS v
+         |  FROM r0 JOIN u$i u ON u.b = r0.b GROUP BY 1)""".stripMargin
+    s"""WITH r0 AS MATERIALIZED (
+       |  SELECT p.p_brand AS b, c.c_mktsegment AS s,
+       |    round(avg(l.l_quantity), 6) AS r
+       |  FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (SELECT DISTINCT s, 1.0e0 AS v FROM r0),
+       |${uRound(1)},
+       |${vRound(1)},
+       |${uRound(2)},
+       |${vRound(2)},
+       |${uRound(3)},
+       |fit AS (SELECT
+       |  sqrt(avg((r0.r - u.u * v.v) * (r0.r - u.u * v.v))) AS rmse
+       |  FROM r0 JOIN u3 u ON u.b = r0.b JOIN v2 v ON v.s = r0.s)
+       |SELECT u3.b AS brand, round(u3.u, 6) AS factor,
+       |  round(fit.rmse, 6) AS rmse
+       |FROM u3 CROSS JOIN fit""".stripMargin
+  }
+
+  // ---- Markov removal-effect attribution ----
+
+  private val MkChannels = Seq("click", "error", "signup", "view")
+  private val MkRounds = 12
+
+  /** Markov attribution as ONE DuckDB text — oracle of
+    * `x_markov_attribution`. Journeys truncate at each user's first
+    * purchase; transitions include START→first and last→LOSS; the
+    * 6 dp-snapped transition matrix is MATERIALIZED and each of the 5
+    * chains (full + one per removed channel) runs 12 absorbing value-
+    * iteration rounds with a 9 dp snap — unrolled CTEs, generated. */
+  private[queries] val MarkovSql = {
+    def chain(tag: String, removed: Option[String]): String = {
+      val dstIn = MkChannels.filterNot(removed.contains)
+        .map(c => s"'$c'").mkString(", ")
+      val srcFilter = removed.map(c => s"\n  WHERE t.src <> '$c'")
+        .getOrElse("")
+      val rounds = (1 to MkRounds).map { k =>
+        s"""v${tag}_$k AS (SELECT t.src AS state,
+           |  round(sum(CASE WHEN t.dst = 'purchase' THEN t.p
+           |    WHEN t.dst IN ($dstIn) THEN t.p * coalesce(pv.v, 0)
+           |    ELSE 0 END), 9) AS v
+           |  FROM tm t LEFT JOIN v${tag}_${k - 1} pv ON pv.state = t.dst$srcFilter
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""v${tag}_0 AS (SELECT 'none' AS state, 0.0e0 AS v),
+         |$rounds""".stripMargin
+    }
+    val chains = (chain("f", None) +:
+      MkChannels.zipWithIndex.map { case (c, i) => chain(s"c$i", Some(c)) })
+      .mkString(",\n")
+    val finRows = MkChannels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |    (SELECT v FROM vc${i}_$MkRounds WHERE state = 'START') AS pw""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH r AS (SELECT user_id, event_type,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |    AS rn
+       |  FROM events),
+       |pr AS (SELECT user_id, min(rn) AS cr FROM r
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |keep AS (SELECT r.user_id, r.event_type, r.rn
+       |  FROM r LEFT JOIN pr ON pr.user_id = r.user_id
+       |  WHERE pr.cr IS NULL OR r.rn <= pr.cr),
+       |tr AS (SELECT user_id, event_type AS src,
+       |  lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS dst
+       |  FROM keep),
+       |base AS (
+       |  SELECT 'START' AS src, event_type AS dst FROM keep WHERE rn = 1
+       |  UNION ALL
+       |  SELECT src, coalesce(dst, 'LOSS') AS dst FROM tr
+       |  WHERE src <> 'purchase'),
+       |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY 1, 2),
+       |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cnt
+       |  GROUP BY 1),
+       |tm AS MATERIALIZED (SELECT cnt.src, cnt.dst,
+       |  round(cnt.c * 1.0e0 / tot.n, 6) AS p
+       |  FROM cnt JOIN tot ON tot.src = cnt.src),
+       |$chains,
+       |fin AS (
+       |  $finRows)
+       |SELECT channel,
+       |  round((SELECT v FROM vf_$MkRounds WHERE state = 'START'), 6)
+       |    AS p_conv_full,
+       |  round(pw, 6) AS p_conv_without,
+       |  round(1 - pw / (SELECT v FROM vf_$MkRounds WHERE state = 'START'),
+       |    6) AS removal_effect
+       |FROM fin""".stripMargin
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ITEM-ITEM CF: "customers who bought X also bought" — cosine over
+    // basket co-occurrence, top-3 neighbors per brand. Co-occurrence
+    // expands IN-ROW per basket (x_basket_pairs' collapse, both
+    // directions) — the corpus is read once and never self-joined; the
+    // neighbor window partitions by the 25-brand item key.
+    QDef("x_item_cf", ItemCfSql) { (s, d) =>
+      val t = Tables(s, d)
+      val items = t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
+        .distinct()
+      val ic = items.groupBy("item").agg(count(lit(1)).cast("double").as("c"))
+      val pairs = items
+        .groupBy("o").agg(sort_array(collect_set(col("item"))).as("its"))
+        .select(explode(expr(
+          """flatten(transform(its, x ->
+            |  transform(filter(its, y -> y != x),
+            |            y -> struct(x AS ia, y AS ib))))""".stripMargin))
+          .as("p"))
+        .select(col("p.ia"), col("p.ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("cooc"))
+      val w = Window.partitionBy("ia").orderBy(col("cosine").desc, col("ib"))
+      pairs
+        .join(broadcast(ic.select(col("item").as("ia"), col("c").as("ca"))),
+          "ia")
+        .join(broadcast(ic.select(col("item").as("ib"), col("c").as("cb"))),
+          "ib")
+        .select(col("ia"), col("ib"), col("cooc"),
+          round(col("cooc") / sqrt(col("ca") * col("cb")), 6).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("ia").as("item"), col("ib").as("neighbor"),
+          col("cooc"), col("cosine"), col("rn").as("rank"))
+    },
+
+    // Item-CF through Spark's SQL parser — same shared text (the parser
+    // plans the pair self-join; the Dataset form keeps the in-row
+    // expansion — both released, the bench shows the gap).
+    QDef("x_sql_itemcf", ItemCfSql) { (s, d) =>
+      SqlSurface.viewed(s, d, "lineitem", "part")
+      s.sql(ItemCfSql)
+    },
+
+    // 5-NN CLASSIFICATION: majority-label prediction over the embedding
+    // corpus — the supervised eval beside x_ndcg/x_map_mrr's retrieval
+    // metrics. Capped probes broadcast into one corpus scan (x_sim
+    // posture); votes and the argmax run on 50 rows.
+    QDef("x_knn_classify", knnOracle) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val top = graft.llm.Similarity
+        .cosineTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .join(emb.select(col("vec_id").as("cid"), col("label").as("nl")),
+          Seq("cid"))
+      val votes = top.groupBy("qid", "nl").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("qid").orderBy(col("c").desc, col("nl"))
+      votes.withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+        .join(emb.select(col("vec_id").as("qid"), col("label").as("actual")),
+          Seq("qid"))
+        .select(col("qid"), col("actual"), col("nl").as("predicted"),
+          when(col("actual") === col("nl"), 1).otherwise(0).as("correct"))
+    },
+
+    // LAD REGRESSION: the median line through (quantity, price) — OLS
+    // init + 3 IRLS rounds with w = 1/max(|r|, δ) on the value-domain-
+    // bounded histogram (x_huber_irls' frame, the L1 loss instead of
+    // Huber's); driver-side closed solves, 9 dp snap per round.
+    QDef("x_quantile_reg", LadSql) { (s, d) =>
+      val hist = pin(Tables(s, d).lineitem
+        .select(col("l_quantity").as("x"),
+          (col("l_extendedprice") / 1000.0).as("y"))
+        .groupBy(col("x"), round(col("y"), 1).as("yb"))
+        .agg(count(lit(1)).as("n")))
+      def wls(w: org.apache.spark.sql.Column): (Double, Double) = {
+        val r = hist.agg(
+          sum(col("n") * w).as("sw"),
+          sum(col("n") * w * col("x")).as("swx"),
+          sum(col("n") * w * col("yb")).as("swy"),
+          sum(col("n") * w * col("x") * col("x")).as("swxx"),
+          sum(col("n") * w * col("x") * col("yb")).as("swxy")).head()
+        val (sw, swx, swy, swxx, swxy) = (r.getDouble(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        val b = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        (snap9((swy - b * swx) / sw), snap9(b))
+      }
+      var (a, b) = wls(lit(1.0))
+      for (_ <- 1 to 3) {
+        val resid = abs(col("yb") - lit(a) - lit(b) * col("x"))
+        val w = lit(1.0) / when(resid > 0.5, resid).otherwise(0.5)
+        val ab = wls(w); a = ab._1; b = ab._2
+      }
+      hist.agg(
+          (sum(col("n") * abs(col("yb") - lit(a) - lit(b) * col("x")))
+            / sum(col("n"))).as("mae"))
+        .select(round(lit(a), 6).as("intercept_k"),
+          round(lit(b), 6).as("slope_k"), round(col("mae"), 6).as("mae_k"))
+    },
+
+    // RANK-1 ALS: brand/segment preference factorization — ONE 4-table
+    // collapse to the 125-cell mean-quantity matrix, then alternating
+    // closed-form solves driver-side (Bradley-Terry posture, 9 dp snap
+    // per half-round). At 100 TB the collapse is the only corpus pass.
+    QDef("x_als_factor", AlsSql) { (s, d) =>
+      val t = Tables(s, d)
+      val r0 = t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("p_brand").as("b"), col("c_mktsegment").as("s"))
+        .agg(round(avg(col("l_quantity")), 6).as("r"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val segs = r0.map(_._2).distinct.sorted
+      val brands = r0.map(_._1).distinct.sorted
+      var v = segs.map(_ -> 1.0).toMap
+      var u = Map.empty[String, Double]
+      for (i <- 1 to 3) {
+        val vss = v.values.map(x => x * x).sum
+        u = brands.map { b =>
+          b -> snap9(r0.filter(_._1 == b).map(c => c._3 * v(c._2)).sum / vss)
+        }.toMap
+        if (i < 3) {
+          val uss = u.values.map(x => x * x).sum
+          v = segs.map { sg =>
+            sg -> snap9(
+              r0.filter(_._2 == sg).map(c => c._3 * u(c._1)).sum / uss)
+          }.toMap
+        }
+      }
+      val rmse = math.sqrt(r0.map { case (b, sg, r) =>
+        val e = r - u(b) * v(sg); e * e
+      }.sum / r0.length)
+      import s.implicits._
+      brands.map(b => (b,
+          BigDecimal(u(b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(rmse).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        .toSeq.toDF("brand", "factor", "rmse")
+    },
+
+    // MARKOV ATTRIBUTION: which touchpoint actually drives conversions —
+    // removal effects from an absorbing-chain model of user journeys.
+    // Corpus work = the journey truncation + ONE transition aggregate
+    // (type-domain bounded, ≤30 cells); the 5 chains × 12 value-
+    // iteration rounds run driver-side with the oracle's 9 dp snap.
+    QDef("x_markov_attribution", MarkovSql) { (s, d) =>
+      val ev = Tables(s, d).events
+      val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val r = ev.select(col("user_id"), col("event_type"),
+        row_number().over(wU).as("rn"))
+      val pr = r.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("rn")).as("cr"))
+      val keep = r.join(pr, Seq("user_id"), "left")
+        .filter(col("cr").isNull || col("rn") <= col("cr"))
+      val wK = Window.partitionBy("user_id").orderBy("rn")
+      val tr = keep.withColumn("dst", lead(col("event_type"), 1).over(wK))
+      val base = keep.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst"))
+        .unionAll(tr.filter(col("event_type") =!= "purchase")
+          .select(col("event_type").as("src"),
+            coalesce(col("dst"), lit("LOSS")).as("dst")))
+      val cnt = base.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("src").agg(sum(col("c")).as("n"))
+      // type-domain-bounded transition matrix (≤ 6×6 cells) — the only
+      // thing collected
+      val tm = cnt.join(tot, "src")
+        .select(col("src"), col("dst"),
+          round(col("c") * lit(1.0) / col("n"), 6).as("p"))
+        .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getDouble(2)))
+      val states = ("START" +: MkChannels).toSet
+      def pConv(removed: Option[String]): Double = {
+        val live = removed.fold(states)(states - _)
+        var v = Map.empty[String, Double].withDefaultValue(0.0)
+        for (_ <- 1 to MkRounds) {
+          v = live.toSeq.map { st =>
+            st -> snap9(tm.filter(_._1 == st).map { case (_, dst, p) =>
+              if (dst == "purchase") p
+              else if (live(dst) && dst != "START") p * v(dst)
+              else 0.0
+            }.sum)
+          }.toMap.withDefaultValue(0.0)
+        }
+        v("START")
+      }
+      val full = pConv(None)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      MkChannels.map { c =>
+        val pw = pConv(Some(c))
+        (c, r6(full), r6(pw), r6(1 - pw / full))
+      }.toDF("channel", "p_conv_full", "p_conv_without", "removal_effect")
+    }
+  )
+}

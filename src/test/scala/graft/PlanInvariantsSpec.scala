@@ -135,7 +135,58 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sprt" -> "daily URGENT-count series — calendar-bounded LLR prefix",
     "x_ar2_yw" -> "daily count series — calendar-bounded ACF lag frame",
     "x_cochrane_orcutt" ->
-      "daily count series — calendar-bounded residual-lag frame")
+      "daily count series — calendar-bounded residual-lag frame",
+    "x_cvm" ->
+      "floor(price/1000) bin frame — binned joint CDFs (BinnedRank, 2 measures)",
+    "x_sql_cvm" -> "same price-bin frame (SQL twin)",
+    "x_jonckheere" ->
+      "floor(price/1000) bin frame — binned 5-group cumulatives (BinnedRank)",
+    "x_sql_jonckheere" -> "same price-bin frame (SQL twin)",
+    "x_dunn_posthoc" ->
+      "floor(price/1000) bin frame — Kruskal rank machinery (BinnedRank)",
+    "x_brunner_munzel" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_bm" -> "same quantity histogram (SQL twin)",
+    "x_rmst" ->
+      "duration-hours at-risk histogram — horizon-bounded (KM frame)",
+    "x_harrell_c" ->
+      "duration-hours histogram — horizon-bounded (KM frame, BinnedRank)",
+    "x_coint_eg" -> "daily two-series frame — calendar-bounded",
+    "x_sql_coint" -> "same daily frame (SQL twin)",
+    "x_kpss" ->
+      "daily count series — calendar-bounded partial-sum/lag frame",
+    "x_sql_kpss" -> "same daily frame (SQL twin)",
+    "x_sample_entropy" ->
+      "daily count series — calendar-bounded row_number/lead frame",
+    "x_sql_sampen" -> "same daily frame (SQL twin)",
+    "x_spectral_entropy" ->
+      "daily count series — calendar-bounded day-index row_number",
+    "x_sql_spectral" -> "same daily frame (SQL twin)",
+    "x_ansari_bradley" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_ansari" -> "same quantity histogram (SQL twin)",
+    "x_vdw_test" ->
+      "floor(price/1000) bin frame — Kruskal rank machinery (BinnedRank)",
+    "x_sql_vdw" -> "same price-bin frame (SQL twin)",
+    "x_fligner_killeen" ->
+      ("floor(|v-med|/1000) residual-bin frame — value-domain ~500 bins " +
+        "(x_conformal class; BinnedRank)"),
+    "x_sql_fk" -> "same residual-bin frame (SQL twin)",
+    "x_shapiro_francia" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_sf" -> "same quantity histogram (SQL twin)",
+    "x_croston" ->
+      "order-calendar day-index frame — calendar-bounded row_number/lag",
+    "x_sql_croston" -> "same calendar frame (SQL twin)",
+    "x_bass" ->
+      "adoption daily frame — calendar-bounded cumulative window",
+    "x_sql_bass" -> "same daily frame (SQL twin)",
+    "x_newsvendor" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_newsvendor" -> "same quantity histogram (SQL twin)",
+    "x_gaps_islands" ->
+      "event-calendar day-index frame — calendar-bounded row_number",
+    "x_sql_gaps" -> "same calendar frame (SQL twin)")
     // NB x_cox_ph's at-risk reverse-cumulative windows (the x_survival_km
     // horizon-bounded frame) execute inside the driver-side Newton fit
     // (collected bounded frame), so the returned plan the static walk
@@ -301,7 +352,30 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_dirichlet_mom" -> "event-type spine frame — type-domain (5 rows)",
     "x_intrinsic_dim" ->
       "capped probe set (vec_id < 200, absolute) — probe-set-bounded",
-    "x_ndcg" -> "query-vector frame — probe-set-bounded (x_sim family)")
+    "x_ndcg" -> "query-vector frame — probe-set-bounded (x_sim family)",
+    "x_bartlett" -> "per-segment snapped-mean frame — 5 segments",
+    "x_eta_squared" -> "per-segment snapped-mean frame — 5 segments",
+    "x_dunn_posthoc" ->
+      ("per-segment rank-sum frame — 5 segments (the hints keep the " +
+        "triangular pair join off CartesianProduct, x_tukey_hsd posture)"),
+    "x_g_test" -> "contingency marginals — (priority x status) domains",
+    "x_brier_decomp" -> "monthly propensity frame — 12 rows",
+    "x_item_cf" -> "per-brand item-count frame — 25 brands",
+    "x_knn_classify" -> "query-vector frame — probe-set-bounded (x_sim family)",
+    "x_map_mrr" -> "query-vector frame — probe-set-bounded (x_sim family)",
+    "x_sample_entropy" ->
+      ("daily template frame — calendar-bounded (the hint keeps the " +
+        "i < j pair join off CartesianProduct)"),
+    "x_sql_sampen" -> "same daily template frame (SQL twin hint comment)",
+    "x_ordinal_assoc" ->
+      ("contingency cell frame — (priority x price-bucket) domains, " +
+        "<=20 cells (the hint keeps the dominance cross off " +
+        "CartesianProduct)"),
+    "x_sql_ordassoc" -> "same cell frame (SQL twin hint comment)",
+    "x_fligner_killeen" ->
+      "per-segment median frame — 5 segments (x_levene_bf class)",
+    "x_newsvendor" ->
+      "selected-quantile frame — single row by construction (Q*)")
     // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
     // behind the pinned (localCheckpoint) basket frame, so the audit's
     // corpus-leaf walk never reaches a corpus table — no carve-out needed
