@@ -186,7 +186,85 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_newsvendor" -> "same quantity histogram (SQL twin)",
     "x_gaps_islands" ->
       "event-calendar day-index frame — calendar-bounded row_number",
-    "x_sql_gaps" -> "same calendar frame (SQL twin)")
+    "x_sql_gaps" -> "same calendar frame (SQL twin)",
+    "x_fdr_bh" ->
+      "per-brand p-value frame — 25 brands (BH step-up windows)",
+    "x_sql_fdr" -> "same 25-row p-value frame (SQL twin)",
+    "x_lilliefors" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_lilliefors" -> "same quantity histogram (SQL twin)",
+    "x_lmoments" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_lmoments" -> "same quantity histogram (SQL twin)",
+    "x_drawdown" ->
+      "daily revenue series — calendar-bounded prefix/running-max windows",
+    "x_sql_drawdown" -> "same daily frame (SQL twin)",
+    "x_chatterjee" ->
+      "daily (count, mean) frame — calendar-bounded rank/lead windows",
+    "x_sql_chatterjee" -> "same daily frame (SQL twin)",
+    "x_hoeffding_d" ->
+      "margin cumulative frames — (priority, price-bucket) <=5 rows each",
+    "x_sql_hoeffd" -> "same margin frames (SQL twin)",
+    // NB x_haar_energy/x_sql_haar: the day-index row_number feeds
+    // straight into the five grouped level aggregates, so the
+    // SinglePartition exchange sits under an aggregate consumer and the
+    // static walk already allows it — no carve-out (stale-flagged).
+    "x_gev_lmom" ->
+      "monthly block-maxima frame — calendar-bounded (<=84 rows)",
+    "x_sql_gev" -> "same maxima frame (SQL twin)",
+    "x_pot_gpd" ->
+      "daily rank + excess rank frames — calendar-bounded",
+    "x_sql_gpd" -> "same daily/excess frames (SQL twin)",
+    "x_copula_corr" ->
+      "daily (count, revenue) frame — calendar-bounded RANGE rank windows",
+    "x_sql_copula" -> "same daily frame (SQL twin)",
+    "x_transfer_entropy" ->
+      "daily direction series + 16-cell joint frame — calendar-bounded",
+    "x_sql_te" -> "same daily/joint frames (SQL twin)",
+    "x_hodges_lehmann" ->
+      ("quantity histogram + <=99-row Walsh-sum frame — both " +
+        "value-domain bounded (l_quantity has <=50 distinct values)"),
+    "x_sql_hl" -> "same quantity/Walsh frames (SQL twin)",
+    "x_trimmed_mean" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_trimmed" -> "same quantity histogram (SQL twin)",
+    "x_lepage" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_lepage" -> "same quantity histogram (SQL twin)",
+    "x_ppcc" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_ppcc" -> "same quantity histogram (SQL twin)",
+    "x_cucconi" ->
+      "quantity-domain histogram — l_quantity has <=50 distinct values",
+    "x_sql_cucconi" -> "same quantity histogram (SQL twin)",
+    "x_arch_lm" ->
+      "daily squared-innovation lag frame — calendar-bounded",
+    "x_sql_arch" -> "same daily lag frame (SQL twin)",
+    "x_von_neumann" ->
+      "daily revenue lag frame — calendar-bounded",
+    "x_sql_vn" -> "same daily lag frame (SQL twin)",
+    "x_buishand" ->
+      "daily partial-sum frame — calendar-bounded (CUSUM family)",
+    "x_sql_buishand" -> "same daily frame (SQL twin)",
+    "x_break_sse" ->
+      "daily prefix-moment frame — calendar-bounded split scan",
+    "x_sql_break" -> "same daily frame (SQL twin)",
+    "x_imr_chart" ->
+      ("daily mean series — calendar-bounded (the sign-run islands " +
+        "partition by side)"),
+    "x_sql_imr" -> "same daily series (SQL twin)",
+    "x_kz_filter" ->
+      "daily count series — calendar-bounded centered-MA windows",
+    "x_sql_kz" -> "same daily series (SQL twin)",
+    "x_herfindahl" ->
+      "brand revenue-share frame — 25 brands (CR4 rank window)",
+    "x_sql_hhi" -> "same 25-row share frame (SQL twin)",
+    "x_rca" ->
+      "(region x brand) cell frame — <=125 cells (grand-total window)",
+    "x_sql_rca" -> "same cell frame (SQL twin)",
+    "x_shift_share" ->
+      "(region x brand) cell frame — <=125 cells (national-rate window)",
+    "x_sql_shift" -> "same cell frame (SQL twin)")
     // NB x_cox_ph's at-risk reverse-cumulative windows (the x_survival_km
     // horizon-bounded frame) execute inside the driver-side Newton fit
     // (collected bounded frame), so the returned plan the static walk
@@ -375,7 +453,36 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_fligner_killeen" ->
       "per-segment median frame — 5 segments (x_levene_bf class)",
     "x_newsvendor" ->
-      "selected-quantile frame — single row by construction (Q*)")
+      "selected-quantile frame — single row by construction (Q*)",
+    "x_energy_dist" ->
+      ("quantity-domain histograms — l_quantity has <=50 distinct values " +
+        "(the hints keep the histogram crosses off CartesianProduct)"),
+    "x_sql_energy" -> "same quantity histograms (SQL twin hint comments)",
+    "x_meta_analysis" ->
+      "per-region effect + DL tau2 frames — 5 studies",
+    "x_sql_meta" ->
+      ("same 5-study frames (SQL twin; the hint keeps the comma join " +
+        "with the grouped tau frame off CartesianProduct)"),
+    "x_dcor" ->
+      ("daily template + row-mean frames — calendar-bounded (hints keep " +
+        "the pair cross off CartesianProduct, x_sample_entropy posture)"),
+    "x_sql_dcor" -> "same daily frames (SQL twin hint comments)",
+    "x_hoeffding_d" ->
+      ("contingency cell + margin frames — (priority x price-bucket) " +
+        "<=25 cells (the hint keeps the dominance cross off " +
+        "CartesianProduct)"),
+    "x_sql_hoeffd" -> "same cell frames (SQL twin hint comment)",
+    "x_sql_dtw" ->
+      ("normalized (segment x month) profile frames — 12 rows each " +
+        "(the hint keeps the cost cross off CartesianProduct)"),
+    "x_hodges_lehmann" ->
+      ("quantity-domain histogram — l_quantity has <=50 distinct values " +
+        "(the hint keeps the Walsh a.v < b.v cross off CartesianProduct)"),
+    "x_sql_hl" -> "same quantity histogram (SQL twin hint comment)",
+    "x_quade" ->
+      ("block range-rank frames — 12 months (the hints keep the " +
+        "12x12 range ranking off CartesianProduct)"),
+    "x_sql_quade" -> "same month frames (SQL twin hint comments)")
     // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
     // behind the pinned (localCheckpoint) basket frame, so the audit's
     // corpus-leaf walk never reaches a corpus table — no carve-out needed
