@@ -63,8 +63,11 @@ object R45Ops {
     * smallest k* p-values where k* = max{k : p_(k) ≤ 0.05·k/25}. Both
     * engines compute identical doubles from identical integers, so the
     * order and every threshold comparison agree exactly. */
-  private[queries] val FdrSql =
-    s"""WITH g AS (
+  /** The brand z-test p-value family (g → tot → v → z → ze → p) as a
+    * shared CTE prefix — consumed by FdrSql here and by R52's Holm
+    * step-down (same 25 tests, the FWER complement of BH). */
+  private[queries] val BrandPvalCtes =
+    s"""g AS (
        |  SELECT p.p_brand AS b, CAST(count(*) AS BIGINT) AS n_b,
        |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s_b,
        |    CAST(sum(CAST(l.l_quantity AS BIGINT)
@@ -86,7 +89,11 @@ object R45Ops {
        |  FROM g, v),
        |ze AS (SELECT b, n_b, zs,
        |  abs(zs) / 1.4142135623730951e0 AS az FROM z),
-       |p AS (SELECT b, n_b, zs, ${erfcSql("az")} AS pv FROM ze),
+       |p AS (SELECT b, n_b, zs, ${erfcSql("az")} AS pv FROM ze)"""
+      .stripMargin
+
+  private[queries] val FdrSql =
+    s"""WITH $BrandPvalCtes,
        |r AS (SELECT b, n_b, zs, pv,
        |  CAST(row_number() OVER (ORDER BY pv, b) AS BIGINT) AS k,
        |  CAST(count(*) OVER () AS BIGINT) AS m FROM p),

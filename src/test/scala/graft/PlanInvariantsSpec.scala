@@ -264,7 +264,32 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_rca" -> "same cell frame (SQL twin)",
     "x_shift_share" ->
       "(region x brand) cell frame — <=125 cells (national-rate window)",
-    "x_sql_shift" -> "same cell frame (SQL twin)")
+    "x_sql_shift" -> "same cell frame (SQL twin)",
+    "x_adjusted_rand" ->
+      "pairing contingency margins — 9 cells (grand-total window)",
+    "x_sql_ari" -> "same 9-cell frame (SQL twin)",
+    "x_v_measure" ->
+      "pairing contingency margins — 9 cells (grand-total window)",
+    "x_sql_vmeasure" -> "same 9-cell frame (SQL twin)",
+    "x_kappa_weighted" ->
+      "pairing contingency margins — 9 cells (grand-total window)",
+    "x_sql_wkappa" -> "same 9-cell frame (SQL twin)",
+    "x_gwet_ac1" ->
+      "pairing contingency margins — 9 cells (grand-total window)",
+    "x_sql_ac1" -> "same 9-cell frame (SQL twin)",
+    "x_krippendorff" ->
+      "pairing contingency margins — 9 cells (grand-total window)",
+    "x_sql_kripp" -> "same 9-cell frame (SQL twin)",
+    "x_matrix_profile" ->
+      ("daily index/MA-stat frames + nearest-neighbor profile — all " +
+        "calendar-bounded (the dot windows partition by lag)"),
+    "x_sql_mp" -> "same calendar frames (SQL twin)",
+    "x_stl_strength" ->
+      "daily trend-MA frame — calendar-bounded centered window",
+    "x_sql_stl" -> "same daily frame (SQL twin)",
+    "x_holm" ->
+      "per-brand p-value frame — 25 brands (step-down rank window)",
+    "x_sql_holm" -> "same 25-row p-value frame (SQL twin)")
     // NB x_cox_ph's at-risk reverse-cumulative windows (the x_survival_km
     // horizon-bounded frame) execute inside the driver-side Newton fit
     // (collected bounded frame), so the returned plan the static walk
@@ -482,7 +507,17 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_quade" ->
       ("block range-rank frames — 12 months (the hints keep the " +
         "12x12 range ranking off CartesianProduct)"),
-    "x_sql_quade" -> "same month frames (SQL twin hint comments)")
+    "x_sql_quade" -> "same month frames (SQL twin hint comments)",
+    "x_kappa_weighted" ->
+      ("pairing contingency margin frame — 3 distinct classes (the " +
+        "hint keeps the 3x3 weight cross off CartesianProduct)"),
+    "x_matrix_profile" ->
+      ("daily index frame — calendar-bounded (the hint keeps the " +
+        "lag pair join off CartesianProduct, x_sample_entropy posture)"),
+    "x_sql_mp" -> "same calendar frame (SQL twin hint comment)",
+    "x_stl_strength" ->
+      "monthly seasonal means — 12 rows (calendar-domain bounded)",
+    "x_sql_stl" -> "same 12-row seasonal frame (SQL twin hint comment)")
     // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
     // behind the pinned (localCheckpoint) basket frame, so the audit's
     // corpus-leaf walk never reaches a corpus table — no carve-out needed
