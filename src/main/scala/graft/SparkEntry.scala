@@ -28,7 +28,8 @@ object SparkEntry {
       R37Ops.defs ++ R38Ops.defs ++ R39Ops.defs ++ R40Ops.defs ++
       R41Ops.defs ++ R42Ops.defs ++ R43Ops.defs ++ R44Ops.defs ++
       R45Ops.defs ++ R46Ops.defs ++ R47Ops.defs ++ R48Ops.defs ++
-      R49Ops.defs ++ R50Ops.defs ++ R51Ops.defs ++ R52Ops.defs
+      R49Ops.defs ++ R50Ops.defs ++ R51Ops.defs ++ R52Ops.defs ++
+      R53Ops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

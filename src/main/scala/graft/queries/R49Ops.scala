@@ -110,35 +110,57 @@ object R49Ops {
     * running prefix moments (n, Σy, Σy² up to t), so the full scan is
     * one cumulative window — no candidate × day join anywhere. The
     * argmin picks by (6 dp-snapped combined SSE, day); the released
-    * F-like statistic tests the shift against the pooled residual. */
+    * F-like statistic tests the shift against the pooled residual.
+    * Prefix moments accumulate as exact DOLLAR BIGINTs (the
+    * x_dsir_weights integer-space lesson — double prefix sums differ
+    * between engines in summation ORDER, and the sf0.1 sweep caught
+    * the resulting 1-ulp straddle of a 4 dp rounding tie in
+    * sse_full); the closed algebra runs in DOUBLE from identical
+    * integers, scaled back to M$² at release. The squared prefix
+    * Σyq² accumulates as DECIMAL(38,0) — still order-independent-
+    * exact in both engines, and it survives the 100× growth probe
+    * where a BIGINT overflows (≈7e16 at sf0.1, ×100 at the sf1
+    * upscale). */
   private[queries] val BreakSql =
-    """WITH cal AS (SELECT CAST(o_orderdate AS DATE) AS d,
-      |  round(sum(o_totalprice) / 1.0e6, 6) AS y FROM orders
-      |  GROUP BY 1),
-      |p AS (SELECT d, y,
+    """WITH cal0 AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |  CAST(round(sum(o_totalprice) * 100.0e0, 0) AS BIGINT) AS yc
+      |  FROM orders GROUP BY 1),
+      |cal AS (SELECT d,
+      |  CAST((yc + 50 - (yc + 50) % 100) / 100.0e0 AS BIGINT) AS yq
+      |  FROM cal0),
+      |p AS (SELECT d, yq,
       |  CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS t,
-      |  sum(y) OVER (ORDER BY d
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
-      |  sum(y * y) OVER (ORDER BY d
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pq
+      |  CAST(sum(yq) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS ps,
+      |  CAST(sum(CAST(yq AS DECIMAL(19, 0)) * yq) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(38, 0)) AS pq
       |  FROM cal),
-      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(y) AS s,
-      |  sum(y * y) AS q FROM cal),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(yq) AS BIGINT) AS s,
+      |  CAST(sum(CAST(yq AS DECIMAL(19, 0)) * yq) AS DECIMAL(38, 0))
+      |    AS q FROM cal),
       |cand AS (SELECT p.d, p.t, tot.n,
-      |  (p.pq - p.ps * p.ps / p.t)
-      |    + ((tot.q - p.pq)
-      |       - (tot.s - p.ps) * (tot.s - p.ps) / (tot.n - p.t))
-      |    AS sse_split,
-      |  tot.q - tot.s * tot.s / tot.n AS sse_full
+      |  ((CAST(p.pq AS DOUBLE)
+      |    - CAST(p.ps AS DOUBLE) * CAST(p.ps AS DOUBLE) / p.t)
+      |    + ((CAST(tot.q AS DOUBLE) - CAST(p.pq AS DOUBLE))
+      |       - CAST(tot.s - p.ps AS DOUBLE)
+      |         * CAST(tot.s - p.ps AS DOUBLE) / (tot.n - p.t)))
+      |    / 1.0e12 AS sse_split,
+      |  (CAST(tot.q AS DOUBLE)
+      |    - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE) / tot.n)
+      |    / 1.0e12 AS sse_full
       |  FROM p, tot WHERE p.t >= 5 AND p.t <= tot.n - 5),
       |best AS (SELECT d, t, n, sse_split, sse_full
-      |  FROM cand ORDER BY round(sse_split, 6), d LIMIT 1)
+      |  FROM cand
+      |  ORDER BY floor(sse_split * 1.0e6 + 0.5e0), d LIMIT 1)
       |SELECT d AS break_day, CAST(t AS BIGINT) AS break_index,
       |  CAST(n AS BIGINT) AS n_days,
-      |  round(sse_full, 4) AS sse_full, round(sse_split, 4)
-      |    AS sse_split,
-      |  round((sse_full - sse_split) / (sse_split / (n - 2)), 4)
-      |    AS f_stat
+      |  floor(sse_full * 1.0e4 + 0.5e0) / 1.0e4 AS sse_full,
+      |  floor(sse_split * 1.0e4 + 0.5e0) / 1.0e4 AS sse_split,
+      |  floor((sse_full - sse_split) / (sse_split / (n - 2))
+      |    * 1.0e4 + 0.5e0) / 1.0e4 AS f_stat
       |FROM best""".stripMargin
 
   /** Shewhart individuals / moving-range chart on daily mean order
@@ -374,31 +396,57 @@ object R49Ops {
     // prefix-moment window — the exhaustive scan with zero extra
     // corpus passes.
     QDef("x_break_sse", BreakSql) { (s, d) =>
-      val cal = daily(s, d, round(sum("o_totalprice") / 1.0e6, 6))
+      // exact-cents quantization, then HALF_UP to whole dollars in
+      // integer space: the daily total is integral in cents (no tie
+      // possible there), while a direct round to dollars or to 6 dp
+      // M$ ties whenever a day ends in $0.50 — engines then disagree
+      // by their sum-order ulps (the sf0.1 catch)
+      val cal = daily(s, d,
+        round(sum("o_totalprice") * 100.0, 0).cast("bigint"))
+        .select(col("d"),
+          (((col("y") + 50) - (col("y") + 50) % 100) / 100.0)
+            .cast("bigint").as("yq"))
       val w = Window.orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val p = cal.select(col("d"), col("y"),
+      val p = cal.select(col("d"), col("yq"),
         row_number().over(Window.orderBy("d")).cast("double").as("t"),
-        sum("y").over(w).as("ps"),
-        sum(col("y") * col("y")).over(w).as("pq"))
+        sum("yq").over(w).cast("bigint").as("ps"),
+        sum(col("yq").cast("decimal(19,0)") * col("yq")).over(w)
+          .cast("decimal(38,0)").as("pq"))
       val tot = cal.agg(count(lit(1)).cast("double").as("n"),
-        sum("y").as("s"), sum(col("y") * col("y")).as("q"))
+        sum("yq").cast("bigint").as("s"),
+        sum(col("yq").cast("decimal(19,0)") * col("yq"))
+          .cast("decimal(38,0)").as("q"))
       val cand = p.crossJoin(broadcast(tot))
         .filter(col("t") >= 5 && col("t") <= col("n") - 5)
         .select(col("d"), col("t"), col("n"),
-          ((col("pq") - col("ps") * col("ps") / col("t"))
-            + ((col("q") - col("pq"))
-              - (col("s") - col("ps")) * (col("s") - col("ps"))
-                / (col("n") - col("t")))).as("sse_split"),
-          (col("q") - col("s") * col("s") / col("n")).as("sse_full"))
-      val best = cand.orderBy(round(col("sse_split"), 6), col("d"))
+          (((col("pq").cast("double")
+            - col("ps").cast("double") * col("ps").cast("double")
+              / col("t"))
+            + ((col("q").cast("double") - col("pq").cast("double"))
+              - (col("s") - col("ps")).cast("double")
+                * (col("s") - col("ps")).cast("double")
+                / (col("n") - col("t")))) / 1.0e12).as("sse_split"),
+          ((col("q").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("n")) / 1.0e12).as("sse_full"))
+      // floor-based rounding (floor(x·1eN + .5)/1eN): pure IEEE ops on
+      // doubles both engines derived from identical BIGINTs — immune
+      // to the round(double, N) tie divergence (Spark BigDecimal-exact
+      // vs DuckDB float-multiply) the sf0.1 sweep caught at 4 dp
+      def fl(c: org.apache.spark.sql.Column, n: Int) = {
+        val k = math.pow(10, n)
+        floor(c * k + 0.5) / k
+      }
+      val best = cand
+        .orderBy(floor(col("sse_split") * 1.0e6 + 0.5), col("d"))
         .limit(1)
       best.select(col("d").as("break_day"),
         col("t").cast("bigint").as("break_index"),
         col("n").cast("bigint").as("n_days"),
-        round(col("sse_full"), 4).as("sse_full"),
-        round(col("sse_split"), 4).as("sse_split"),
-        round((col("sse_full") - col("sse_split"))
+        fl(col("sse_full"), 4).as("sse_full"),
+        fl(col("sse_split"), 4).as("sse_split"),
+        fl((col("sse_full") - col("sse_split"))
           / (col("sse_split") / (col("n") - 2)), 4).as("f_stat"))
     },
 

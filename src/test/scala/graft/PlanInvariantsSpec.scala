@@ -517,7 +517,12 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_mp" -> "same calendar frame (SQL twin hint comment)",
     "x_stl_strength" ->
       "monthly seasonal means — 12 rows (calendar-domain bounded)",
-    "x_sql_stl" -> "same 12-row seasonal frame (SQL twin hint comment)")
+    "x_sql_stl" -> "same 12-row seasonal frame (SQL twin hint comment)",
+    "x_embed_cluster_quality" ->
+      ("centroid/grand-mean/size frames — (label x dim) <=640 rows " +
+        "(dims and labels are schema-bounded, not corpus-bounded)"),
+    "x_basket_triples" ->
+      "per-brand order-frequency frame — 25 brands (lift marginals)")
     // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
     // behind the pinned (localCheckpoint) basket frame, so the audit's
     // corpus-leaf walk never reaches a corpus table — no carve-out needed

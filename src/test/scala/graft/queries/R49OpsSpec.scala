@@ -90,7 +90,11 @@ class R49OpsSpec extends SparkSpec {
     val (bd, bi, n, sseF, sseS, f) = (r.getDate(0), r.getLong(1),
       r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
     val s = dailySeries()
-    val y = s.map(t => rnd(t._3 / 1e6, 6))
+    // replicate the engine's exact-cents → HALF_UP-dollars quantization
+    val y = s.map { t =>
+      val yc = math.round(t._3 * 100.0)
+      ((yc + 50 - (yc + 50) % 100) / 100).toDouble / 1e6
+    }
     assert(y.length == n)
     def sse(a: Array[Double]) = {
       val m = a.sum / a.length
