@@ -35,9 +35,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     StarFlights.mostDelay(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * name would silently SHADOW the earlier operator in this Map (last
+    * wins) and drop it from the correctness gate — caught once in
+    * round 9 (a second x_power_analysis), now a hard failure. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = all.map(_.name)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate QDef names: ${dups.mkString(", ")}")
     all.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -66,7 +66,7 @@ object R48Ops {
       |FROM nn, lo, hi, mlo, mhi""".stripMargin
 
   /** Exact 10% trimmed and winsorized means of l_quantity as ONE
-    * portable text — oracle of `x_trimmed_mean` and whole query of the
+    * portable text — oracle of `x_winsor_trim` and whole query of the
     * `x_sql_trimmed` twin. k = ⌊n/10⌋ observations clipped from each
     * end BY RANK on the histogram cumulative: each distinct value
     * contributes max(0, min(ci, n−k) − max(ci−c, k)) surviving copies
@@ -487,7 +487,7 @@ object R48Ops {
     // TRIMMED/WINSORIZED MEANS: exact by-rank clipping — the robust
     // location pair every profiler wants, with zero percentile
     // interpolation (pure BIGINT keep-counts from the cumulative).
-    QDef("x_trimmed_mean", TrimmedSql) { (s, d) =>
+    QDef("x_winsor_trim", TrimmedSql) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val h = quantityHist(s, d)
       val wOrd = Window.orderBy("v")

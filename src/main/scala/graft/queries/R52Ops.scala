@@ -122,7 +122,7 @@ object R52Ops {
       |FROM vv""".stripMargin
 
   /** Prospective power analysis for the R-vs-N quantity contrast as
-    * ONE portable text — oracle of `x_power_analysis` and whole query
+    * ONE portable text — oracle of `x_power_ttest` and whole query
     * of the `x_sql_power` twin. Observed δ and pooled σ from exact
     * BIGINT sums; required n/arm for 80% power at α = 0.05 (z
     * constants as double literals), achieved power at the current
@@ -310,7 +310,7 @@ object R52Ops {
 
     // POWER ANALYSIS: the experiment-design companion to the TOST /
     // t-test family — required n and achieved power, closed form.
-    QDef("x_power_analysis", PowerSql) { (s, d) =>
+    QDef("x_power_ttest", PowerSql) { (s, d) =>
       SqlSurface.viewed(s, d, "lineitem")
       s.sql(PowerSql)
     },

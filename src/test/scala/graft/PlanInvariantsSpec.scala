@@ -225,7 +225,7 @@ class PlanInvariantsSpec extends SparkSpec {
       ("quantity histogram + <=99-row Walsh-sum frame — both " +
         "value-domain bounded (l_quantity has <=50 distinct values)"),
     "x_sql_hl" -> "same quantity/Walsh frames (SQL twin)",
-    "x_trimmed_mean" ->
+    "x_winsor_trim" ->
       "quantity-domain histogram — l_quantity has <=50 distinct values",
     "x_sql_trimmed" -> "same quantity histogram (SQL twin)",
     "x_lepage" ->

@@ -57,8 +57,8 @@ class R48OpsSpec extends SparkSpec {
     assert(med == rnd((mLo + mHi) / 2.0, 1))
   }
 
-  test("x_trimmed_mean: matches brute-force sort-trim-average") {
-    val r = run("x_trimmed_mean").collect().head
+  test("x_winsor_trim: matches brute-force sort-trim-average") {
+    val r = run("x_winsor_trim").collect().head
     val (n, k, mean, tm, wm) = (r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getDouble(3), r.getDouble(4))
     val v = quantities()
@@ -275,7 +275,7 @@ class R48OpsSpec extends SparkSpec {
   test("SQL twins return identical results to their Dataset originals") {
     val pairs = Seq(
       "x_hodges_lehmann" -> "x_sql_hl",
-      "x_trimmed_mean" -> "x_sql_trimmed",
+      "x_winsor_trim" -> "x_sql_trimmed",
       "x_dagostino_k2" -> "x_sql_k2",
       "x_quade" -> "x_sql_quade",
       "x_ppcc" -> "x_sql_ppcc",

@@ -98,9 +98,9 @@ class R52OpsSpec extends SparkSpec {
     assert(ft >= 0 && ft <= 1 && fs >= 0 && fs <= 1)
   }
 
-  test("x_power_analysis: matches brute force; power coherent with " +
+  test("x_power_ttest: matches brute force; power coherent with " +
       "required n") {
-    val r = run("x_power_analysis").collect().head
+    val r = run("x_power_ttest").collect().head
     val (na, nb, diff, sd, nReq, pw) = (r.getLong(0), r.getLong(1),
       r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))
     val rows = graft.Tables(spark, sf).lineitem
