@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def all: Seq[QDef] =
+  private lazy val all: Seq[QDef] =
     StarCore.defs ++ StarJoins.defs ++ StarAggs.defs ++ StarGraph.defs ++
       StarFlights.defs ++ StarExt.defs ++ StarMisc.defs ++ SqlSurface.defs ++
       Sketches.defs ++ VectorQuant.defs ++ Cdc.defs ++ Connectors.defs ++
@@ -39,7 +39,7 @@ object SparkEntry {
     * name would silently SHADOW the earlier operator in this Map (last
     * wins) and drop it from the correctness gate — caught once in
     * round 9 (a second x_power_analysis), now a hard failure. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val names = all.map(_.name)
     val dups = names.diff(names.distinct).distinct
     require(dups.isEmpty, s"duplicate QDef names: ${dups.mkString(", ")}")
@@ -48,6 +48,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

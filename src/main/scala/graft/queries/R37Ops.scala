@@ -31,19 +31,28 @@ object R37Ops {
     * C run on the 5-row group frame. */
   private[queries] val BartlettSql =
     """WITH oc AS (
-      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  SELECT c.c_mktsegment AS g,
+      |    CAST(round(o.o_totalprice * 100.0e0, 0) AS BIGINT) AS vc
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, round(avg(v), 6) AS mu
+      |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(vc) AS BIGINT) AS svc,
+      |  CAST(sum(CAST(vc AS DECIMAL(19, 0)) * vc) AS DECIMAL(38, 0))
+      |    AS sqc
       |  FROM oc GROUP BY 1),
-      |s AS (SELECT oc.g, max(m.n) AS n,
-      |  sum((oc.v - m.mu) * (oc.v - m.mu)) AS ss
-      |  FROM oc JOIN m ON oc.g = m.g GROUP BY 1),
+      |s AS (SELECT g, n,
+      |  round(CAST(svc AS DOUBLE) / 1.0e2 / n, 6) AS mu,
+      |  CAST(svc AS DOUBLE) / 1.0e2 AS sv1,
+      |  CAST(sqc AS DOUBLE) / 1.0e4 AS sv2
+      |  FROM m),
+      |s2 AS (SELECT g, n,
+      |  sv2 - 2.0e0 * mu * sv1 + n * mu * mu AS ss
+      |  FROM s),
       |ag AS (SELECT CAST(count(*) AS BIGINT) AS kg,
       |  CAST(sum(n) AS BIGINT) AS nn,
       |  sum(ss) AS ssw,
       |  sum((n - 1) * ln(ss / (n - 1))) AS sumlog,
       |  sum(1.0e0 / (n - 1)) AS sinv
-      |  FROM s)
+      |  FROM s2)
       |SELECT kg AS groups, nn AS n, CAST(kg - 1 AS BIGINT) AS df,
       |  round(((nn - kg) * ln(ssw / (nn - kg)) - sumlog)
       |    / (1 + (sinv - 1.0e0 / (nn - kg)) / (3.0e0 * (kg - 1))), 4)
@@ -337,20 +346,31 @@ object R37Ops {
 
     // BARTLETT: are order-price variances equal across the 5 segments —
     // the homogeneity precondition the existing ANOVA/Tukey family
-    // assumes (x_levene_bf is its robust sibling). Corpus cost: the
-    // snapped-mean pass + the deviation pass; the statistic runs on the
-    // 5-row frame.
+    // assumes (x_levene_bf is its robust sibling). Corpus cost: ONE
+    // exact-cents moment pass (BIGINT/DECIMAL(38,0) — no second
+    // deviation scan, no order-dependent double sum); the statistic
+    // runs on the 5-row frame from doubles both engines derive from
+    // identical integers.
     QDef("x_bartlett", BartlettSql) { (s, d) =>
       val t = Tables(s, d)
       val oc = t.orders
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+        .select(col("c_mktsegment").as("g"),
+          round(col("o_totalprice") * lit(100.0), 0).cast("bigint")
+            .as("vc"))
       val m = oc.groupBy("g")
-        .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("mu"))
-      val ss = oc.join(broadcast(m), "g")
-        .groupBy("g").agg(max(col("n")).as("n"),
-          sum((col("v") - col("mu")) * (col("v") - col("mu"))).as("ss"))
+        .agg(count(lit(1)).as("n"), sum("vc").as("svc"),
+          sum(col("vc").cast("decimal(19,0)") * col("vc"))
+            .cast("decimal(38,0)").as("sqc"))
+      val sM = m.select(col("g"), col("n"),
+        round(col("svc").cast("double") / 1.0e2 / col("n"), 6)
+          .as("mu"),
+        (col("svc").cast("double") / 1.0e2).as("sv1"),
+        (col("sqc").cast("double") / 1.0e4).as("sv2"))
+      val ss = sM.select(col("g"), col("n"),
+        (col("sv2") - lit(2.0) * col("mu") * col("sv1")
+          + col("n") * col("mu") * col("mu")).as("ss"))
       ss.agg(count(lit(1)).as("kg"), sum(col("n")).as("nn"),
           sum(col("ss")).as("ssw"),
           sum((col("n") - 1) * log(col("ss") / (col("n") - 1))).as("sumlog"),

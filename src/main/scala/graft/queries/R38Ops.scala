@@ -246,23 +246,47 @@ object R38Ops {
   private[queries] val CointSql =
     """WITH j AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
       |    AS d,
-      |  CAST(count(*) AS DOUBLE) AS x,
-      |  sum(o_totalprice) / 100000.0e0 AS y
+      |  CAST(count(*) AS BIGINT) AS x,
+      |  CAST(round(sum(o_totalprice) * 100.0e0, 0) AS BIGINT) AS yc
       |  FROM orders GROUP BY 1),
-      |m AS (SELECT round(covar_samp(x, y) / var_samp(x), 9) AS b,
-      |  round(avg(y), 9) AS my, round(avg(x), 9) AS mx FROM j),
-      |e AS (SELECT j.d, j.y - (m.my - m.b * m.mx) - m.b * j.x AS e
+      |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx,
+      |  CAST(sum(yc) AS BIGINT) AS sy,
+      |  CAST(sum(CAST(x AS DECIMAL(19, 0)) * x) AS DECIMAL(38, 0))
+      |    AS sxx,
+      |  CAST(sum(CAST(x AS DECIMAL(19, 0)) * yc) AS DECIMAL(38, 0))
+      |    AS sxy
+      |  FROM j),
+      |m AS (SELECT
+      |  round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1.0e7)
+      |      - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1.0e7))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS b,
+      |  round(CAST(sy AS DOUBLE) / 1.0e7 / n, 9) AS my,
+      |  round(CAST(sx AS DOUBLE) / n, 9) AS mx FROM mo),
+      |e AS (SELECT j.d,
+      |  CAST(floor((CAST(j.yc AS DOUBLE) / 1.0e7
+      |    - (m.my - m.b * m.mx) - m.b * j.x) * 1.0e6 + 0.5e0)
+      |    AS BIGINT) AS eq
       |  FROM j CROSS JOIN m),
-      |l AS (SELECT d, e, lag(e) OVER (ORDER BY d) AS pe FROM e),
-      |df AS (SELECT round(sum(pe * (e - pe)) / sum(pe * pe), 9) AS rho,
-      |  CAST(count(pe) AS BIGINT) AS n
+      |l AS (SELECT d, eq, lag(eq) OVER (ORDER BY d) AS pe FROM e),
+      |ag AS (SELECT CAST(count(pe) AS BIGINT) AS n,
+      |  CAST(sum(CAST(pe AS DECIMAL(19, 0)) * (eq - pe))
+      |    AS DECIMAL(38, 0)) AS s1,
+      |  CAST(sum(CAST(pe AS DECIMAL(19, 0)) * pe) AS DECIMAL(38, 0))
+      |    AS s2,
+      |  CAST(sum(CAST(eq - pe AS DECIMAL(19, 0)) * (eq - pe))
+      |    AS DECIMAL(38, 0)) AS sd2
       |  FROM l WHERE pe IS NOT NULL),
-      |fin AS (SELECT max(df.rho) AS rho, max(df.n) AS n,
-      |  sum((e - pe - df.rho * pe) * (e - pe - df.rho * pe)) AS ssr,
-      |  sum(pe * pe) AS spp
-      |  FROM l CROSS JOIN df WHERE pe IS NOT NULL)
+      |fin AS (SELECT n,
+      |  round(CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE), 9) AS rho,
+      |  CAST(s2 AS DOUBLE) / 1.0e12 AS spp,
+      |  CAST(sd2 AS DOUBLE) / 1.0e12 AS sdd,
+      |  CAST(s1 AS DOUBLE) / 1.0e12 AS s1d
+      |  FROM ag)
       |SELECT n AS n_days, round(rho, 6) AS rho,
-      |  round(rho / sqrt((ssr / (n - 1)) / spp), 4) AS df_t
+      |  round(rho / sqrt(((sdd - 2.0e0 * rho * s1d
+      |    + rho * rho * spp) / (n - 1)) / spp), 4) AS df_t
       |FROM fin""".stripMargin
 
   /** Atkinson inequality as ONE portable text — oracle of `x_atkinson`
@@ -423,35 +447,61 @@ object R38Ops {
     // trusting any levels-on-levels regression between series
     // (x_granger_lag1 is the differenced-side sibling).
     QDef("x_coint_eg", CointSql) { (s, d) =>
-      def snap9(v: Double) =
-        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Exact-integer moment form (the KfoldSql/BreakSql pattern):
+      // daily totals quantized to cents, OLS beta from BIGINT/DECIMAL
+      // sums, residuals micro-quantized so the Dickey-Fuller sums are
+      // exact integers — no driver collect()s and no order-dependent
+      // double sum anywhere.
       val j = Tables(s, d).orders
-        .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("d"))
-        .agg(count(lit(1)).cast("double").as("x"),
-          (sum(col("o_totalprice")) / lit(100000.0)).as("y"))
-      val mRow = j.agg(
-        (covar_samp(col("x"), col("y")) / var_samp(col("x"))).as("b"),
-        avg(col("y")).as("my"), avg(col("x")).as("mx")).head()
-      val b = snap9(mRow.getDouble(0))
-      // intercept evaluated EXACTLY as the oracle text does — same
-      // operation order, so the residual float path is identical
-      val a = snap9(mRow.getDouble(1)) - b * snap9(mRow.getDouble(2))
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("date")
+          .as("d"))
+        .agg(count(lit(1)).as("x"),
+          round(sum("o_totalprice") * lit(100.0), 0).cast("bigint")
+            .as("yc"))
+      val mo = j.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("yc").as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("x"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("x").cast("decimal(19,0)") * col("yc"))
+          .cast("decimal(38,0)").as("sxy"))
+      val m = mo.select(
+        round((col("n").cast("double")
+            * (col("sxy").cast("double") / 1.0e7)
+          - col("sx").cast("double")
+            * (col("sy").cast("double") / 1.0e7))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 9)
+          .as("b"),
+        round(col("sy").cast("double") / 1.0e7 / col("n"), 9).as("my"),
+        round(col("sx").cast("double") / col("n"), 9).as("mx"))
+      val e = j.crossJoin(broadcast(m))
+        .select(col("d"),
+          floor((col("yc").cast("double") / 1.0e7
+            - (col("my") - col("b") * col("mx"))
+            - col("b") * col("x")) * 1.0e6 + lit(0.5)).cast("bigint")
+            .as("eq"))
       val w = Window.orderBy("d")
-      val l = j.select(col("d"),
-          (col("y") - lit(a) - lit(b) * col("x")).as("e"))
-        .withColumn("pe", lag(col("e"), 1).over(w))
+      val l = e.select(col("d"), col("eq"),
+          lag("eq", 1).over(w).as("pe"))
         .filter(col("pe").isNotNull)
-      val dfRow = l.agg(
-        (sum(col("pe") * (col("e") - col("pe"))) / sum(col("pe") * col("pe")))
-          .as("rho")).head()
-      val rho = snap9(dfRow.getDouble(0))
-      l.agg(count(lit(1)).as("n"),
-          sum((col("e") - col("pe") - lit(rho) * col("pe"))
-            * (col("e") - col("pe") - lit(rho) * col("pe"))).as("ssr"),
-          sum(col("pe") * col("pe")).as("spp"))
-        .select(col("n").as("n_days"), round(lit(rho), 6).as("rho"),
-          round(lit(rho) / sqrt((col("ssr") / (col("n") - 1)) / col("spp")),
-            4).as("df_t"))
+      val ag = l.agg(count(col("pe")).as("n"),
+        sum(col("pe").cast("decimal(19,0)") * (col("eq") - col("pe")))
+          .cast("decimal(38,0)").as("s1"),
+        sum(col("pe").cast("decimal(19,0)") * col("pe"))
+          .cast("decimal(38,0)").as("s2"),
+        sum((col("eq") - col("pe")).cast("decimal(19,0)")
+          * (col("eq") - col("pe"))).cast("decimal(38,0)").as("sd2"))
+      val fin = ag.select(col("n"),
+        round(col("s1").cast("double") / col("s2").cast("double"), 9)
+          .as("rho"),
+        (col("s2").cast("double") / 1.0e12).as("spp"),
+        (col("sd2").cast("double") / 1.0e12).as("sdd"),
+        (col("s1").cast("double") / 1.0e12).as("s1d"))
+      fin.select(col("n").as("n_days"), round(col("rho"), 6).as("rho"),
+        round(col("rho") / sqrt(((col("sdd")
+          - lit(2.0) * col("rho") * col("s1d")
+          + col("rho") * col("rho") * col("spp")) / (col("n") - 1))
+          / col("spp")), 4).as("df_t"))
     },
 
     // Engle-Granger through Spark's SQL parser — same shared text.

@@ -361,6 +361,40 @@ object R45Ops {
       |    THEN (qstat - (k - 1)) / qstat ELSE 0.0e0 END, 6) AS i2
       |FROM re""".stripMargin
 
+  /** The brand z-test p-value family as a DataFrame — the Column-algebra
+    * mirror of [[BrandPvalCtes]] (columns b, n_b, zs, pv), shared by the
+    * x_fdr_bh step-up and the R52 x_holm step-down Dataset sides so both
+    * FWER/FDR controllers close over the SAME 25 tests. */
+  private[queries] def brandPvalDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(s, d)
+    val g = t.lineitem
+      .join(broadcast(t.part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("b"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("l_quantity").cast("bigint")).as("s_b"),
+        sum(col("l_quantity").cast("bigint")
+          * col("l_quantity").cast("bigint")).as("q_b"))
+    val tot = g.agg(sum(col("n_b")).as("n"), sum(col("s_b")).as("s"),
+      sum(col("q_b")).as("q"))
+    val v = tot.select(col("n"), col("s"),
+      ((col("n").cast("double") * col("q").cast("double")
+        - col("s").cast("double") * col("s").cast("double"))
+        / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+        .as("s2"))
+    val z = g.crossJoin(broadcast(v))
+      .select(col("b"), col("n_b"),
+        ((col("s_b").cast("double") / col("n_b")
+          - (col("s") - col("s_b")).cast("double")
+            / (col("n") - col("n_b")))
+          / sqrt(col("s2") * (lit(1.0) / col("n_b")
+            + lit(1.0) / (col("n") - col("n_b"))))).as("zs"))
+      .withColumn("az", abs(col("zs")) / lit(1.4142135623730951))
+    z.select(col("b"), col("n_b"), col("zs"),
+      expr(erfcSql("az")).as("pv"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // BENJAMINI-HOCHBERG: the multiple-testing controller every
@@ -370,32 +404,7 @@ object R45Ops {
     // frame (its row_number/count windows are the only unpartitioned
     // exchanges — carved out).
     QDef("x_fdr_bh", FdrSql) { (s, d) =>
-      val t = Tables(s, d)
-      val g = t.lineitem
-        .join(broadcast(t.part.select("p_partkey", "p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand").as("b"))
-        .agg(count(lit(1)).as("n_b"),
-          sum(col("l_quantity").cast("bigint")).as("s_b"),
-          sum(col("l_quantity").cast("bigint")
-            * col("l_quantity").cast("bigint")).as("q_b"))
-      val tot = g.agg(sum(col("n_b")).as("n"), sum(col("s_b")).as("s"),
-        sum(col("q_b")).as("q"))
-      val v = tot.select(col("n"), col("s"),
-        ((col("n").cast("double") * col("q").cast("double")
-          - col("s").cast("double") * col("s").cast("double"))
-          / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
-          .as("s2"))
-      val z = g.crossJoin(broadcast(v))
-        .select(col("b"), col("n_b"),
-          ((col("s_b").cast("double") / col("n_b")
-            - (col("s") - col("s_b")).cast("double")
-              / (col("n") - col("n_b")))
-            / sqrt(col("s2") * (lit(1.0) / col("n_b")
-              + lit(1.0) / (col("n") - col("n_b"))))).as("zs"))
-        .withColumn("az", abs(col("zs")) / lit(1.4142135623730951))
-      val p = z.select(col("b"), col("n_b"), col("zs"),
-        expr(erfcSql("az")).as("pv"))
+      val p = brandPvalDf(s, d)
       val r = p
         .withColumn("k",
           row_number().over(Window.orderBy("pv", "b")).cast("bigint"))

@@ -528,17 +528,75 @@ object R48Ops {
 
     // LEPAGE: location AND scale in one omnibus — Wilcoxon and
     // Ansari-Bradley z's from the SAME histogram pass, combined as
-    // χ²(2) with its exact exp(−L/2) tail.
+    // χ²(2) with its exact exp(−L/2) tail. Dataset side: the ≤50-row
+    // quantity histogram with cumulative/global windows (carved-out
+    // bounded frame), tie-corrected closed forms in Column algebra.
     QDef("x_lepage", LepageSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "lineitem")
-      s.sql(LepageSql)
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, d).lineitem.select(
+        col("l_linestatus").as("g"),
+        col("l_quantity").cast("bigint").as("v"))
+      val h = base.groupBy("v")
+        .agg(sum(when(col("g") === "F", 1).otherwise(0)).cast("bigint")
+          .as("ca"),
+          count(lit(1)).as("c"))
+      val wcum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wall = Window.partitionBy()
+      val cum = h.select(col("v"), col("ca"), col("c"),
+        coalesce(sum("c").over(wcum), lit(0)).cast("bigint")
+          .as("below"),
+        sum("c").over(wall).cast("bigint").as("nn"),
+        sum("ca").over(wall).cast("bigint").as("na"))
+      val sc = cum.select(col("v"), col("ca"), col("c"), col("nn"),
+        col("na"),
+        floor((col("nn") + 1) / lit(2.0)).cast("bigint").as("th"),
+        (col("below") + 1).as("lo"), (col("below") + col("c")).as("hi"),
+        (lit(2) * col("below") + col("c") + 1).as("mr2"))
+      val loC = col("lo"); val hiC = col("hi"); val thC = col("th")
+      val s2 = sc.select(col("v"), col("ca"), col("c"), col("nn"),
+        col("na"), col("mr2"),
+        (when(least(hiC, thC) >= loC,
+          (least(hiC, thC) - loC + 1).cast("double")
+            * (loC + least(hiC, thC)) / 2)
+          .otherwise(lit(0.0))
+        + when(hiC >= greatest(loC, thC + 1),
+            (hiC - greatest(loC, thC + 1) + 1).cast("double")
+              * (col("nn") + 1)
+            - (greatest(loC, thC + 1) + hiC).cast("double")
+              * (hiC - greatest(loC, thC + 1) + 1) / 2)
+          .otherwise(lit(0.0))).as("ssum"))
+      val ag = s2.agg(max("nn").as("nn"), max("na").as("na"),
+        (sum(col("ca") * col("mr2").cast("double")) / 2).as("w"),
+        sum(col("c").cast("double")
+          * (col("c").cast("double") * col("c") - 1)).as("tie"),
+        sum(col("ca") * col("ssum") / col("c")).as("a"),
+        sum("ssum").as("sa"),
+        sum(col("ssum") * col("ssum") / col("c")).as("sa2"))
+      val z = ag.select(col("nn"), col("na"),
+        ((col("w") - col("na").cast("double") * (col("nn") + 1) / 2)
+          / sqrt(col("na").cast("double") * (col("nn") - col("na"))
+            / lit(12.0)
+            * ((col("nn") + 1) - col("tie")
+              / (col("nn").cast("double") * (col("nn") - 1)))))
+          .as("zw"),
+        ((col("a") - col("na").cast("double") * col("sa") / col("nn"))
+          / sqrt(col("na").cast("double") * (col("nn") - col("na"))
+            * (col("nn") * col("sa2") - col("sa") * col("sa"))
+            / (col("nn").cast("double") * col("nn")
+              * (col("nn") - 1)))).as("zab"))
+      z.select(col("nn").as("n"), col("na").as("n_f"),
+        round(col("zw"), 4).as("z_wilcoxon"),
+        round(col("zab"), 4).as("z_ansari"),
+        round(col("zw") * col("zw") + col("zab") * col("zab"), 4)
+          .as("lepage_l"),
+        round(exp(-(col("zw") * col("zw") + col("zab") * col("zab"))
+          / lit(2.0)), 6).as("p_value"))
     },
 
-    // Lepage through Spark's SQL parser — same shared text. (Both
-    // sides parse the text: the Dataset mirror of the two-series AB
-    // score sum would be a line-for-line transliteration with no
-    // independent value — the spec cross-checks the z's against
-    // x_ansari_bradley and a brute-force Wilcoxon instead.)
+    // Lepage through Spark's SQL parser — same shared text; the spec
+    // also cross-checks the z's against x_ansari_bradley and a
+    // brute-force Wilcoxon.
     QDef("x_sql_lepage", LepageSql) { (s, d) =>
       SqlSurface.viewed(s, d, "lineitem")
       s.sql(LepageSql)

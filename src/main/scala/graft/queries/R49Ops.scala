@@ -458,14 +458,52 @@ object R49Ops {
 
     // I-MR CHART: the individuals chart with moving-range limits and
     // a ≥9-day one-side run rule (gaps-islands on the sign series).
+    // Dataset side: lag + gaps-islands in Column algebra over the
+    // carved-out calendar frame; 1-row limit frames cross-joined back.
     QDef("x_imr_chart", ImrSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "orders")
-      s.sql(ImrSql)
+      val cal = Tables(s, d).orders
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(round(avg("o_totalprice"), 6).as("y"))
+      val c = cal.agg(round(avg("y"), 6).as("center"))
+      val mr = cal.select(col("d"), col("y"),
+        abs(col("y") - lag("y", 1).over(Window.orderBy("d"))).as("m"))
+      val lim = mr.filter(col("m").isNotNull).crossJoin(c)
+        .agg(max("center").as("center"),
+          round(avg("m"), 6).as("mrbar"))
+      val fl = mr.crossJoin(broadcast(lim))
+        .select(col("d"), col("y"), col("center"),
+          (col("center") + lit(2.66) * col("mrbar")).as("ucl"),
+          (col("center") - lit(2.66) * col("mrbar")).as("lcl"),
+          when(col("y") > col("center"), 1)
+            .when(col("y") < col("center"), -1).otherwise(0)
+            .as("side"),
+          row_number().over(Window.orderBy("d")).cast("bigint")
+            .as("rn"))
+      val isl = fl.filter(col("side") =!= 0)
+        .select(col("side"),
+          (col("rn") - row_number().over(
+            Window.partitionBy("side").orderBy("rn")).cast("bigint"))
+            .as("grp"))
+      val runs = isl.groupBy("side", "grp")
+        .agg(count(lit(1)).as("len"))
+      val agg = runs.agg(
+        sum(when(col("len") >= 9, 1).otherwise(0)).cast("bigint")
+          .as("long_runs"))
+      val oob = fl.agg(
+        sum(when(col("y") > col("ucl") || col("y") < col("lcl"), 1)
+          .otherwise(0)).cast("bigint").as("n_beyond"),
+        count(lit(1)).as("n"),
+        round(max("ucl"), 4).as("ucl"),
+        round(max("lcl"), 4).as("lcl"),
+        round(max("center"), 4).as("center"))
+      oob.crossJoin(agg)
+        .select(col("n").as("n_days"), col("center"), col("lcl"),
+          col("ucl"), col("n_beyond"), col("long_runs"))
     },
 
-    // I-MR through Spark's SQL parser — same shared text. (Both sides
-    // parse the text; the spec recomputes limits and run counts brute
-    // force from the collected daily series.)
+    // I-MR through Spark's SQL parser — same shared text; the spec
+    // also recomputes limits and run counts brute force from the
+    // collected daily series.
     QDef("x_sql_imr", ImrSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders")
       s.sql(ImrSql)

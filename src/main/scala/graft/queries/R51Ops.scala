@@ -300,26 +300,66 @@ object R51Ops {
     },
 
     // GWET AC1: the kappa-paradox fix — stable when marginals are
-    // skewed; released beside plain kappa for the contrast.
+    // skewed; released beside plain kappa for the contrast. Dataset
+    // side: the shared 9-cell pairing frame, union-margin pivot and
+    // chance agreements in Column algebra on the bounded frame.
     QDef("x_gwet_ac1", Ac1Sql) { (s, d) =>
-      SqlSurface.viewed(s, d, "orders", "lineitem")
-      s.sql(Ac1Sql)
+      val mg = pairing(s, d)
+      val pa = mg.agg(
+        (sum(when(col("x") === col("y"), col("n").cast("double"))
+          .otherwise(0)) / max("nn")).as("pa"))
+      val ua = mg.groupBy(col("x").as("q"))
+        .agg(max("rx").cast("double").as("r"), max("nn").as("nn"))
+        .select(col("q"), col("r"), lit(0.0).as("c"), col("nn"))
+      val ub = mg.groupBy(col("y").as("q"))
+        .agg(max("cy").cast("double").as("c"), max("nn").as("nn"))
+        .select(col("q"), lit(0.0).as("r"), col("c"), col("nn"))
+      val marg = ua.union(ub).groupBy("q")
+        .agg(sum("r").as("r"), sum("c").as("c"), max("nn").as("nn"))
+      val pe = marg.agg(
+        (sum(((col("r") + col("c")) / (lit(2.0) * col("nn")))
+          * (lit(1.0)
+            - (col("r") + col("c")) / (lit(2.0) * col("nn"))))
+          / lit(2.0)).as("pe_g"),
+        sum((col("r") / col("nn")) * (col("c") / col("nn")))
+          .as("pe_k"))
+      pa.crossJoin(pe).select(round(col("pa"), 6).as("pa"),
+        round((col("pa") - col("pe_k")) / (lit(1.0) - col("pe_k")), 6)
+          .as("kappa"),
+        round((col("pa") - col("pe_g")) / (lit(1.0) - col("pe_g")), 6)
+          .as("gwet_ac1"))
     },
 
-    // AC1 through Spark's SQL parser — same shared text. (Both sides
-    // parse the text — the union-margin pivot would be a line-for-line
-    // Dataset transliteration; the spec recomputes from the collected
-    // contingency instead.)
+    // AC1 through Spark's SQL parser — same shared text; the spec
+    // also recomputes from the collected contingency.
     QDef("x_sql_ac1", Ac1Sql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders", "lineitem")
       s.sql(Ac1Sql)
     },
 
     // KRIPPENDORFF: the content-analysis standard — coincidence-matrix
-    // disagreement against its permutation expectation.
+    // disagreement against its permutation expectation. Dataset side:
+    // same pairing frame; D_o and the margin frame in Column algebra.
     QDef("x_krippendorff", KrippSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "orders", "lineitem")
-      s.sql(KrippSql)
+      val mg = pairing(s, d)
+      val dObs = mg.agg(
+        (sum(when(col("x") =!= col("y"), lit(2.0) * col("n"))
+          .otherwise(0)) / (lit(2.0) * max("nn"))).as("dobs"),
+        max("nn").as("nn"))
+      val nc = mg.groupBy(col("x").as("q"))
+        .agg(max("rx").cast("double").as("m"))
+        .union(mg.groupBy(col("y").as("q"))
+          .agg(max("cy").cast("double").as("m")))
+        .groupBy("q").agg(sum("m").as("m"))
+      val de = nc.crossJoin(broadcast(dObs)).groupBy("nn")
+        .agg(((sum("m") * sum("m") - sum(col("m") * col("m")))
+          / (lit(2.0) * max("nn") * (lit(2.0) * max("nn") - 1)))
+          .as("dexp"),
+          max("dobs").as("dobs"))
+      de.select(round(col("dobs"), 6).as("d_observed"),
+        round(col("dexp"), 6).as("d_expected"),
+        round(lit(1.0) - col("dobs") / col("dexp"), 6)
+          .as("kripp_alpha"))
     },
 
     // Krippendorff through Spark's SQL parser — same shared text.

@@ -31,14 +31,24 @@ object R52Ops {
     * non-trivial neighbor (|ℓ| ≥ 7, both directions via the
     * min-over-union). Released: the top-3 discord windows (largest
     * profile — the most anomalous weeks) and the best motif pair. */
-  private[queries] val MpSql =
-    """WITH cal AS (SELECT CAST(o_orderdate AS DATE) AS d,
+  // The profile text in three fragments so the x_sql_mp twin can
+  // materialize the multiply-referenced frames ONCE behind
+  // localCheckpoint temp views (the x_sql_kcore from-birth rule): `ix`
+  // is referenced 3× (μ/σ chain + both sides of the pair join) and
+  // `dist` 3× (both profile sides + the motif scan) — Spark inlines
+  // CTEs, so the unsplit text re-evaluates the whole pair-window chain
+  // three times. The DuckDB oracle parses the composed full text.
+  private[queries] val MpIxCtes =
+    """cal AS (SELECT CAST(o_orderdate AS DATE) AS d,
       |  round(sum(o_totalprice) / 1.0e6, 6) AS y FROM orders
       |  GROUP BY 1),
       |ix AS (SELECT d, y,
       |  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
-      |  CAST(count(*) OVER () AS BIGINT) AS n FROM cal),
-      |ws AS (SELECT d, i, n,
+      |  CAST(count(*) OVER () AS BIGINT) AS n FROM cal)"""
+      .stripMargin
+
+  private[queries] val MpDistCtes =
+    """ws AS (SELECT d, i, n,
       |  round(avg(y) OVER (ORDER BY i
       |    ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING), 9) AS mu,
       |  sum(y * y) OVER (ORDER BY i
@@ -65,8 +75,10 @@ object R52Ops {
       |  FROM dots
       |  JOIN win wa ON dots.i = wa.i
       |  JOIN win wb ON dots.i + dots.l = wb.i
-      |  WHERE dots.wn = 7),
-      |sides AS (SELECT da AS d, dd FROM dist
+      |  WHERE dots.wn = 7)""".stripMargin
+
+  private[queries] val MpTailCtes =
+    """sides AS (SELECT da AS d, dd FROM dist
       |  UNION ALL SELECT db AS d, dd FROM dist),
       |prof AS (SELECT d, round(min(dd), 6) AS nn_dist FROM sides
       |  GROUP BY 1),
@@ -81,6 +93,9 @@ object R52Ops {
       |  motif.dd AS motif_dist
       |FROM disc, motif WHERE disc.rk <= 3 ORDER BY disc.rk"""
       .stripMargin
+
+  private[queries] val MpSql =
+    s"WITH $MpIxCtes,\n$MpDistCtes,\n$MpTailCtes"
 
   /** STL-style strength of trend and seasonality on daily order counts
     * as ONE portable text — oracle of `x_stl_strength` and whole query
@@ -190,34 +205,51 @@ object R52Ops {
     * l_orderkey % 5; ONE (fold × moment) collapse carries everything:
     * train moments = totals − own fold (9 dp-snapped coefficients),
     * test MSE expands algebraically over the same five sums — 5-fold
-    * CV in exactly one corpus pass. */
+    * CV in exactly one corpus pass. Moments accumulate as EXACT
+    * integers (cents, BIGINT; squared-cents DECIMAL(38,0) — the
+    * BreakSql pattern) and the train-minus-test differences happen in
+    * integer space, so both engines derive every double from
+    * identical integers and no summation-order or cancellation path
+    * can diverge. */
   private[queries] val KfoldSql =
-    """WITH fm AS (SELECT l_orderkey % 5 AS f,
-      |  CAST(count(*) AS DOUBLE) AS n,
-      |  sum(l_extendedprice / 1.0e3) AS sx,
-      |  sum(CAST(l_quantity AS DOUBLE)) AS sy,
-      |  sum((l_extendedprice / 1.0e3) * (l_extendedprice / 1.0e3))
-      |    AS sxx,
-      |  sum((l_extendedprice / 1.0e3) * CAST(l_quantity AS DOUBLE))
-      |    AS sxy,
-      |  sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
-      |    AS syy
-      |  FROM lineitem GROUP BY 1),
-      |tot AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
-      |  sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy FROM fm),
-      |tr AS (SELECT fm.f, fm.n AS nt, fm.sx AS tsx, fm.sy AS tsy,
-      |  fm.sxx AS tsxx, fm.sxy AS tsxy, fm.syy AS tsyy,
-      |  round(((tot.n - fm.n) * (tot.sxy - fm.sxy)
-      |      - (tot.sx - fm.sx) * (tot.sy - fm.sy))
-      |    / ((tot.n - fm.n) * (tot.sxx - fm.sxx)
-      |      - (tot.sx - fm.sx) * (tot.sx - fm.sx)), 9) AS b1,
-      |  (tot.sy - fm.sy) / (tot.n - fm.n) AS myt,
-      |  (tot.sx - fm.sx) / (tot.n - fm.n) AS mxt
+    """WITH li AS (SELECT l_orderkey % 5 AS f,
+      |  CAST(round(l_extendedprice * 100.0e0, 0) AS BIGINT) AS xc,
+      |  CAST(l_quantity AS BIGINT) AS yi
+      |  FROM lineitem),
+      |fm AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(xc) AS BIGINT) AS sxc,
+      |  CAST(sum(yi) AS BIGINT) AS syi,
+      |  CAST(sum(CAST(xc AS DECIMAL(19, 0)) * xc) AS DECIMAL(38, 0))
+      |    AS sxxc,
+      |  CAST(sum(xc * yi) AS BIGINT) AS sxyc,
+      |  CAST(sum(yi * yi) AS BIGINT) AS syyi
+      |  FROM li GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+      |  CAST(sum(sxc) AS BIGINT) AS txc,
+      |  CAST(sum(syi) AS BIGINT) AS tyi,
+      |  CAST(sum(sxxc) AS DECIMAL(38, 0)) AS txx,
+      |  CAST(sum(sxyc) AS BIGINT) AS txy FROM fm),
+      |tr AS (SELECT fm.f, fm.n AS nt,
+      |  CAST(fm.sxc AS DOUBLE) / 1.0e5 AS tsx,
+      |  CAST(fm.syi AS DOUBLE) AS tsy,
+      |  CAST(fm.sxxc AS DOUBLE) / 1.0e10 AS tsxx,
+      |  CAST(fm.sxyc AS DOUBLE) / 1.0e5 AS tsxy,
+      |  CAST(fm.syyi AS DOUBLE) AS tsyy,
+      |  CAST(tot.tn - fm.n AS DOUBLE) AS rn,
+      |  CAST(tot.txc - fm.sxc AS DOUBLE) / 1.0e5 AS rsx,
+      |  CAST(tot.tyi - fm.syi AS DOUBLE) AS rsy,
+      |  CAST(tot.txx - fm.sxxc AS DOUBLE) / 1.0e10 AS rsxx,
+      |  CAST(tot.txy - fm.sxyc AS DOUBLE) / 1.0e5 AS rsxy
       |  FROM fm, tot),
+      |co AS (SELECT f, nt, tsx, tsy, tsxx, tsxy, tsyy,
+      |  round((rn * rsxy - rsx * rsy)
+      |    / (rn * rsxx - rsx * rsx), 9) AS b1,
+      |  rsy / rn AS myt, rsx / rn AS mxt
+      |  FROM tr),
       |ab AS (SELECT f, nt, tsx, tsy, tsxx, tsxy, tsyy, b1,
       |  round(myt - b1 * mxt, 9) AS b0
-      |  FROM tr),
-      |mse AS (SELECT f, CAST(nt AS BIGINT) AS n_test, b0, b1,
+      |  FROM co),
+      |mse AS (SELECT f, nt AS n_test, b0, b1,
       |  (tsyy + nt * b0 * b0 + b1 * b1 * tsxx
       |    - 2.0e0 * b0 * tsy - 2.0e0 * b1 * tsxy
       |    + 2.0e0 * b0 * b1 * tsx) / nt AS m
@@ -235,10 +267,13 @@ object R52Ops {
       val cal = Tables(s, d).orders
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(round(sum("o_totalprice") / 1.0e6, 6).as("y"))
+      // ix feeds the μ/σ chain AND both sides of the pair join —
+      // materialize the ≤2400-row calendar frame once.
       val ix = cal.select(col("d"), col("y"),
         row_number().over(Window.orderBy("d")).cast("bigint").as("i"),
         count(lit(1)).over(Window.partitionBy()).cast("bigint")
           .as("n"))
+        .localCheckpoint()
       val w7 = Window.orderBy("i").rowsBetween(0, 6)
       val win = ix.select(col("d"), col("i"), col("n"),
           round(avg("y").over(w7), 9).as("mu"),
@@ -261,6 +296,8 @@ object R52Ops {
         col("mu").as("mua"), col("sd").as("sda"))
       val wb = win.select(col("d").as("db"), col("i").as("wj"),
         col("mu").as("mub"), col("sd").as("sdb"))
+      // dist feeds both profile sides and the motif scan — without a
+      // barrier the whole pair-window chain evaluates three times.
       val dist = dots
         .join(wa, col("i") === col("wi"))
         .join(wb, col("i") + col("l") === col("wj"))
@@ -268,6 +305,7 @@ object R52Ops {
           sqrt(greatest(lit(0.0), lit(14.0) * (lit(1.0)
             - (col("dot") / 7.0 - col("mua") * col("mub"))
               / (col("sda") * col("sdb"))))).as("dd"))
+        .localCheckpoint()
       val both = dist.select(col("da").as("d"), col("dd"))
         .union(dist.select(col("db").as("d"), col("dd")))
       val prof = both.groupBy("d").agg(round(min("dd"), 6)
@@ -287,22 +325,64 @@ object R52Ops {
         .orderBy("discord_rank")
     },
 
-    // Matrix profile through Spark's SQL parser — same shared text.
+    // Matrix profile through Spark's SQL parser — same shared
+    // fragments, with the multiply-referenced `ix` and `dist` frames
+    // materialized ONCE behind localCheckpoint views (the x_sql_kcore
+    // from-birth rule) instead of letting CTE inlining re-evaluate the
+    // pair-window chain three times.
     QDef("x_sql_mp", MpSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders")
-      s.sql(MpSql)
+      s.sql(s"WITH $MpIxCtes SELECT d, y, i, n FROM ix")
+        .localCheckpoint()
+        .createOrReplaceTempView("ix")
+      s.sql(s"WITH $MpDistCtes SELECT da, db, ia, ib, dd FROM dist")
+        .localCheckpoint()
+        .createOrReplaceTempView("dist")
+      s.sql(s"WITH $MpTailCtes")
     },
 
     // STL STRENGTH: how much of the series is trend vs weekly season
     // vs noise — Hyndman's F-statistics from one decomposition pass.
+    // Dataset side: same decomposition in Column algebra — centered MA
+    // window over the calendar frame, month-keyed season means
+    // broadcast back, one moment pass over the decomposed frame.
     QDef("x_stl_strength", StlSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "orders")
-      s.sql(StlSql)
+      val cal = Tables(s, d).orders
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val w15 = Window.orderBy("d").rowsBetween(-7, 7)
+      val tr = cal.select(col("d"), col("y"),
+        month(col("d")).cast("int").as("mn"),
+        round(avg("y").over(w15), 6).as("t"))
+      val se = tr.groupBy("mn")
+        .agg(round(avg(col("y") - col("t")), 6).as("s"))
+      val de = tr.join(broadcast(se), "mn")
+        .select(col("y"), col("t"), col("s"),
+          (col("y") - col("t") - col("s")).as("r"))
+      val mo = de.agg(count(lit(1)).cast("double").as("n"),
+        sum("r").as("sr"), sum(col("r") * col("r")).as("srr"),
+        sum(col("y") - col("s")).as("sds"),
+        sum((col("y") - col("s")) * (col("y") - col("s"))).as("sds2"),
+        sum(col("y") - col("t")).as("sdt"),
+        sum((col("y") - col("t")) * (col("y") - col("t"))).as("sdt2"))
+      val vv = mo.select(col("n"),
+        (col("srr") / col("n")
+          - (col("sr") / col("n")) * (col("sr") / col("n"))).as("vr"),
+        (col("sds2") / col("n")
+          - (col("sds") / col("n")) * (col("sds") / col("n"))).as("vds"),
+        (col("sdt2") / col("n")
+          - (col("sdt") / col("n")) * (col("sdt") / col("n"))).as("vdt"))
+      vv.select(col("n").cast("bigint").as("n_days"),
+        round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vds")), 6)
+          .as("f_trend"),
+        round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vdt")), 6)
+          .as("f_seasonal"),
+        round(col("vr"), 6).as("var_remainder"))
     },
 
-    // STL through Spark's SQL parser — same shared text. (Both sides
-    // parse the text; the spec recomputes the decomposition brute
-    // force from the collected daily series.)
+    // STL through Spark's SQL parser — same shared text; the spec also
+    // recomputes the decomposition brute force from the collected
+    // daily series.
     QDef("x_sql_stl", StlSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders")
       s.sql(StlSql)
@@ -310,9 +390,45 @@ object R52Ops {
 
     // POWER ANALYSIS: the experiment-design companion to the TOST /
     // t-test family — required n and achieved power, closed form.
+    // Dataset side: one exact-BIGINT collapse of the two arms, pivot
+    // to one row, closed-form algebra; Φ via the shared erfc fragment
+    // applied with expr() on the identically-named zp column.
     QDef("x_power_ttest", PowerSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "lineitem")
-      s.sql(PowerSql)
+      val za = lit(1.959963984540054)
+      val zb = lit(0.8416212335729143)
+      val g = Tables(s, d).lineitem
+        .filter(col("l_returnflag").isin("R", "N"))
+        .groupBy(col("l_returnflag").as("f"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("s"),
+          sum(col("l_quantity").cast("bigint")
+            * col("l_quantity").cast("bigint")).as("q"))
+      val w = g.agg(
+        max(when(col("f") === "R", col("n"))).as("na"),
+        max(when(col("f") === "R", col("s"))).as("sa"),
+        max(when(col("f") === "R", col("q"))).as("qa"),
+        max(when(col("f") === "N", col("n"))).as("nb"),
+        max(when(col("f") === "N", col("s"))).as("sb"),
+        max(when(col("f") === "N", col("q"))).as("qb"))
+      val e = w.select(col("na"), col("nb"),
+        abs(col("sa").cast("double") / col("na")
+          - col("sb").cast("double") / col("nb")).as("delta"),
+        sqrt(((col("qa").cast("double")
+            - col("sa").cast("double") * col("sa") / col("na"))
+          + (col("qb").cast("double")
+            - col("sb").cast("double") * col("sb") / col("nb")))
+          / (col("na").cast("double") + col("nb") - 2)).as("sd"))
+      val z = e.select(col("na"), col("nb"), col("delta"), col("sd"),
+        (lit(2.0) * col("sd") * col("sd") * (za + zb) * (za + zb)
+          / (col("delta") * col("delta"))).as("n_req"),
+        (col("delta")
+          / (col("sd") * sqrt(lit(2.0) / least(col("na"), col("nb"))))
+          - za).as("zp"))
+      z.select(col("na").as("n_r"), col("nb").as("n_n"),
+        round(col("delta"), 6).as("abs_diff"),
+        round(col("sd"), 6).as("pooled_sd"),
+        ceil(col("n_req")).cast("bigint").as("n_required_per_arm"),
+        round(expr(R45Ops.normCdfSql("zp")), 6).as("achieved_power"))
     },
 
     // Power through Spark's SQL parser — same shared text.
@@ -322,10 +438,28 @@ object R52Ops {
     },
 
     // HOLM: step-down FWER control on the shared brand z-test family —
-    // the strict complement of x_fdr_bh's step-up FDR.
+    // the strict complement of x_fdr_bh's step-up FDR. Dataset side:
+    // the same 25-test p-value frame as x_fdr_bh (shared
+    // R45Ops.brandPvalDf), step-DOWN selection on the bounded frame.
     QDef("x_holm", HolmSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "lineitem", "part")
-      s.sql(HolmSql)
+      val p = R45Ops.brandPvalDf(s, d)
+      val r = p.select(col("b"), col("n_b"), col("zs"), col("pv"),
+        row_number().over(Window.orderBy("pv", "b")).cast("bigint")
+          .as("k"),
+        count(lit(1)).over(Window.partitionBy()).cast("bigint")
+          .as("m"))
+      val kf = r.agg(coalesce(
+        min(when(col("pv") * (col("m") - col("k") + 1) > 0.05,
+          col("k"))),
+        max(col("m")) + 1).as("kfail"))
+      r.crossJoin(broadcast(kf))
+        .select(col("b").as("brand"),
+          round(col("pv"), 6).as("p_value"), col("k").as("p_rank"),
+          round(lit(0.05) / (col("m") - col("k") + 1), 6)
+            .as("holm_threshold"),
+          when(col("k") < col("kfail"), 1).otherwise(0).cast("int")
+            .as("rejected"))
+        .orderBy("p_rank")
     },
 
     // Holm through Spark's SQL parser — same shared text.
@@ -337,42 +471,56 @@ object R52Ops {
     // K-FOLD CV: five train/test regressions from one corpus pass —
     // train moments by subtraction, test MSE by algebra.
     QDef("x_kfold_cv", KfoldSql) { (s, d) =>
-      val kd = col("l_extendedprice") / 1.0e3
-      val qd = col("l_quantity").cast("double")
-      val fm = Tables(s, d).lineitem
-        .groupBy((col("l_orderkey") % 5).as("f"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          sum(kd).as("sx"), sum(qd).as("sy"),
-          sum(kd * kd).as("sxx"), sum(kd * qd).as("sxy"),
-          sum(qd * qd).as("syy"))
-      val tot = fm.agg(sum("n").as("tn"), sum("sx").as("tsx"),
-        sum("sy").as("tsy"), sum("sxx").as("tsxx"),
-        sum("sxy").as("tsxy"), sum("syy").as("tsyy"))
+      val xc = round(col("l_extendedprice") * lit(100.0), 0)
+        .cast("bigint")
+      val yi = col("l_quantity").cast("bigint")
+      val li = Tables(s, d).lineitem.select(
+        (col("l_orderkey") % 5).as("f"), xc.as("xc"), yi.as("yi"))
+      val fm = li.groupBy("f")
+        .agg(count(lit(1)).as("n"),
+          sum("xc").as("sxc"), sum("yi").as("syi"),
+          sum(col("xc").cast("decimal(19,0)") * col("xc"))
+            .cast("decimal(38,0)").as("sxxc"),
+          sum(col("xc") * col("yi")).as("sxyc"),
+          sum(col("yi") * col("yi")).as("syyi"))
+      val tot = fm.agg(sum("n").as("tn"), sum("sxc").as("txc"),
+        sum("syi").as("tyi"),
+        sum("sxxc").cast("decimal(38,0)").as("txx"),
+        sum("sxyc").as("txy"))
       val tr = fm.crossJoin(broadcast(tot))
-        .select(col("f"), col("n"), col("sx"), col("sy"), col("sxx"),
-          col("sxy"), col("syy"),
-          round(((col("tn") - col("n")) * (col("tsxy") - col("sxy"))
-            - (col("tsx") - col("sx")) * (col("tsy") - col("sy")))
-            / ((col("tn") - col("n")) * (col("tsxx") - col("sxx"))
-              - (col("tsx") - col("sx")) * (col("tsx") - col("sx"))),
-            9).as("b1"),
-          ((col("tsy") - col("sy")) / (col("tn") - col("n")))
-            .as("myT"),
-          ((col("tsx") - col("sx")) / (col("tn") - col("n")))
-            .as("mxT"))
-      val ab = tr.select(col("f"), col("n"), col("sx"), col("sy"),
-        col("sxx"), col("sxy"), col("syy"), col("b1"),
-        round(col("myT") - col("b1") * col("mxT"), 9).as("b0"))
+        .select(col("f"), col("n").as("nt"),
+          (col("sxc").cast("double") / 1.0e5).as("tsx"),
+          col("syi").cast("double").as("tsy"),
+          (col("sxxc").cast("double") / 1.0e10).as("tsxx"),
+          (col("sxyc").cast("double") / 1.0e5).as("tsxy"),
+          col("syyi").cast("double").as("tsyy"),
+          (col("tn") - col("n")).cast("double").as("rn"),
+          ((col("txc") - col("sxc")).cast("double") / 1.0e5).as("rsx"),
+          (col("tyi") - col("syi")).cast("double").as("rsy"),
+          ((col("txx") - col("sxxc")).cast("double") / 1.0e10)
+            .as("rsxx"),
+          ((col("txy") - col("sxyc")).cast("double") / 1.0e5)
+            .as("rsxy"))
+      val co = tr.select(col("f"), col("nt"), col("tsx"), col("tsy"),
+        col("tsxx"), col("tsxy"), col("tsyy"),
+        round((col("rn") * col("rsxy") - col("rsx") * col("rsy"))
+          / (col("rn") * col("rsxx") - col("rsx") * col("rsx")), 9)
+          .as("b1"),
+        (col("rsy") / col("rn")).as("myt"),
+        (col("rsx") / col("rn")).as("mxt"))
+      val ab = co.select(col("f"), col("nt"), col("tsx"), col("tsy"),
+        col("tsxx"), col("tsxy"), col("tsyy"), col("b1"),
+        round(col("myt") - col("b1") * col("mxt"), 9).as("b0"))
       ab.select(col("f").cast("int").as("fold"),
-          col("n").cast("bigint").as("n_test"),
+          col("nt").as("n_test"),
           round(col("b0"), 6).as("intercept"),
           round(col("b1"), 9).as("slope"),
-          round((col("syy") + col("n") * col("b0") * col("b0")
-            + col("b1") * col("b1") * col("sxx")
-            - lit(2.0) * col("b0") * col("sy")
-            - lit(2.0) * col("b1") * col("sxy")
-            + lit(2.0) * col("b0") * col("b1") * col("sx"))
-            / col("n"), 6).as("test_mse"))
+          round((col("tsyy") + col("nt") * col("b0") * col("b0")
+            + col("b1") * col("b1") * col("tsxx")
+            - lit(2.0) * col("b0") * col("tsy")
+            - lit(2.0) * col("b1") * col("tsxy")
+            + lit(2.0) * col("b0") * col("b1") * col("tsx"))
+            / col("nt"), 6).as("test_mse"))
         .orderBy("fold")
     },
 
