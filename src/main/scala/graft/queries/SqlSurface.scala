@@ -195,14 +195,20 @@ object SqlSurface {
     // Shares StarExt.DedupCleanOracle with x_dedup_clean.
     QDef("x_sql_dedup_clean", StarExt.DedupCleanOracle) { (s, d) =>
       viewed(s, d, "documents")
+      // The window-hash explode `w` feeds BOTH the duplicate aggregate
+      // and the island join; their exchanges differ (partial-agg rows vs
+      // raw rows), so nothing reuses and the posexplode+xxhash pass runs
+      // twice — materialize it once (the x_sql_kcore from-birth rule).
       s.sql("""
-        WITH w AS (
-          SELECT doc_id AS id, pos, wkey
-          FROM documents
-          LATERAL VIEW posexplode(transform(sequence(0, length(text) - 40),
-            i -> xxhash64(substring(text, i + 1, 40)))) t AS pos, wkey
-          WHERE length(text) >= 40),
-        dup AS (SELECT wkey FROM w GROUP BY wkey HAVING min(id) <> max(id)),
+        SELECT doc_id AS id, pos, wkey
+        FROM documents
+        LATERAL VIEW posexplode(transform(sequence(0, length(text) - 40),
+          i -> xxhash64(substring(text, i + 1, 40)))) t AS pos, wkey
+        WHERE length(text) >= 40""")
+        .localCheckpoint()
+        .createOrReplaceTempView("w")
+      s.sql("""
+        WITH dup AS (SELECT wkey FROM w GROUP BY wkey HAVING min(id) <> max(id)),
         isl AS (
           SELECT id, pos,
             pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp

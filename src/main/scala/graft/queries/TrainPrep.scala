@@ -18,6 +18,23 @@ object TrainPrep {
   /** Context-window size for both packing layouts (tokens). */
   private val WindowSize = 128
 
+  /** The PINNED eval benchmark sets for the decontamination family —
+    * literal doc-id lists compiled into both the Spark bodies and the
+    * oracle texts, so the "fixed benchmark set" boundedness contract
+    * holds by CONSTRUCTION (eval frames are ≤|list| rows at any
+    * corpus size — these queries no longer need the growth-probe
+    * exemption). The lists equal the former modulus slices
+    * (doc_id % 97 = 0 and doc_id % 5 = 3) restricted to ids < 500 —
+    * ids present at every driver sf — so sf0.01 results are unchanged
+    * while sf-proportional eval growth is gone. */
+  private[queries] val EvalExactIds: Seq[Long] =
+    Seq(0L, 97L, 194L, 291L, 388L, 485L)
+  private[queries] val EvalFuzzyIds: Seq[Long] = 3L until 500L by 5L
+  private[queries] val EvalExactIdsSql: String =
+    EvalExactIds.mkString(", ")
+  private[queries] val EvalFuzzyIdsSql: String =
+    EvalFuzzyIds.mkString(", ")
+
   /** Global token budget for x_budget_select — ≈ a third of the sf0.01
     * corpus (27k whitespace tokens), so full-keep bins, the boundary bin,
     * and dropped bins all occur at every driver SF. */
@@ -224,31 +241,35 @@ object TrainPrep {
     },
 
     // Eval-set decontamination: train docs sharing >=1 word trigram with
-    // the held-out split (doc_id % 97 — a fixed pseudo-benchmark), with
-    // the distinct shared-ngram count. Eval n-grams broadcast; the corpus
-    // is probed map-side and never shuffles to find candidates.
+    // the PINNED eval benchmark (EvalExactIds — a literal id list, so
+    // the eval n-gram frame is bounded by construction at any corpus
+    // size), with the distinct shared-ngram count. Eval n-grams
+    // broadcast; the corpus is probed map-side and never shuffles to
+    // find candidates.
     QDef("x_contamination",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |tri AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM toks, unnest(range(1, len(w) - 1)) t(i)),
-        |ev AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0)
-        |SELECT t.doc_id, count(*) AS shared_ngrams
-        |FROM tri t JOIN ev USING (g)
-        |WHERE t.doc_id % 97 <> 0
-        |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tri AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+         |ev AS (SELECT DISTINCT g FROM tri
+         |  WHERE doc_id IN ($EvalExactIdsSql))
+         |SELECT t.doc_id, count(*) AS shared_ngrams
+         |FROM tri t JOIN ev USING (g)
+         |WHERE t.doc_id NOT IN ($EvalExactIdsSql)
+         |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
       Curation.contamination(Tables(s, d).documents, "doc_id", "text",
-        col("doc_id") % 97 === 0)
+        col("doc_id").isin(EvalExactIds: _*))
     },
 
     // FUZZY decontamination (Curation.fuzzyContamination): train docs
     // with a verified MinHash near-duplicate (trigram Jaccard >= 0.7) in
-    // the doc_id % 5 = 3 held-out slice — catches the paraphrased leaks
-    // the exact-ngram gate above can't. Eval bands + texts broadcast;
-    // candidates discovered map-side on the corpus scan. The oracle
-    // replays the same 16-hash signatures, 4x4 banding, and exact-Jaccard
-    // verify as the x_dedup_minhash_lsh oracle, restricted to cross-split
-    // candidate pairs.
+    // the PINNED eval benchmark (EvalFuzzyIds — a literal id list, so
+    // the eval band/text frames are bounded by construction) — catches
+    // the paraphrased leaks the exact-ngram gate above can't. Eval
+    // bands + texts broadcast; candidates discovered map-side on the
+    // corpus scan. The oracle replays the same 16-hash signatures, 4x4
+    // banding, and exact-Jaccard verify as the x_dedup_minhash_lsh
+    // oracle, restricted to cross-split candidate pairs.
     QDef("x_contamination_fuzzy",
       s"""WITH ${StarExt.WordShCte},
          |${StarExt.MhCte},
@@ -256,7 +277,8 @@ object TrainPrep {
          |cand AS (
          |  SELECT DISTINCT a.id AS did, b.id AS eid FROM bands a
          |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         |  WHERE a.id % 5 <> 3 AND b.id % 5 = 3),
+         |  WHERE a.id NOT IN ($EvalFuzzyIdsSql)
+         |    AND b.id IN ($EvalFuzzyIdsSql)),
          |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
          |inter AS (
          |  SELECT c.did, c.eid, count(*) AS i FROM cand c
@@ -273,7 +295,7 @@ object TrainPrep {
          |  max(j) AS max_jaccard
          |FROM jac GROUP BY 1""".stripMargin) { (s, d) =>
       Curation.fuzzyContamination(Tables(s, d).documents, "doc_id", "text",
-        col("doc_id") % 5 === 3, 0.7)
+        col("doc_id").isin(EvalFuzzyIds: _*), 0.7)
     },
 
     // DSIR importance weights (arXiv:2302.03169): add-one multinomials
@@ -349,11 +371,13 @@ object TrainPrep {
          |  JOIN gr ON gr.doc_id = d.doc_id AND gr.fails = 0),
          |${StarExt.minhashPairsCtes(0.7)},
          |cont AS (
-         |  SELECT DISTINCT CASE WHEN d1 % 5 = 3 THEN d2 ELSE d1 END AS doc_id
-         |  FROM pairs WHERE (d1 % 5 = 3) <> (d2 % 5 = 3)),
+         |  SELECT DISTINCT CASE WHEN d1 IN ($EvalFuzzyIdsSql) THEN d2
+         |    ELSE d1 END AS doc_id
+         |  FROM pairs
+         |  WHERE (d1 IN ($EvalFuzzyIdsSql)) <> (d2 IN ($EvalFuzzyIdsSql))),
          |train AS (
          |  SELECT s.doc_id, s.text FROM docsrc s
-         |  WHERE s.doc_id % 5 <> 3
+         |  WHERE s.doc_id NOT IN ($EvalFuzzyIdsSql)
          |    AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.doc_id = s.doc_id)),
          |sc AS (
          |  SELECT doc_id, $quality AS score, CAST($nTok AS BIGINT) AS toks
@@ -371,9 +395,10 @@ object TrainPrep {
           .filter(col("keep")).select("doc_id"),
         "doc_id")
       val contaminated = Curation
-        .fuzzyContamination(kept, "doc_id", "text", col("doc_id") % 5 === 3, 0.7)
+        .fuzzyContamination(kept, "doc_id", "text",
+          col("doc_id").isin(EvalFuzzyIds: _*), 0.7)
         .select("doc_id")
-      val train = kept.filter(col("doc_id") % 5 =!= 3)
+      val train = kept.filter(!col("doc_id").isin(EvalFuzzyIds: _*))
         .join(contaminated, Seq("doc_id"), "left_anti")
       val scored = train.select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("q"),

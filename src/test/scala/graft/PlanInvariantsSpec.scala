@@ -386,11 +386,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_basket_pairs" -> "per-brand item-count frame — 25 brands",
     "x_budget_select" -> "quality-bin histogram — score-domain <=1001 bins",
     "x_contamination" ->
-      ("eval-benchmark n-gram set — fixed benchmarks in production; the " +
-        "FIXTURE derives eval as doc_id%97 so it tracks sf (probe-exempt)"),
+      ("eval-benchmark n-gram set — PINNED 6-doc id list (TrainPrep." +
+        "EvalExactIds), bounded by construction; probe-measured"),
     "x_contamination_fuzzy" ->
-      ("eval-benchmark band/text frames — fixed benchmarks in production; " +
-        "fixture eval split is doc_id%5 so it tracks sf (probe-exempt)"),
+      ("eval-benchmark band/text frames — PINNED 100-doc id list " +
+        "(TrainPrep.EvalFuzzyIds), bounded by construction; probe-measured"),
     "x_cramers_v" -> "contingency marginals — (priority x status) domains",
     "x_cv_profile" -> "per-fold moment frame — fold-count-bounded",
     "x_dedup_srp_recall" -> "SRP probe/plane frames — probe-set + bit-bounded",
@@ -414,7 +414,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_normalize" -> "per-group moment frame — group-domain-bounded",
     "x_pipeline_pretrain" ->
       ("quality-bin histogram (budgetSelect) + the decontamination stage's " +
-        "eval n-gram set — fixture eval split tracks sf (probe-exempt)"),
+        "eval frames — PINNED 100-doc id list, bounded by construction; " +
+        "probe-measured"),
     "x_pq_adc_topk" -> "PQ codebook frame — k x subspaces bounded",
     "x_pq_recall" -> "PQ codebook + probe frames — k-bounded",
     "x_pq_rerank" -> "PQ codebook + probe frames — k-bounded",
@@ -456,7 +457,6 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_intrinsic_dim" ->
       "capped probe set (vec_id < 200, absolute) — probe-set-bounded",
     "x_ndcg" -> "query-vector frame — probe-set-bounded (x_sim family)",
-    "x_bartlett" -> "per-segment snapped-mean frame — 5 segments",
     "x_eta_squared" -> "per-segment snapped-mean frame — 5 segments",
     "x_dunn_posthoc" ->
       ("per-segment rank-sum frame — 5 segments (the hints keep the " +
@@ -488,10 +488,6 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sql_meta" ->
       ("same 5-study frames (SQL twin; the hint keeps the comma join " +
         "with the grouped tau frame off CartesianProduct)"),
-    "x_dcor" ->
-      ("daily template + row-mean frames — calendar-bounded (hints keep " +
-        "the pair cross off CartesianProduct, x_sample_entropy posture)"),
-    "x_sql_dcor" -> "same daily frames (SQL twin hint comments)",
     "x_hoeffding_d" ->
       ("contingency cell + margin frames — (priority x price-bucket) " +
         "<=25 cells (the hint keeps the dominance cross off " +
@@ -511,10 +507,6 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_kappa_weighted" ->
       ("pairing contingency margin frame — 3 distinct classes (the " +
         "hint keeps the 3x3 weight cross off CartesianProduct)"),
-    "x_matrix_profile" ->
-      ("daily index frame — calendar-bounded (the hint keeps the " +
-        "lag pair join off CartesianProduct, x_sample_entropy posture)"),
-    "x_sql_mp" -> "same calendar frame (SQL twin hint comment)",
     "x_stl_strength" ->
       "monthly seasonal means — 12 rows (calendar-domain bounded)",
     "x_sql_stl" -> "same 12-row seasonal frame (SQL twin hint comment)",
@@ -602,15 +594,12 @@ class PlanInvariantsSpec extends SparkSpec {
         s"stale carve-outs: ${stale.mkString(", ")}")
   }
 
-  /** Carve-outs whose hinted frame is bounded by CONTRACT, not by the
-    * synthetic fixture: the eval/decontamination split is a fixed
-    * benchmark set in production (Curation.scala scaladoc pins that
-    * posture — thousands of eval docs vs billions of train docs), but the
-    * driver testdata derives "eval" as a modulus slice of the corpus, so
-    * under the 10x probe these frames track sf by construction. Exempt
-    * from the dynamic probe ONLY — the static audit still names them. */
-  private val fixtureProportionalEval: Set[String] =
-    Set("x_contamination", "x_contamination_fuzzy", "x_pipeline_pretrain")
+  /** Round 10 closed the last documented-not-measured exemption: the
+    * decontamination family's eval split is now a PINNED literal id
+    * list (TrainPrep.EvalExactIds/EvalFuzzyIds) instead of a modulus
+    * slice, so its eval frames are bounded by construction and the
+    * dynamic probe measures them like every other carve-out. */
+  private val fixtureProportionalEval: Set[String] = Set.empty
 
   test("carved-out corpus broadcast frames stay bounded as data scales 10x") {
     assume(boundedBroadcast.nonEmpty)
