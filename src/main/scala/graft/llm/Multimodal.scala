@@ -333,17 +333,38 @@ object Multimodal {
       (implicit spark: SparkSession): DataFrame = {
     val hashed = Dedup.pin(imageAHash(media).filter(col("decoded"))
       .select(col("media_id").as("id"), col("phash")))
-    val pairs = hashNearDupPairs(hashed, maxHamming)
+    // Per-id aggregates WITHOUT materializing clique pairs — the exact
+    // consumer [[hashNearDupPairs]]' scaladoc warns about: id-pair rows
+    // are quadratic in clique size, so a corpus whose duplicate cliques
+    // grow with the data (every real crawl) blows up the pair frame
+    // (round-10 sf1 sweep: the pair form ran ×40 when fixture cliques
+    // grew 10×). Same-hash cliques contribute (|clique|−1) neighbors
+    // and their min id ALGEBRAICALLY from one per-hash collapse;
+    // cross-hash candidates aggregate at the HASH level (bounded by
+    // distinct hashes, not ids). rep = least(id, hmin, crossMin)
+    // reproduces the pair-form rep in every case: for the clique min
+    // itself, hmin == id and only a smaller cross neighbor can win.
+    val perHash = Dedup.pin(hashed.groupBy("phash")
+      .agg(count(lit(1)).as("hcnt"), min(col("id")).as("hmin")))
+    val hp = bandedHashPairs(perHash.select("phash"), maxHamming,
+      Int.MaxValue)
     // one-pass symmetrization (explode, not union — the r5 lesson)
-    val nbrs = pairs.select(explode(array(
-        struct(col("d1").as("id"), col("d2").as("nb")),
-        struct(col("d2").as("id"), col("d1").as("nb")))).as("e"))
-      .select(col("e.id").as("id"), col("e.nb").as("nb"))
-    hashed.join(nbrs, Seq("id"), "left")
-      .groupBy("id")
-      .agg(least(col("id"), coalesce(min(col("nb")), col("id"))).as("rep"),
-        count(col("nb")).as("n_nbrs"))
-      .select(col("id").as("media_id"), col("rep"), col("n_nbrs"))
+    val sym = hp.select(explode(array(
+        struct(col("h1").as("h"), col("h2").as("o")),
+        struct(col("h2").as("h"), col("h1").as("o")))).as("e"))
+      .select(col("e.h").as("phash"), col("e.o").as("op"))
+    val cross = sym
+      .join(perHash.select(col("phash").as("op"), col("hcnt").as("ocnt"),
+        col("hmin").as("omin")), "op")
+      .groupBy("phash")
+      .agg(sum("ocnt").as("crossCnt"), min("omin").as("crossMin"))
+    hashed.join(perHash, "phash")
+      .join(cross, Seq("phash"), "left")
+      .select(col("id").as("media_id"),
+        least(col("id"), col("hmin"), coalesce(col("crossMin"), col("id")))
+          .as("rep"),
+        (col("hcnt") - 1 + coalesce(col("crossCnt"), lit(0L)))
+          .as("n_nbrs"))
   }
 
   /** Banded Hamming pair generation over a precomputed `(id, phash)` frame
@@ -388,10 +409,34 @@ object Multimodal {
     * dying. Exact-dup (Hamming-0) pairs are NEVER affected: they pair on
     * the full hash, not through a band bucket. */
   def hashNearDupPairs(hashed: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
-    require(maxHamming <= 3, s"4x16-bit banding is exact only to Hamming 3")
     val ids = Dedup.pin(hashed.select(col("id"), col("phash")))
-    val hashes = Dedup.pin(ids.select("phash").distinct())
-    val bandsAll = hashes.select(col("phash"), explode(array(
+    val hashPairs =
+      bandedHashPairs(ids.select("phash").distinct(), maxHamming, maxBucket)
+    // cross-hash id pairs: expand (h1, h2) through the hash → ids map
+    val a = ids.select(col("id").as("ia"), col("phash").as("h1"))
+    val b = ids.select(col("id").as("ib"), col("phash").as("h2"))
+    val cross = hashPairs.join(a, "h1").join(b, "h2")
+      .select(least(col("ia"), col("ib")).as("d1"),
+        greatest(col("ia"), col("ib")).as("d2"), col("hamming"))
+    // same-hash id pairs (Hamming 0): per-clique self-join on the full hash
+    val same = ids.as("x").join(ids.as("y"),
+        col("x.phash") === col("y.phash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("d1"), col("y.id").as("d2"), lit(0).as("hamming"))
+    cross.unionByName(same)
+  }
+
+  /** The HASH-level banded near-dup pair stage shared by
+    * [[hashNearDupPairs]] (which expands pairs back to ids) and
+    * [[imageNearDups]] (which aggregates per hash and never expands):
+    * four 16-bit band slices over a DISTINCT-hash frame, self-join per
+    * (band, sig) bucket, popcount verify. Returns (h1 < h2, hamming ≤
+    * maxHamming). Buckets holding more than `maxBucket` distinct hashes
+    * are dropped first (see the capped [[hashNearDupPairs]] overload). */
+  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3, s"4x16-bit banding is exact only to Hamming 3")
+    val hs = Dedup.pin(hashes.select("phash"))
+    val bandsAll = hs.select(col("phash"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L)).as("sig"))): _*))
       .as("bs"))
@@ -407,23 +452,12 @@ object Multimodal {
       }
     val l = bands.as("l"); val r = bands.as("r")
     // hash-level near-dup pairs, canonicalized h1 < h2 (hash VALUE order)
-    val hashPairs = l.join(r, col("l.band") === col("r.band")
+    l.join(r, col("l.band") === col("r.band")
         && col("l.sig") === col("r.sig") && col("l.phash") < col("r.phash"))
       .select(col("l.phash").as("h1"), col("r.phash").as("h2"),
         bit_count(expr("l.phash ^ r.phash")).as("hamming"))
       .distinct() // a pair found by several bands collapses before the filter
       .filter(col("hamming") <= maxHamming)
-    // cross-hash id pairs: expand (h1, h2) through the hash → ids map
-    val a = ids.select(col("id").as("ia"), col("phash").as("h1"))
-    val b = ids.select(col("id").as("ib"), col("phash").as("h2"))
-    val cross = hashPairs.join(a, "h1").join(b, "h2")
-      .select(least(col("ia"), col("ib")).as("d1"),
-        greatest(col("ia"), col("ib")).as("d2"), col("hamming"))
-    // same-hash id pairs (Hamming 0): per-clique self-join on the full hash
-    val same = ids.as("x").join(ids.as("y"),
-        col("x.phash") === col("y.phash") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"), lit(0).as("hamming"))
-    cross.unionByName(same)
   }
 
   /** Deterministic PNG fixture corpus for the image-decode oracle: every

@@ -300,13 +300,13 @@ object R39Ops {
           col("cooc"), col("cosine"), col("rn").as("rank"))
     },
 
-    // Item-CF through Spark's SQL parser — same shared text (the parser
-    // plans the pair self-join; the Dataset form keeps the in-row
-    // expansion — both released, the bench shows the gap).
-    QDef("x_sql_itemcf", ItemCfSql) { (s, d) =>
-      SqlSurface.viewed(s, d, "lineitem", "part")
-      s.sql(ItemCfSql)
-    },
+    // NB: a `x_sql_itemcf` twin (the parsed text, whose planner takes
+    // the pair self-join where the Dataset form expands in-row) was
+    // registered through round 9 "to document the gap" — but the pair
+    // TIED at sf0.1 (2.25 vs 2.28 s, BENCH_LOCAL_r9) and again at sf1
+    // (5.5 vs 5.6 s, BENCH_NOTES round 10): after the per-basket
+    // distinct, the 25-brand item domain makes both shapes equivalent.
+    // Deregistered in round 10 — the rationale documented nothing.
 
     // 5-NN CLASSIFICATION: majority-label prediction over the embedding
     // corpus — the supervised eval beside x_ndcg/x_map_mrr's retrieval

@@ -50,10 +50,19 @@ SHIFTS = {
 # carries its OWN copy of the base near-dup families and dedup scales
 # linearly in family count — the honest sf sweep semantics.
 PERTURB = {
+    # Word ROTATION is not enough: it preserves nearly every n-gram, so
+    # replicas stay 0.99-Jaccard near-dups and dedup candidate pairs
+    # still grow x100 (measured: x_dedup_ngram_jaccard x16.7 under
+    # rotation). A deterministic hash-keyed word PERMUTATION destroys
+    # adjacency (trigram sets ~disjoint across replicas) while keeping
+    # the unigram multiset and char count exact.
     "documents": {
         "text": ("CASE WHEN r.r = 0 THEN text ELSE array_to_string("
-                 "list_concat(string_split(text, ' ')[r.r + 1:], "
-                 "string_split(text, ' ')[1:r.r]), ' ') END AS text"),
+                 "list_transform(list_sort(list_transform("
+                 "range(1, len(string_split(text, ' ')) + 1), "
+                 "i -> {'k': (i + r.r * 1000003) * 2654435761 % 4294967296,"
+                 " 'v': string_split(text, ' ')[i]})), s -> s.v), ' ') "
+                 "END AS text"),
     },
     "embeddings": {
         "embedding": ("CASE WHEN r.r = 0 THEN embedding ELSE "
