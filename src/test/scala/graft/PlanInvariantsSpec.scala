@@ -280,10 +280,6 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_krippendorff" ->
       "pairing contingency margins — 9 cells (grand-total window)",
     "x_sql_kripp" -> "same 9-cell frame (SQL twin)",
-    "x_matrix_profile" ->
-      ("daily index/MA-stat frames + nearest-neighbor profile — all " +
-        "calendar-bounded (the dot windows partition by lag)"),
-    "x_sql_mp" -> "same calendar frames (SQL twin)",
     "x_stl_strength" ->
       "daily trend-MA frame — calendar-bounded centered window",
     "x_sql_stl" -> "same daily frame (SQL twin)",
