@@ -132,11 +132,12 @@ object R8Ops {
        |  FROM dots d JOIN norms nq ON nq.vec_id = 0
        |  JOIN norms nc ON nc.vec_id = d.vec_id),
        |pool AS (SELECT vec_id, rel FROM pool0 ORDER BY rel DESC, vec_id LIMIT 12),
+       |pe AS (
+       |  SELECT ee.vec_id, ee.j, ee.e FROM ee
+       |  JOIN pool ON pool.vec_id = ee.vec_id),
        |pd AS (
        |  SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.e * eb.e) AS dot
-       |  FROM ee ea JOIN ee eb ON eb.j = ea.j AND ea.vec_id <> eb.vec_id
-       |  JOIN pool pa ON pa.vec_id = ea.vec_id
-       |  JOIN pool pb ON pb.vec_id = eb.vec_id
+       |  FROM pe ea JOIN pe eb ON eb.j = ea.j AND ea.vec_id <> eb.vec_id
        |  GROUP BY 1, 2),
        |pc AS (
        |  SELECT pd.a, pd.b, round(pd.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS c
