@@ -49,6 +49,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_changepoint" -> "daily prefix-sum frame — calendar-bounded",
     "x_sql_changepoint" -> "daily prefix-sum frame (SQL twin)",
     "x_cusum_drift" -> "daily mean series — calendar-bounded",
+    "x_ewma_chart" ->
+      "daily count series — calendar-bounded (60 literal-weight lags)",
     "x_sql_cusum" -> "daily mean series (SQL twin)",
     "x_funnel_timing" ->
       "view->purchase whole-minutes histogram — horizon-bounded",
