@@ -33,8 +33,14 @@ object R8Ops {
     * frames are fine at 25 vertices, quadratic at corpus scale); the engine
     * path ([[GraphMetrics.connectedComponents]]) is pointer-jumping
     * min-label propagation whose per-round frames stay edge/vertex-sized. */
-  private[queries] val CcSql =
-    """WITH e0 AS (
+  // Split so the x_sql_cc twin can materialize the corpus-derived edge
+  // closure ONCE (the x_sql_kcore from-birth rule): every squaring
+  // round references its predecessor twice, so the unsplit text's plan
+  // tree doubles per round — e0's 3-join corpus derivation evaluated up
+  // to 16× (measured 4.05 s vs the Dataset sibling's 1.18 s in
+  // BENCH_LOCAL_r10). The DuckDB oracle parses the composed full text.
+  private[queries] val CcEdgeCtes =
+    """e0 AS (
       |  SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -42,13 +48,19 @@ object R8Ops {
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
       |e AS (
       |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
-      |  UNION SELECT u, u FROM e0 UNION SELECT v, v FROM e0),
-      |r1 AS (SELECT DISTINCT a.u, b.v FROM e a JOIN e b ON a.v = b.u),
+      |  UNION SELECT u, u FROM e0 UNION SELECT v, v FROM e0)"""
+      .stripMargin
+
+  private[queries] val CcBody =
+    """r1 AS (SELECT DISTINCT a.u, b.v FROM e a JOIN e b ON a.v = b.u),
       |r2 AS (SELECT DISTINCT a.u, b.v FROM r1 a JOIN r1 b ON a.v = b.u),
       |r3 AS (SELECT DISTINCT a.u, b.v FROM r2 a JOIN r2 b ON a.v = b.u),
       |r4 AS (SELECT DISTINCT a.u, b.v FROM r3 a JOIN r3 b ON a.v = b.u)
       |SELECT CAST(u AS BIGINT) AS id, CAST(min(v) AS BIGINT) AS comp
       |FROM r4 GROUP BY u""".stripMargin
+
+  private[queries] val CcSql =
+    s"WITH $CcEdgeCtes,\n$CcBody"
 
   /** Unrolled 4-round synchronous LPA oracle over the nation graph —
     * same edge derivation as [[CcSql]], self-loops excluded, each round
@@ -166,12 +178,17 @@ object R8Ops {
       GraphMetrics.connectedComponents(nationEdges(Tables(s, d)))
     },
 
-    // The same components through Spark's SQL parser — ONE portable text
-    // shared verbatim with the DuckDB oracle (the snapshot-diff/recursive
-    // twin contract).
+    // The same components through Spark's SQL parser — same shared
+    // fragments, with the corpus-derived edge closure materialized ONCE
+    // behind a localCheckpoint view (the x_sql_kcore from-birth rule)
+    // instead of re-derived up to 16x by the squaring rounds' doubled
+    // CTE references.
     QDef("x_sql_cc", R8Ops.CcSql) { (s, d) =>
       SqlSurface.viewed(s, d, "lineitem", "orders", "customer", "supplier")
-      s.sql(R8Ops.CcSql)
+      s.sql(s"WITH ${R8Ops.CcEdgeCtes} SELECT u, v FROM e")
+        .localCheckpoint()
+        .createOrReplaceTempView("e")
+      s.sql(s"WITH ${R8Ops.CcBody}")
     },
 
     // Iterative BPE tokenizer training: 3 merge rounds. The corpus
