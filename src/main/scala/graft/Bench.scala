@@ -91,7 +91,22 @@ object Bench {
       .mkString("{", ",", "}")
     val peaks = peakMb.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build_sec":$builds,"heap_peak_mb":$peaks,"sf":"$sfDir"}""")
+    // FULL record → file (the driver's stdout capture keeps only a ~2KB
+    // tail, which a 723-entry map overflows — BENCH_r10.json's
+    // `"parsed": null`); the stdout line below stays parseable by being
+    // compact: totals + the slowest 30 + a pointer to this file.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build_sec":$builds,"heap_peak_mb":$peaks,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      fullJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val top = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(30)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_omitted":${math.max(0, results.size - 30)},"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

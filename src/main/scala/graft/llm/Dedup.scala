@@ -149,17 +149,39 @@ object Dedup {
     * distinct-shingle arrays built only for candidate documents, so the
     * shingle set is never exploded or materialized corpus-wide. The cached
     * signature frame is referenced 8× by the band self-join; at production
-    * scale it'd be a checkpointed table. */
+    * scale it'd be a checkpointed table.
+    *
+    * `maxBucket` bounds the band self-join against ADVERSARIAL duplication
+    * (viral exact-dup clusters, saturated vocabularies — the regimes the
+    * R54 canaries x_band_density / x_exact_dup_profile detect): (band, sig)
+    * buckets holding more than `maxBucket` ids are removed by an anti-join
+    * BEFORE the self-join, hard-bounding per-bucket pair expansion at
+    * maxBucket²/2 no matter the corpus. Below the cap the result is
+    * bit-identical to the uncapped pass; when the cap engages, pairs whose
+    * ONLY shared band was hot are missed — a recall trade the band-density
+    * canary quantifies. The default (Int.MaxValue) adds no plan nodes. */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
         graft.functions.MinHash16.minHash16(col(textCol)).as("mh"))
       .filter(col("mh").isNotNull) // < 3 tokens → no shingles → no signature
       .transform(pin) // see [[pin]] for the localCheckpoint-vs-cache tradeoff
-    val bands = (0 until NumBands).map { b =>
+    val bandsAll = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1))
       sigs.select(col("id"), lit(b).as("band"), concat_ws(",", cols: _*).as("sig"))
     }.reduce(_ union _)
+    val bands =
+      if (maxBucket == Int.MaxValue) bandsAll
+      else {
+        // no forced broadcast: AQE owns the build side (the
+        // x_dedup_substring lesson — on adversarial corpora the hot set
+        // can be large); bandsAll re-derives from the PINNED sigs frame,
+        // so the two references share one materialization
+        val hot = bandsAll.groupBy("band", "sig")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .select("band", "sig")
+        bandsAll.join(hot, Seq("band", "sig"), "left_anti")
+      }
     val cand = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
           && col("l.id") < col("r.id"))
@@ -393,12 +415,18 @@ object Dedup {
     kept.groupBy("g").agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
 
-  /** (id, trigram) pairs with hot trigrams (df > maxDf) anti-joined away —
-    * the filtered shingle universe everything downstream sees. */
+  /** (id, n-gram) pairs with hot shingles (df > maxDf) anti-joined away —
+    * the filtered shingle universe everything downstream sees. `width`
+    * selects the shingle coarseness (see [[TextOps.wordNgrams]]: wider
+    * shingles restore Heaps-law df on saturated vocabularies); width 3
+    * keeps the original [[TextOps.wordTrigrams]] expression so existing
+    * plans are unchanged. */
   private[llm] def keptShingles(docs: DataFrame, idCol: String,
-      textCol: String, maxDf: Int): DataFrame = {
+      textCol: String, maxDf: Int, width: Int = 3): DataFrame = {
+    val grams = if (width == 3) TextOps.wordTrigrams(col(textCol))
+                else TextOps.wordNgrams(col(textCol), width)
     val g = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.wordTrigrams(col(textCol)))).as("g"))
+      explode(array_distinct(grams)).as("g"))
       .transform(pin) // referenced by both the df-count and the anti-join
     val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("g")
@@ -421,12 +449,12 @@ object Dedup {
     * safe at 100 TB: without it one hot trigram (df 10⁶) materializes a
     * 10⁶-element array in a single task. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
-    // Per-document trigram SETS in-row (array_distinct before the explode):
+      threshold: Double, maxDf: Int = DefaultMaxDf, width: Int = 3): DataFrame = {
+    // Per-document shingle SETS in-row (array_distinct before the explode):
     // (id, g) duplicates can only arise within one document, so this equals
     // the exploded global `.distinct()` — minus its corpus-wide shuffle.
     // pinned: referenced by sizes AND the posting lists ([[pin]] tradeoff).
-    val kept = pin(keptShingles(docs, idCol, textCol, maxDf))
+    val kept = pin(keptShingles(docs, idCol, textCol, maxDf, width))
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     // Candidate pairs straight off the inverted index: group the posting
     // list per trigram and expand ordered id pairs in-row. One deterministic

@@ -291,9 +291,23 @@ object Similarity {
     * LSH bound, no all-pairs join. False positives cost only the verify
     * cosine, never correctness. */
   def srpNearDups(corpus: DataFrame, planes: Int, bandBits: Int,
-      dims: Int, tau: Double): DataFrame = {
-    val sig = srpSignatures(corpus, planes, bandBits, dims)
+      dims: Int, tau: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // maxBucket: same hard bound as Dedup.minHashNearDups — a fixed
+    // bandBits means bucket DENSITY (not count) grows with the corpus, so
+    // at scale either widen bandBits with log2(n) or cap the hot buckets;
+    // buckets over the cap are anti-joined away before the self-join
+    // (recall trade; bit-identical below the cap, no plan nodes added at
+    // the default).
+    val sigAll = srpSignatures(corpus, planes, bandBits, dims)
       .transform(Dedup.pin)
+    val sig =
+      if (maxBucket == Int.MaxValue) sigAll
+      else {
+        val hot = sigAll.groupBy("band", "sig")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .select("band", "sig")
+        sigAll.join(hot, Seq("band", "sig"), "left_anti")
+      }
     val l = sig.select(col("band"), col("sig"),
       col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = sig.select(col("band"), col("sig"),

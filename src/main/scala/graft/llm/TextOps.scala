@@ -79,6 +79,22 @@ object TextOps {
     zip_with(h12, t3, (ab, c) => (ab * 1000033L + wordHash(c)) % p)
   }
 
+  /** Word n-grams as space-joined strings — [[wordTrigrams]] generalized
+    * to arbitrary width. COARSER shingles (n=5) are the df-saturation
+    * mitigation the round-10 sf1 sweep called for: on a vocabulary of V
+    * words the n-gram universe is ~V^n, so widening n restores Heaps-law
+    * behavior (df ≈ 1) on corpora whose trigram universe has saturated —
+    * at the price of less tolerance to small edits (one changed word
+    * breaks n shingles instead of 3). Width 3 reproduces
+    * [[wordTrigrams]] exactly. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    val toks = spaceTokens(text)
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    (0 until n).map(k => slice(toks, lit(k + 1), cnt))
+      .reduce((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+  }
+
   /** Word bigrams as space-joined strings — same shifted-slice shape as
     * [[wordTrigrams]] (lambdas never re-evaluate the split). */
   def wordBigrams(text: Column): Column = {

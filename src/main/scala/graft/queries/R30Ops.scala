@@ -304,8 +304,7 @@ object R30Ops {
       SqlSurface.viewed(s, d, "orders")
       s.sql(s"""WITH ${R30Ops.LogisticBinsCtes}
                |SELECT b, x, n, yb FROM bins""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("bins")
+        .transform(SqlSurface.materialized("bins"))
       s.sql(s"WITH ${R30Ops.LogisticFitBody}")
     },
 
@@ -351,8 +350,7 @@ object R30Ops {
       SqlSurface.viewed(s, d, "events")
       s.sql(s"""WITH ${R30Ops.PoissonDailyCtes}
                |SELECT d, y FROM daily""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("daily")
+        .transform(SqlSurface.materialized("daily"))
       s.sql(s"WITH ${R30Ops.PoissonFitBody}")
     },
 
@@ -394,8 +392,7 @@ object R30Ops {
       SqlSurface.viewed(s, d, "events")
       s.sql(s"""WITH ${R30Ops.StationaryPCtes}
                |SELECT src, dst, p FROM p""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("p")
+        .transform(SqlSurface.materialized("p"))
       s.sql(s"WITH ${R30Ops.StationaryPiBody}")
     },
 

@@ -338,8 +338,7 @@ object R31Ops {
       SqlSurface.viewed(s, d, "lineitem")
       s.sql(s"""WITH ${R31Ops.LassoMCtes}
                |SELECT r12, r1y, r2y, n FROM m""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("m")
+        .transform(SqlSurface.materialized("m"))
       s.sql(s"WITH ${R31Ops.LassoFitBody}")
     },
 
@@ -405,8 +404,7 @@ object R31Ops {
       SqlSurface.viewed(s, d, "orders")
       s.sql(s"""WITH ${R31Ops.GmmBinsCtes}
                |SELECT b, x, n FROM bins""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("bins")
+        .transform(SqlSurface.materialized("bins"))
       s.sql(s"WITH ${R31Ops.GmmFitBody}")
     },
 
@@ -503,8 +501,7 @@ object R31Ops {
       s.sql(s"""WITH ${R31Ops.CalibBkCtes}
                |SELECT bucket, n, mean_pred, obs_rate, sse FROM bk"""
           .stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("bk")
+        .transform(SqlSurface.materialized("bk"))
       s.sql(s"WITH ${R31Ops.CalibBody}")
     },
 

@@ -254,8 +254,7 @@ object R32Ops {
       SqlSurface.viewed(s, d, "lineitem", "part")
       s.sql(s"""WITH ${R32Ops.AssocObCtes}
                |SELECT o, br FROM ob""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("ob")
+        .transform(SqlSurface.materialized("ob"))
       s.sql(s"WITH ${R32Ops.AssocBody}")
     },
 

@@ -530,8 +530,7 @@ object R33Ops {
       SqlSurface.viewed(s, d, "lineitem")
       s.sql(s"""WITH ${R33Ops.HuberHistCtes}
                |SELECT x, yb, n FROM hist""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("hist")
+        .transform(SqlSurface.materialized("hist"))
       s.sql(s"WITH ${R33Ops.HuberFitBody}")
     },
 

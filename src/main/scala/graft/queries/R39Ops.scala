@@ -32,10 +32,13 @@ object R39Ops {
 
   // ---- item-item collaborative filtering ----
 
-  /** Item-CF as ONE portable text — oracle of `x_item_cf` and whole
-    * query of the `x_sql_itemcf` twin. Co-occurrence counts over order
-    * baskets (BasketSql's collapse, both directions), cosine
-    * c_ab/√(c_a·c_b), top-3 neighbors per item. */
+  /** Item-CF as ONE portable text — oracle of `x_item_cf` (a
+    * `x_sql_itemcf` twin also ran this text through round 9; retired in
+    * round 10 after it tied the Dataset form at sf0.1 AND sf1 — see the
+    * NB at the end of `defs` — so the text now serves as the oracle
+    * only). Co-occurrence counts over order baskets (BasketSql's
+    * collapse, both directions), cosine c_ab/√(c_a·c_b), top-3
+    * neighbors per item. */
   private[queries] val ItemCfSql =
     """WITH items AS (
       |  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item

@@ -477,11 +477,9 @@ object R46Ops {
     QDef("x_sql_dcor", DcorSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders")
       s.sql(s"WITH $DcorCalCtes SELECT d, x, y FROM cal")
-        .localCheckpoint()
-        .createOrReplaceTempView("cal")
+        .transform(SqlSurface.materialized("cal"))
       s.sql(s"WITH $DcorPrBody,\n$DcorRmCtes SELECT di, rax, ray FROM rm")
-        .localCheckpoint()
-        .createOrReplaceTempView("rm")
+        .transform(SqlSurface.materialized("rm"))
       s.sql(s"WITH $DcorPrBody,\n$DcorTailCtes")
     },
 

@@ -333,11 +333,9 @@ object R52Ops {
     QDef("x_sql_mp", MpSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders")
       s.sql(s"WITH $MpIxCtes SELECT d, y, i, n FROM ix")
-        .localCheckpoint()
-        .createOrReplaceTempView("ix")
+        .transform(SqlSurface.materialized("ix"))
       s.sql(s"WITH $MpDistCtes SELECT da, db, ia, ib, dd FROM dist")
-        .localCheckpoint()
-        .createOrReplaceTempView("dist")
+        .transform(SqlSurface.materialized("dist"))
       s.sql(s"WITH $MpTailCtes")
     },
 

@@ -183,22 +183,13 @@ object R54Ops {
     // duplication — hot (band, sig) buckets (> 32 ids) removed by an
     // anti-join BEFORE the self-join (no forced broadcast: AQE owns
     // the build side, the x_dedup_substring lesson), exact-Jaccard
-    // verify on the surviving candidates only.
+    // verify on the surviving candidates only. Since round 11 this runs
+    // the PRODUCTION entry point — Dedup.minHashNearDups(maxBucket = 32),
+    // the cap a caller can actually reach (round-10 verdict ask), native
+    // MinHash16 signatures and all — while the grouped formulation stays
+    // as the oracle text, so the re-point is itself oracle-gated.
     QDef("x_dedup_minhash_capped", CappedLshSql) { (s, d) =>
-      val docs = Tables(s, d).documents
-      val sh = Dedup.wordShingleSet(docs, "doc_id", "text")
-        .localCheckpoint(false) // sizes + intersections + signatures
-      val sigs = Dedup.minHashSignatures(sh)
-      val bands = bandTable(sigs).localCheckpoint(false)
-      val hot = bands.groupBy("band", "sig")
-        .agg(count(lit(1)).as("n")).filter(col("n") > 32)
-        .select("band", "sig")
-      val kept = bands.join(hot, Seq("band", "sig"), "left_anti")
-      val cand = kept.as("l").join(kept.as("r"),
-          col("l.band") === col("r.band") && col("l.sig") === col("r.sig")
-            && col("l.id") < col("r.id"))
-        .select(col("l.id").as("d1"), col("r.id").as("d2"))
-        .distinct()
-      Dedup.verifiedJaccard(cand, sh).filter(col("jaccard") >= 0.7)
+      Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text",
+        threshold = 0.7, maxBucket = 32)
     })
 }

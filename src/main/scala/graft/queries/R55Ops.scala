@@ -39,8 +39,10 @@ object R55Ops {
     * portable text — oracle of `x_ewma_chart`. z_t = Σ w_k·y_{t−k} /
     * Σ w_k over available lags (w_k literal), μ and σ from exact
     * BIGINT sums, time-varying limits μ ± 3·σ·sqrt(λ/(2−λ)·
-    * (1−(1−λ)^{2t̃})) with t̃ = min(t, 60) — the asymptotic-variance
-    * inflation factor, its (1−λ)^{2t̃} read from the SAME literal
+    * (1−(1−λ)^{2t̃})) with t̃ = min(t, 59) — the table lookup clamps to
+    * its last index, W(59), so rows with t ≥ 60 all read W(59)² =
+    * (1−λ)^118 ≈ 0 (the asymptotic-variance inflation factor has long
+    * converged there); the (1−λ)^{2t̃} comes from the SAME literal
     * table (w_{t̃}²). Released: the 1-row chart summary. */
   private[queries] val EwmaChartSql = {
     val num = (1 until EwK).map(k =>

@@ -186,8 +186,7 @@ object R8Ops {
     QDef("x_sql_cc", R8Ops.CcSql) { (s, d) =>
       SqlSurface.viewed(s, d, "lineitem", "orders", "customer", "supplier")
       s.sql(s"WITH ${R8Ops.CcEdgeCtes} SELECT u, v FROM e")
-        .localCheckpoint()
-        .createOrReplaceTempView("e")
+        .transform(SqlSurface.materialized("e"))
       s.sql(s"WITH ${R8Ops.CcBody}")
     },
 

@@ -697,8 +697,7 @@ object R9Ops {
       SqlSurface.viewed(s, d, "lineitem", "part")
       s.sql(s"""WITH ${R9Ops.KCoreEdgeCtes}
                |SELECT u, v FROM e0 UNION SELECT v, u FROM e0""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("e")
+        .transform(SqlSurface.materialized("e"))
       s.sql(s"WITH ${R9Ops.KCorePeelBody}")
     },
 

@@ -13,6 +13,46 @@ import graft.llm.Sampling
   */
 object SqlSurface {
 
+  /** Names RESERVED for the from-birth materialization rule (x_sql_kcore):
+    * a SQL twin that must evaluate a multiply-referenced corpus-reaching
+    * CTE exactly once materializes it behind a localCheckpoint temp view
+    * with one of these names. The views are SESSION-GLOBAL and persist
+    * after the twin runs, so no OTHER query may reference a bare reserved
+    * name without defining it (as a CTE or by re-registering the view) —
+    * a stale resolution would silently read the previous query's frame.
+    * [[materialized]] enforces registration through this inventory, and
+    * SqlViewHygieneSpec proves every registered query still constructs
+    * when ALL shared view names are poisoned first, so an accidental
+    * stale-view reference fails CI instead of shipping. */
+  private[graft] val MaterializedViews: Set[String] =
+    Set("e", "w", "hist", "bins", "daily", "p", "ix", "dist", "ob", "cal",
+      "rm", "m", "bk")
+
+  /** The one sanctioned way to register a from-birth materialization view
+    * (`.transform(materialized("name"))`): pins the frame (localCheckpoint
+    * — evaluated once, blocks GC-reclaimed with the frame) and registers
+    * the PINNED frame under a RESERVED name, so the inventory above can't
+    * drift from the call sites. */
+  private[queries] def materialized(name: String)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(MaterializedViews(name),
+      s"'$name' is not in SqlSurface.MaterializedViews — add it to the " +
+        "reserved inventory (and mind the stale-resolution hazard its " +
+        "scaladoc documents) before registering it")
+    val pinned = df.localCheckpoint()
+    pinned.createOrReplaceTempView(name)
+    pinned
+  }
+
+  /** Table view names [[viewed]] can register, plus the table views
+    * registered outside it (emb_sql, the Connectors *_v trio) — with
+    * [[MaterializedViews]], the complete shared-view namespace
+    * SqlViewHygieneSpec poisons. */
+  private[graft] val TableViews: Set[String] =
+    Set("lineitem", "supplier", "nation", "region", "customer", "documents",
+      "orders", "part", "events", "emb_sql", "customer_v", "nation_v",
+      "region_v")
+
   private[queries] def viewed(s: org.apache.spark.sql.SparkSession, d: String,
       names: String*): Unit = {
     val t = Tables(s, d)
@@ -205,8 +245,7 @@ object SqlSurface {
         LATERAL VIEW posexplode(transform(sequence(0, length(text) - 40),
           i -> xxhash64(substring(text, i + 1, 40)))) t AS pos, wkey
         WHERE length(text) >= 40""")
-        .localCheckpoint()
-        .createOrReplaceTempView("w")
+        .transform(materialized("w"))
       s.sql("""
         WITH dup AS (SELECT wkey FROM w GROUP BY wkey HAVING min(id) <> max(id)),
         isl AS (

@@ -10,16 +10,42 @@ per-key group sizes stay constant — the scaling is in ROW COUNT, not
 in skew. Date/timestamp columns are left untouched: the engine's
 bounded-calendar design assumption (daily collapses stay <= ~2400
 rows) is exactly what an sf sweep should hold fixed. Strides are
-powers of ten well above each key's max, so modulo-based fold/carve
-assignments (l_orderkey % 5, doc_id % 97) keep their distribution.
+powers of ten well above each key's max, so a modulo-based fold/carve
+assignment keeps its distribution when its modulus divides the stride
+(l_orderkey % 5 with stride 1e6 does; a % 97 carve would NOT — the
+one such carve, the round-9 eval split, was replaced by pinned literal
+id lists in round 10, so none remain).
 
-Usage: python3 tools/make_sf1.py [outdir]   (default /tmp/sf1)
+Two document-perturbation modes:
+
+  default      hash-keyed word PERMUTATION per replica (see PERTURB):
+               decorrelates replicas but keeps the base 31-word
+               vocabulary, so the trigram universe SATURATES (~28k
+               types) and trigram df grows x10 — the inverted-index
+               dedup tier's documented ADVERSARIAL case (quadratic
+               inside the df-cap window; BENCH_NOTES round 10).
+  --heaps      per-replica VOCABULARY RENAMING (see HEAPS_TEXT): word
+               order kept, a deterministic ~80% of the vocabulary gets
+               a replica-unique suffix ('z' x r — distinct length =>
+               distinct wordHash per replica), ~20% stays shared. The
+               trigram universe then GROWS with the corpus (Heaps-law
+               regime: only all-shared-word trigrams — ~(0.2)^3 of
+               occurrences — accumulate cross-replica df), within-
+               replica near-dup families are preserved exactly (the
+               renaming is a vocabulary bijection applied uniformly),
+               and the inverted-index cost Sum C(df,2) scales ~x10 =
+               linear. This is the fixture that matches how real
+               corpora behave; the default stays as the stress case.
+
+Usage: python3 tools/make_sf1.py [outdir] [--heaps]   (default /tmp/sf1)
 """
 import sys, os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+HEAPS = "--heaps" in sys.argv
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = ARGS[0] if ARGS else ("/tmp/sf1h" if HEAPS else "/tmp/sf1")
 REPLICAS = 10
 
 OKEY, CKEY, PKEY, SKEY = 1_000_000, 100_000, 100_000, 10_000
@@ -71,6 +97,16 @@ PERTURB = {
     },
 }
 
+# --heaps: replica-unique suffix on a deterministic ~80% of the
+# vocabulary (hash(t) % 5 != 0), word order kept. 'z' * r changes the
+# token LENGTH, which the engine's wordHash reads, so every replica's
+# renamed vocabulary is disjoint from every other's.
+HEAPS_TEXT = (
+    "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
+    "list_transform(string_split(text, ' '), "
+    "t -> CASE WHEN hash(t) % 5 = 0 THEN t "
+    "ELSE t || repeat('z', r.r) END), ' ') END AS text")
+
 
 def main():
     os.makedirs(OUT, exist_ok=True)
@@ -85,7 +121,9 @@ def main():
                 f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
         else:
             smap = dict(shifts)
-            pmap = PERTURB.get(t, {})
+            pmap = dict(PERTURB.get(t, {}))
+            if HEAPS and t == "documents":
+                pmap["text"] = HEAPS_TEXT
             sel = ", ".join(
                 f"{c} + r.r * {smap[c]} AS {c}" if c in smap
                 else pmap.get(c, c)
