@@ -41,6 +41,31 @@ object R56Ops {
       |JOIN sizes n2 ON n2.id = d2
       |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.5""".stripMargin
 
+  /** Grid-density canary as ONE portable text — oracle of
+    * `x_grid_density` (cells mirror x_grid_knn's: width-5 cells over the
+    * (custkey % 97, custkey·31 % 89) plane; bill = same-cell C(n,2) +
+    * half-neighborhood cross products). */
+  private[queries] val GridDensitySql =
+    """WITH cells AS (
+      |  SELECT CAST(floor((c_custkey % 97) / 5) AS BIGINT) AS cx,
+      |    CAST(floor(((c_custkey * 31) % 89) / 5) AS BIGINT) AS cy,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT n AS na, cx + 1 AS cx, cy FROM cells
+      |  UNION ALL SELECT n, cx, cy + 1 FROM cells
+      |  UNION ALL SELECT n, cx + 1, cy + 1 FROM cells
+      |  UNION ALL SELECT n, cx - 1, cy + 1 FROM cells),
+      |cp AS (SELECT CAST(sum(p.na * c.n) AS BIGINT) AS pairs_cross
+      |  FROM probe p JOIN cells c ON c.cx = p.cx AND c.cy = p.cy),
+      |sp AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |  CAST(sum(n) AS BIGINT) AS n_points,
+      |  CAST(max(n) AS BIGINT) AS max_cell,
+      |  CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs_same FROM cells)
+      |SELECT n_points, n_cells, max_cell, pairs_same, pairs_cross,
+      |  pairs_same + pairs_cross AS candidate_pairs
+      |FROM sp, cp""".stripMargin
+
   /** Heaps-law vocabulary-growth profile as ONE portable text: distinct
     * word-trigram shingles and posting mass over three NESTED id-carved
     * corpus prefixes (25% / 50% / 100% — nested so each level is a
@@ -63,7 +88,41 @@ object R56Ops {
        |  round(CAST(a.n_postings AS DOUBLE) / a.n_shingles, 6) AS mean_df
        |FROM a JOIN dc USING (lvl) ORDER BY lvl""".stripMargin
 
+  /** Capped-bucket SRP-LSH as ONE portable text: the x_dedup_srp contract
+    * with (band, sig) buckets over 32 removed before the self-join —
+    * string surgery on the shared R9Ops.SrpCtes so the two texts cannot
+    * drift (the requires fail the build if the anchor text changes). */
+  private[queries] val SrpCappedSql = {
+    val anchor = "cand AS ("
+    val joinAnchor = "FROM sig l JOIN sig r"
+    require(R9Ops.SrpCtes.contains(anchor) && R9Ops.SrpCtes.contains(joinAnchor),
+      "R9Ops.SrpCtes anchors moved — update SrpCappedSql's surgery")
+    val capped = R9Ops.SrpCtes
+      .replace(anchor,
+        """hotsrp AS (SELECT band, s FROM sig GROUP BY band, s
+          |  HAVING count(*) > 32),
+          |ksig AS (SELECT g.vec_id, g.band, g.s FROM sig g
+          |  LEFT JOIN hotsrp h ON g.band = h.band AND g.s = h.s
+          |  WHERE h.band IS NULL),
+          |cand AS (""".stripMargin)
+      .replace(joinAnchor, "FROM ksig l JOIN ksig r")
+    s"""WITH $capped
+       |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
+
+    // CAPPED-BUCKET SRP-LSH: the embedding-side twin of
+    // x_dedup_minhash_capped — Similarity.srpNearDups(maxBucket = 32),
+    // the reachable insurance against viral embedding duplication (a
+    // fixed bandBits means bucket DENSITY grows with the corpus; the cap
+    // hard-bounds the band self-join at 32²/2 per bucket). Oracle =
+    // the shared SrpCtes with the identical hot-bucket filter, so both
+    // engines implement capped semantics by construction.
+    QDef("x_dedup_srp_capped", SrpCappedSql) { (s, d) =>
+      graft.llm.Similarity.srpNearDups(R9Ops.srpAugmented(Tables(s, d)),
+        planes = 32, bandBits = 8, dims = 64, tau = 0.9, maxBucket = 32)
+    },
 
     // COARSE-SHINGLE JACCARD: the x_dedup_ngram_jaccard inverted index at
     // width 5 — the "coarsen the shingle" mitigation as a registered,
@@ -75,6 +134,40 @@ object R56Ops {
     QDef("x_dedup_ngram_coarse", NgramCoarseSql) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text",
         threshold = 0.5, width = 5)
+    },
+
+    // GRID-DENSITY CANARY: the exact candidate bill of x_grid_knn's
+    // cell-keyed spatial join, BEFORE running it — the x_band_density
+    // posture for the spatial family. The cell table is grid-bounded
+    // (≤360 cells for this coordinate domain), so both the same-cell
+    // Σ C(n,2) and the half-neighborhood cross terms Σ n(c)·n(c+o)
+    // compute from one grouped aggregate + an in-row offset explode +
+    // one equi-join of two cell-sized frames. Read: candidate_pairs
+    // tracking points² = density growing with the corpus (the bounded
+    // coordinate domain regime, x_grid_knn's documented quadratic) —
+    // re-cell or cap before the join.
+    QDef("x_grid_density", GridDensitySql) { (s, d) =>
+      val pts = Tables(s, d).customer.select(
+          (col("c_custkey") % 97).cast("long").as("x"),
+          ((col("c_custkey") * 31) % 89).cast("long").as("y"))
+        .select(floor(col("x") / 5).as("cx"), floor(col("y") / 5).as("cy"))
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // consumed by 3 aggregates below
+      val offsets = Seq((1, 0), (0, 1), (1, 1), (-1, 1))
+      val probe = cells.select(col("n").as("na"),
+          explode(array(offsets.map { case (ox, oy) =>
+            struct((col("cx") + ox).as("cx"), (col("cy") + oy).as("cy"))
+          }: _*)).as("o"))
+        .select(col("na"), col("o.cx"), col("o.cy"))
+      val crossP = probe.join(cells, Seq("cx", "cy"))
+        .agg(sum(col("na") * col("n")).as("pairs_cross"))
+      val sameP = cells.agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_points"), max(col("n")).as("max_cell"),
+        sum(col("n") * (col("n") - 1) / 2).cast("bigint").as("pairs_same"))
+      sameP.crossJoin(crossP)
+        .select(col("n_points"), col("n_cells"), col("max_cell"),
+          col("pairs_same"), col("pairs_cross"),
+          (col("pairs_same") + col("pairs_cross")).as("candidate_pairs"))
     },
 
     // HEAPS-LAW CANARY: is the shingle vocabulary still growing with the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QDef, Tables}
+import graft.llm.Dedup
 import graft.ops.Skyline
 
 /** Round-9 additions: market-basket association rules, Markov event
@@ -1227,12 +1228,27 @@ object R9Ops {
     // MemoryStream parity incl. cross-batch tail carry in EventStreamsSpec.
     // Grid-bucketed radius-bounded nearest neighbor — the spatial-join
     // shape: deterministic integer coordinates per customer, cell width =
-    // the search radius R, each probe expands IN-ROW to its 3×3 neighbor
-    // cells and joins candidates cell-keyed. Euclid ≤ R implies L∞ ≤ R,
-    // so the 3×3 candidate set is EXACT for radius-bounded NN; the winner
-    // is a lexicographic min-struct aggregate (bounded state), not a
-    // window. Candidate volume is 9 × cell density — no all-pairs; the
-    // oracle runs the brute-force pair join.
+    // the search radius R, candidates generated cell-keyed. Euclid ≤ R
+    // implies L∞ ≤ R, so the 3×3 neighbor-cell candidate set is EXACT for
+    // radius-bounded NN; the winner is a lexicographic min-struct
+    // aggregate (bounded state), not a window.
+    //
+    // CO-LOCATION SHORT-CIRCUIT (round-11 fix — the full sf1 sweep
+    // measured the naive all-points probe at ×117, this round's
+    // imageNearDups-class catch): integer coordinates mean co-located
+    // points are EXACT ties at d2 = 0, so every point that is not its
+    // position's min id has its answer in one grouped aggregate —
+    // nn = (0, position min id), no join at all. Only the ONE min-id
+    // representative per occupied position runs the grid search (against
+    // all points, so co-located (0, second-min) candidates are still
+    // seen). The probe side is bounded by the coordinate DOMAIN (≤ 97×89
+    // positions here), not the corpus, so candidate volume is
+    // O(positions × 9 × density) = O(corpus) — linear at ANY density,
+    // where the all-points probe was O(corpus × density) = quadratic on
+    // a bounded domain. Measured at the ×10 sf1h scale-up: 134 s (naive
+    // probe, ×117 vs sf0.1) → 6.2 s (×2.7) — BENCH_NOTES round 11.
+    // x_grid_density is the one-pass canary that reads the density
+    // regime (and the naive join's candidate bill) before committing.
     QDef("x_grid_knn",
       """WITH p AS (
         |  SELECT c_custkey AS id, CAST(c_custkey % 97 AS BIGINT) AS x,
@@ -1252,9 +1268,23 @@ object R9Ops {
         val pts = Tables(s, d).customer.select(col("c_custkey").as("id"),
             (col("c_custkey") % 97).cast("long").as("x"),
             ((col("c_custkey") * 31) % 89).cast("long").as("y"))
-          .withColumn("cx", floor(col("x") / radius))
-          .withColumn("cy", floor(col("y") / radius))
-        val probes = pts.select(col("id"), col("x"), col("y"),
+          .localCheckpoint(false) // lazily pinned: read by the position collapse AND both branches (the Dedup.pin lifecycle)
+        // position collapse: min id per occupied integer coordinate —
+        // the frame is coordinate-DOMAIN-bounded (≤ 97×89 rows)
+        val pos = pts.groupBy("x", "y").agg(min(col("id")).as("m1"))
+        val withM = pts.join(pos, Seq("x", "y"))
+        // every non-representative point: nearest is co-located, d2 = 0,
+        // nn = the position's min id (the oracle's (d2, nn) order picks
+        // exactly this pair) — one join against the tiny pos frame
+        val direct = withM.filter(col("id") =!= col("m1"))
+          .select(col("id"), col("m1").as("nn"), lit(0L).as("d2"))
+        // representatives (≤ one per position) run the 3×3 grid search
+        // against ALL points — co-located (0, second-min) candidates
+        // included via the same-position, id ≠ nn pairs
+        val reps = withM.filter(col("id") === col("m1"))
+          .select(col("id"), col("x"), col("y"),
+            floor(col("x") / radius).as("cx"), floor(col("y") / radius).as("cy"))
+        val probes = reps.select(col("id"), col("x"), col("y"),
             explode(expr(
               """flatten(transform(sequence(-1, 1), dx ->
                 |  transform(sequence(-1, 1), dy ->
@@ -1262,15 +1292,18 @@ object R9Ops {
           .select(col("id"), col("x"), col("y"), col("nc.cx"), col("nc.cy"))
         val dx = col("x") - col("nx")
         val dy = col("y") - col("ny")
-        probes
+        val repAnswers = probes
           .join(pts.select(col("id").as("nn"), col("x").as("nx"),
-            col("y").as("ny"), col("cx"), col("cy")), Seq("cx", "cy"))
+              col("y").as("ny"), floor(col("x") / radius).as("cx"),
+              floor(col("y") / radius).as("cy")),
+            Seq("cx", "cy"))
           .filter(col("id") =!= col("nn"))
           .withColumn("d2", dx * dx + dy * dy)
           .filter(col("d2") <= radius * radius)
           .groupBy("id")
           .agg(min(struct(col("d2"), col("nn"))).as("m"))
           .select(col("id"), col("m.nn").as("nn"), col("m.d2").cast("long").as("d2"))
+        direct.union(repAnswers)
     },
 
     // Kaplan-Meier survival: time from each user's first signup to first

@@ -167,13 +167,30 @@ object StarExt {
     * the given Jaccard threshold — the shared front half of the clustering
     * and pipeline oracles (identical logic to the x_dedup_minhash_lsh
     * oracle, over a parameterized source CTE `docsrc(doc_id, text)`). */
-  private[queries] def minhashPairsCtes(threshold: Double): String =
+  /** MinHash-LSH verified pairs over CTE `docsrc`. Since round 11 the
+    * pipeline tier routes through the CAPPED band join (hot (band, sig)
+    * buckets over `maxBucket` removed before the self-join — the
+    * x_dedup_minhash_capped posture, flipped to the default per the
+    * round-10 verdict): at the driver test scales the cap never binds
+    * (x_band_density: max bucket 4, buckets_over_32 = 0 at sf0.01 AND
+    * sf0.1 — result-invariant there by measurement), and on adversarial
+    * corpora (viral exact-dup cliques, saturated vocabularies) it bounds
+    * the band join at maxBucket²/2 rows per bucket. Both engines
+    * implement the same capped semantics, so the contract is capped by
+    * construction, not by fixture coincidence. */
+  private[queries] def minhashPairsCtes(threshold: Double,
+      maxBucket: Int = 32): String =
     s"""${WordShCte.replace("FROM documents", "FROM docsrc")},
        |$MhCte,
        |$BandsCte,
+       |hot AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) > $maxBucket),
+       |kb AS (SELECT b.id, b.band, b.sig FROM bands b
+       |  LEFT JOIN hot ON b.band = hot.band AND b.sig = hot.sig
+       |  WHERE hot.band IS NULL),
        |cand AS (
-       |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bands a
-       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM kb a
+       |  JOIN kb b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
        |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS i FROM cand c
@@ -439,7 +456,8 @@ object StarExt {
          |${minhashPairsCtes(0.7)},
          |$ClosureCtes
          |SELECT u AS doc_id, component FROM comp""".stripMargin) { (s, d) =>
-      val pairs = Dedup.minHashNearDups(Tables(s, d).documents, "doc_id", "text", 0.7)
+      val pairs = Dedup.minHashNearDups(Tables(s, d).documents, "doc_id",
+        "text", 0.7, maxBucket = 32) // capped default since r11 (oracle matches)
       Dedup.clusters(pairs)
         .select(col("id").as("doc_id"), col("comp").as("component"))
     },
@@ -455,7 +473,8 @@ object StarExt {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM comp c WHERE c.u = d.doc_id AND c.u <> c.component)""".stripMargin) { (s, d) =>
       val docs = Tables(s, d).documents
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.7)
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.7,
+        maxBucket = 32) // capped default since r11 (oracle matches)
       Dedup.survivors(docs, "doc_id", Dedup.clusters(pairs))
         .select("doc_id", "lang")
     },
@@ -505,7 +524,8 @@ object StarExt {
         Dedup.exactDedup(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
-      val pairs = Dedup.minHashNearDups(uniq, "doc_id", "text", 0.7)
+      val pairs = Dedup.minHashNearDups(uniq, "doc_id", "text", 0.7,
+        maxBucket = 32) // capped default since r11 (oracle matches)
       Dedup.survivors(uniq, "doc_id", Dedup.clusters(pairs))
         .groupBy("predicted").agg(count(lit(1)).as("survivors"))
     },
