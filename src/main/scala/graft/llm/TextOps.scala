@@ -95,6 +95,25 @@ object TextOps {
       .reduce((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
   }
 
+  /** Exact int64 hashes of word n-grams — [[wordTrigramHashes]]'s Horner
+    * chain generalized to arbitrary width with a UNIFORM 1000003
+    * multiplier (n = 3 therefore does NOT reproduce the trigram formula,
+    * whose second step uses 1000033 — the two universes are deliberately
+    * distinct). The MinHash input for coarse-shingle LSH: on a saturated
+    * vocabulary the trigram-hash universe tops out at V³ and signature
+    * minima concentrate; width-5 hashes restore the diversity the bands
+    * need. */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    val p = 2147483647L
+    val toks = spaceTokens(text)
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    val slices = (0 until n).map(k => slice(toks, lit(k + 1), cnt))
+    val h0 = transform(slices.head, t => wordHash(t))
+    slices.tail.foldLeft(h0)((acc, sl) =>
+      zip_with(acc, sl, (a, t) => (a * 1000003L + wordHash(t)) % p))
+  }
+
   /** Word bigrams as space-joined strings — same shifted-slice shape as
     * [[wordTrigrams]] (lambdas never re-evaluate the split). */
   def wordBigrams(text: Column): Column = {

@@ -41,6 +41,51 @@ object R56Ops {
       |JOIN sizes n2 ON n2.id = d2
       |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.5""".stripMargin
 
+  /** 5-gram-hash shingle set (matches TextOps.wordNgramHashes(text, 5):
+    * uniform 1000003 Horner multiplier — deliberately a DIFFERENT
+    * universe from the 1000033-stepped trigram hash). Named `wsh` so the
+    * shared MhCte/BandsCte compose unchanged. */
+  private[queries] val WordSh5Cte = {
+    def wh(off: Int) = StarExt.whSql(s"toks[CAST(i AS INT)+$off]")
+    val p = "2147483647"
+    // Horner left fold: h ← (h·1000003 + wh_k) mod p, seeded with wh_0.
+    // % and * are same-precedence left-associative, so `x % p * m + w`
+    // parses as ((x % p) * m) + w — each step's parens below only wrap
+    // the running sum.
+    val h = (1 to 4).foldLeft(wh(0))((acc, k) =>
+      s"($acc * 1000003 + ${wh(k)}) % $p")
+    s"""wsh AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    $h AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       unnest(range(1, len(toks)-3)) t(i))""".stripMargin
+  }
+
+  /** MinHash-LSH over the COARSE (width-5) shingle universe as ONE
+    * portable text — the LSH mitigation for saturated vocabularies:
+    * signature minima concentrate when the trigram universe tops out,
+    * and widening the shingle restores the diversity the bands need. */
+  private[queries] val MinhashCoarseSql =
+    s"""WITH $WordSh5Cte,
+       |${StarExt.MhCte},
+       |${StarExt.BandsCte},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM wsh
+       |  GROUP BY 1),
+       |inter AS (SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN wsh s1 ON s1.id = c.d1
+       |  JOIN wsh s2 ON s2.id = c.d2 AND s2.sh = s1.sh
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes n1 ON n1.id = d1
+       |JOIN sizes n2 ON n2.id = d2
+       |WHERE round(CAST(i AS DOUBLE) / (n1.n + n2.n - i), 6) >= 0.7""".stripMargin
+
   /** Grid-density canary as ONE portable text — oracle of
     * `x_grid_density` (cells mirror x_grid_knn's: width-5 cells over the
     * (custkey % 97, custkey·31 % 89) plane; bill = same-cell C(n,2) +
@@ -134,6 +179,25 @@ object R56Ops {
     QDef("x_dedup_ngram_coarse", NgramCoarseSql) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text",
         threshold = 0.5, width = 5)
+    },
+
+    // COARSE-SHINGLE MINHASH-LSH: the LSH mitigation for saturated
+    // vocabularies, completing the mitigation matrix (the maxBucket cap
+    // covers viral duplication; coarsening covers saturation — measured
+    // on the saturating fixture, where trigram-signature minima
+    // concentrate and the band join runs x31-36, while the width-5
+    // universe restores signature diversity). Grouped formulation
+    // (wordNgramHashes(5) explode → 16 signature minima → 4x4 bands →
+    // exact-Jaccard verify over the width-5 universe).
+    QDef("x_dedup_minhash_coarse", MinhashCoarseSql) { (s, d) =>
+      val sh = Tables(s, d).documents
+        .select(col("doc_id").as("id"),
+          explode(graft.llm.TextOps.wordNgramHashes(col("text"), 5)).as("sh"))
+        .distinct()
+        .localCheckpoint(false) // signatures + sizes + verify (pin lifecycle)
+      val sigs = Dedup.minHashSignatures(sh)
+      Dedup.verifiedJaccard(Dedup.lshCandidates(sigs), sh)
+        .filter(col("jaccard") >= 0.7)
     },
 
     // GRID-DENSITY CANARY: the exact candidate bill of x_grid_knn's

@@ -25,7 +25,7 @@ object StarExt {
       |       + ascii(substr(text, CAST(i AS INT)+2, 1)) AS BIGINT) AS sh
       |  FROM documents, unnest(range(1, length(text)-1)) t(i))""".stripMargin
 
-  private def whSql(tok: String) =
+  private[queries] def whSql(tok: String) =
     s"""(CAST(ascii(substr($tok || '___', 1, 1))*65536
        | + ascii(substr($tok || '___', 2, 1))*256
        | + ascii(substr($tok || '___', 3, 1)) AS BIGINT)
