@@ -162,6 +162,46 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the ANCE posture,
+    * arXiv:2007.00808: negatives retrieved from the ANN index, not sampled
+    * at random): for each anchor, the top-k most-cosine-similar corpus
+    * vectors whose `label` DIFFERS from the anchor's — the negatives that
+    * actually move a contrastive loss, where [[graft.llm.Sampling]]'s
+    * `negativeSamples` picks pseudo-random ones.
+    *
+    * The candidate gate is the IVF cell ([[ivfTopK]]'s shape): both sides
+    * assign map-only against the broadcast centroid array, the anchor set
+    * broadcasts into the corpus scan, and the label-mismatch filter rides
+    * the same join — so the corpus never shuffles and per-anchor ranking
+    * is the bounded-heap [[graft.functions.TopKByScore]] aggregate (≤ k
+    * rows per anchor per partition cross the exchange). Restricting
+    * negatives to the anchor's own cell is the point, not a shortcut:
+    * out-of-cell vectors are far by construction and would rank below the
+    * heap anyway. Anchors whose cell holds only same-label vectors emit
+    * nothing (no negative exists locally — callers widen via nprobe). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val cents = centroidArray(centroids)
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("cid"), col("ce"), col("clabel"),
+        nearest(col("ce")).getField("centroid_id").as("centroid_id"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("qlabel"),
+        nearest(col("qe")).getField("centroid_id").as("centroid_id"))
+    c.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid") && col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore.topKByScore(col("cos"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("cid"), col("col.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — the
     * TRAINING step that produces real IVF centroids (the `x_sim_ivf_*`
     * queries take centroids as given; this is where they come from).

@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.llm.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-57 batch: measurement and curation operators the round-11
+  * mitigation matrix still lacked —
+  *
+  *  - `x_dedup_minhash_recall`: the TEXT-side recall harness (the
+  *    embedding side has had x_dedup_srp_recall since round 9): MinHash-
+  *    LSH's verified pairs measured against the exact inverted-index
+  *    ground truth, so the banding loss is a NUMBER per corpus, not an
+  *    argument. Both sides are the already-registered linear-regime
+  *    passes — no all-pairs anywhere.
+  *  - `x_hard_negatives`: ANN-retrieved contrastive negatives (ANCE,
+  *    arXiv:2007.00808) — the similarity-ranked complement of
+  *    x_sample_negatives' pseudo-random ring.
+  *  - `x_text_distinct_n`: corpus-level distinct-n diversity per source
+  *    (type/token ratio for n = 1..3) — the CROSS-doc diversity read
+  *    x_text_repetition's per-doc Gopher profile can't give (types are
+  *    shared corpus-wide, so this needs a real distinct aggregate, not
+  *    an in-row one).
+  *  - `x_mix_entropy`: Shannon entropy of the source token mix +
+  *    effective-source count exp(H) + Pielou evenness — the one-row
+  *    balance audit next to x_mix_sources' budget enforcement.
+  */
+object R57Ops {
+
+  /** Text-LSH recall vs exact inverted-index truth as ONE portable text.
+    * Truth = the full trigram-hash inverted index (x_dedup_ngram_jaccard's
+    * machinery at τ = 0.7); approx = the x_dedup_minhash_lsh chain. The
+    * engine's truth side runs Dedup.ngramJaccardPairs whose df cap
+    * (maxDf = 1000) this oracle omits: measured df tops out ~10 at the
+    * verify scales and ~94 at sf1, so the cap is plan insurance, not
+    * semantics, there — the same reasoning the capped pipeline tier
+    * documents. */
+  private[queries] val MinhashRecallSql =
+    s"""WITH ${StarExt.WordShCte},
+       |${StarExt.MhCte},
+       |${StarExt.BandsCte},
+       |cand AS (
+       |  SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, count(*) AS n FROM wsh GROUP BY id),
+       |linter AS (
+       |  SELECT c.d1, c.d2, count(*) AS i FROM cand c
+       |  JOIN wsh s1 ON s1.id = c.d1
+       |  JOIN wsh s2 ON s2.id = c.d2 AND s2.sh = s1.sh
+       |  GROUP BY 1, 2),
+       |lsh AS (
+       |  SELECT d1, d2 FROM linter
+       |  JOIN sizes n1 ON n1.id = d1
+       |  JOIN sizes n2 ON n2.id = d2
+       |  WHERE round(i / (n1.n + n2.n - i), 6) >= 0.7),
+       |tinter AS (
+       |  SELECT l.id AS d1, r.id AS d2, count(*) AS i
+       |  FROM wsh l JOIN wsh r ON l.sh = r.sh AND l.id < r.id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT d1, d2 FROM tinter
+       |  JOIN sizes n1 ON n1.id = d1
+       |  JOIN sizes n2 ON n2.id = d2
+       |  WHERE round(i / (n1.n + n2.n - i), 6) >= 0.7),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh),
+       |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+       |  FROM truth t JOIN lsh ON lsh.d1 = t.d1 AND lsh.d2 = t.d2)
+       |SELECT n_true, n_lsh, n_found,
+       |  round(CASE WHEN n_true = 0 THEN NULL
+       |    ELSE n_found / CAST(n_true AS DOUBLE) END, 6) AS recall
+       |FROM nt, nl, nf""".stripMargin
+
+  /** IVF-cell-gated hard negatives as ONE portable text — the
+    * x_sim_ivf_topk oracle chain with the anchor's label joined in and a
+    * label-mismatch filter on the candidate pairs. */
+  private[queries] val HardNegativesSql =
+    s"""WITH ${StarExt.EmbExpl},
+       |${StarExt.NormsCte},
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
+       |d2 AS (
+       |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
+       |  FROM ee v JOIN cent c ON c.j = v.j
+       |  GROUP BY 1, 2),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |q AS (
+       |  SELECT a.vec_id AS qid, a.centroid_id, l.label AS qlabel
+       |  FROM assign a JOIN lbl l ON l.vec_id = a.vec_id
+       |  WHERE a.vec_id < 10),
+       |pairs AS (
+       |  SELECT q.qid, a.vec_id AS cid FROM q
+       |  JOIN assign a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.qid
+       |  JOIN lbl lc ON lc.vec_id = a.vec_id
+       |  WHERE lc.label <> q.qlabel),
+       |dots AS (
+       |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
+       |  FROM pairs p
+       |  JOIN ee e1 ON e1.vec_id = p.qid
+       |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+       |  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** Per-source distinct-n diversity (n = 1..3) as ONE portable text. */
+  private[queries] val DistinctNSql =
+    """WITH tk AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, unnest(toks) AS g FROM tk
+      |  UNION ALL
+      |  SELECT source, 2,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1]
+      |  FROM tk, unnest(range(1, len(toks))) t(i)
+      |  UNION ALL
+      |  SELECT source, 3,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' '
+      |      || toks[CAST(i AS INT)+2]
+      |  FROM tk, unnest(range(1, len(toks)-1)) t(i))
+      |SELECT source, CAST(n AS INT) AS n,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS types,
+      |  CAST(count(*) AS BIGINT) AS grams,
+      |  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+      |FROM g GROUP BY 1, 2
+      |ORDER BY source, n""".stripMargin
+
+  /** Source-mix entropy as ONE portable text: token share p_s per source,
+    * H = −Σ p_s·ln p_s, effective sources exp(H), Pielou evenness
+    * H / ln(n_sources). */
+  private[queries] val MixEntropySql =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+      |  CAST(count(*) AS BIGINT) AS n_sources FROM per),
+      |h AS (
+      |  SELECT n_sources, total,
+      |    -sum((toks / CAST(total AS DOUBLE))
+      |      * ln(toks / CAST(total AS DOUBLE))) AS ent
+      |  FROM per, tot GROUP BY 1, 2)
+      |SELECT n_sources, total AS total_tokens,
+      |  round(ent, 6) AS entropy,
+      |  round(exp(ent), 6) AS eff_sources,
+      |  round(ent / ln(CAST(n_sources AS DOUBLE)), 6) AS evenness
+      |FROM h""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // TEXT-LSH RECALL HARNESS: MinHash-LSH's verified near-dup pairs
+    // measured against the exact inverted-index truth — both sides the
+    // registered linear-regime passes (banded LSH; df-capped posting
+    // lists), intersected on (d1, d2). The released frame is ONE row
+    // (n_true, n_lsh, n_found, recall), so this runs as a standing
+    // corpus-quality job at any scale: recall says what the 4×4 banding
+    // missed, n_lsh − n_found says what the exact pass's df cap dropped
+    // (zero until the cap binds). Each side is pinned once (the counts
+    // and the semi-join both consume it).
+    QDef("x_dedup_minhash_recall", MinhashRecallSql) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7)
+        .select("d1", "d2").localCheckpoint(false) // nt + the semi-join
+      val lsh = Dedup.minHashNearDups(docs, "doc_id", "text", 0.7)
+        .select("d1", "d2").localCheckpoint(false) // nl + the semi-join
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nf = truth.join(lsh, Seq("d1", "d2"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      nt.crossJoin(nl).crossJoin(nf)
+        .select(col("n_true"), col("n_lsh"), col("n_found"),
+          round(when(col("n_true") === 0, lit(null))
+            .otherwise(col("n_found") / col("n_true").cast("double")), 6)
+            .as("recall"))
+    },
+
+    // HARD-NEGATIVE MINING (ANCE): per anchor (vec_id < 10), the top-3
+    // most-cosine-similar vectors with a DIFFERENT label, candidates
+    // gated to the anchor's IVF cell (8 deterministic centroids — the
+    // x_sim_ivf_topk fixture convention). Corpus assigns map-only and
+    // never shuffles; ranking is the bounded-heap TopKByScore aggregate.
+    QDef("x_hard_negatives", HardNegativesSql) { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+        emb.filter(col("vec_id") < 8), 3)
+    },
+
+    // CORPUS DIVERSITY (distinct-n): per (source, n ∈ 1..3), distinct
+    // gram types / total gram occurrences — the type/token ratio that
+    // collapses when a source is template spam even though every single
+    // doc passes the per-doc repetition gate. ONE corpus pass: the three
+    // gram widths are built in-row (spaceTokens / wordNgrams), tagged,
+    // concatenated, and exploded once; the aggregate is (source, n)-keyed
+    // so countDistinct's partial aggregation stays map-side.
+    QDef("x_text_distinct_n", DistinctNSql) { (s, d) =>
+      def tag(n: Int, grams: org.apache.spark.sql.Column) =
+        transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+      Tables(s, d).documents
+        .select(col("source"), explode(concat(
+          tag(1, TextOps.spaceTokens(col("text"))),
+          tag(2, TextOps.wordNgrams(col("text"), 2)),
+          tag(3, TextOps.wordNgrams(col("text"), 3)))).as("t"))
+        .groupBy(col("source"), col("t.n").as("n"))
+        .agg(countDistinct(col("t.g")).as("types"),
+          count(lit(1)).as("grams"))
+        .select(col("source"), col("n"), col("types"), col("grams"),
+          round(col("types").cast("double") / col("grams"), 6)
+            .as("distinct_ratio"))
+        .orderBy("source", "n")
+    },
+
+    // SOURCE-MIX ENTROPY: one-row balance audit of the token mix —
+    // H = −Σ p·ln p over per-source token shares, effective-source count
+    // exp(H), Pielou evenness H/ln(n). The per-source frame is KB-sized
+    // (one grouped aggregate), the rest is arithmetic on a broadcast
+    // 1-row total. Σ p·ln p is float-summed over n_sources terms in both
+    // engines and released at round 6 — the x_mutual_info precedent.
+    QDef("x_mix_entropy", MixEntropySql) { (s, d) =>
+      val per = Tables(s, d).documents.groupBy("source")
+        .agg(sum(size(TextOps.spaceTokens(col("text")))).cast("bigint")
+          .as("toks"))
+      val tot = per.agg(sum(col("toks")).cast("bigint").as("total"),
+        count(lit(1)).as("n_sources"))
+      val p = col("toks").cast("double") / col("total").cast("double")
+      per.crossJoin(broadcast(tot))
+        .agg(max(col("n_sources")).as("n_sources"),
+          max(col("total")).as("total_tokens"),
+          (-sum(p * log(p))).as("ent"))
+        .select(col("n_sources"), col("total_tokens"),
+          round(col("ent"), 6).as("entropy"),
+          round(exp(col("ent")), 6).as("eff_sources"),
+          round(col("ent") / log(col("n_sources").cast("double")), 6)
+            .as("evenness"))
+    })
+}

@@ -514,7 +514,9 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_basket_triples" ->
       "per-brand order-frequency frame — 25 brands (lift marginals)",
     "x_heaps_profile" ->
-      "per-level doc-count frame — 3 rows (the nested 25/50/100% carves)")
+      "per-level doc-count frame — 3 rows (the nested 25/50/100% carves)",
+    "x_hard_negatives" ->
+      "centroid + anchor frames — k-bounded / probe-set-bounded (x_sim family)")
     // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
     // behind the pinned (localCheckpoint) basket frame, so the audit's
     // corpus-leaf walk never reaches a corpus table — no carve-out needed
