@@ -26,11 +26,23 @@ object Curation {
     * (and that flows through a partial/final HashAggregate pair keyed on
     * doc_id). `array_distinct` runs in-row BEFORE the explode, so a
     * document repeating one n-gram 1000× expands to one probe row.
+    *
+    * `width` picks the n-gram granularity: 3 (default) is the repo's
+    * canary-compatible trigram universe; 13 is the published
+    * decontamination standard (GPT-3, Brown et al. 2020 appendix C —
+    * a 13-token verbatim run is long enough that sharing one is
+    * evidence of copying, not vocabulary). Wider grams also shrink df
+    * toward 1 (the coarse-shingle effect), so the eval gram set stays
+    * broadcastable even on saturated-vocabulary corpora.
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
-      isEval: Column): DataFrame = {
+      isEval: Column, width: Int = 3): DataFrame = {
+    // width == 3 keeps the original wordTrigrams expression so the
+    // registered x_contamination plan is byte-identical to rounds ≤ 10
+    val grams = if (width == 3) TextOps.wordTrigrams(col(textCol))
+      else TextOps.wordNgrams(col(textCol), width)
     val tri = docs.select(col(idCol).as("doc_id"), isEval.as("is_eval"),
-      explode(array_distinct(TextOps.wordTrigrams(col(textCol)))).as("g"))
+      explode(array_distinct(grams)).as("g"))
     val evalGrams = tri.filter(col("is_eval")).select("g").distinct()
     tri.filter(!col("is_eval"))
       .join(broadcast(evalGrams), "g")

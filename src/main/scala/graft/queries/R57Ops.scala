@@ -155,7 +155,42 @@ object R57Ops {
       |  round(ent / ln(CAST(n_sources AS DOUBLE)), 6) AS evenness
       |FROM h""".stripMargin
 
+  /** 13-gram decontamination as ONE portable text — the published
+    * verbatim-run granularity over the SAME pinned eval slice the fuzzy
+    * gate uses, so the two reports are directly comparable. */
+  private[queries] val Contamination13Sql = {
+    val gram = (0 until 13)
+      .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, $gram AS g
+       |  FROM toks, unnest(range(1, len(w) - 11)) t(i)),
+       |ev AS (SELECT DISTINCT g FROM g
+       |  WHERE doc_id IN (${TrainPrep.EvalFuzzyIdsSql}))
+       |SELECT t.doc_id, count(*) AS shared_ngrams
+       |FROM g t JOIN ev USING (g)
+       |WHERE t.doc_id NOT IN (${TrainPrep.EvalFuzzyIdsSql})
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
+
+    // 13-GRAM DECONTAMINATION: x_contamination's machinery at the
+    // granularity the published pipelines actually use (GPT-3 appendix C:
+    // a shared 13-token verbatim run is copying, not vocabulary — the
+    // trigram gate over a small vocabulary flags near-everything). Runs
+    // against the PINNED 100-doc fuzzy-eval benchmark (EvalFuzzyIds) so
+    // the verbatim-run report and x_contamination_fuzzy's paraphrase
+    // report read over the same eval slice: fuzzy-minus-13g = leaks that
+    // paraphrase away every 13-token run but keep the trigram profile.
+    // Same scale shape (eval gram set broadcasts, corpus probes map-side
+    // and never shuffles); width-13 grams also push df toward 1, the
+    // coarse-shingle effect, so the broadcast stays small on saturated
+    // vocabularies.
+    QDef("x_contamination_13g", Contamination13Sql) { (s, d) =>
+      graft.llm.Curation.contamination(Tables(s, d).documents, "doc_id",
+        "text", col("doc_id").isin(TrainPrep.EvalFuzzyIds: _*), width = 13)
+    },
 
     // TEXT-LSH RECALL HARNESS: MinHash-LSH's verified near-dup pairs
     // measured against the exact inverted-index truth — both sides the

@@ -516,7 +516,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_heaps_profile" ->
       "per-level doc-count frame — 3 rows (the nested 25/50/100% carves)",
     "x_hard_negatives" ->
-      "centroid + anchor frames — k-bounded / probe-set-bounded (x_sim family)")
+      "centroid + anchor frames — k-bounded / probe-set-bounded (x_sim family)",
+    "x_contamination_13g" ->
+      ("eval-benchmark 13-gram set — PINNED 100-doc id list (TrainPrep." +
+        "EvalFuzzyIds), bounded by construction; probe-measured"))
     // NB x_assoc_rules broadcasts its 25-row brand marginals, but they sit
     // behind the pinned (localCheckpoint) basket frame, so the audit's
     // corpus-leaf walk never reaches a corpus table — no carve-out needed

@@ -80,6 +80,26 @@ class R57OpsSpec extends SparkSpec {
     assert((lsh -- truth).isEmpty, "verified LSH pairs must be true pairs")
   }
 
+  test("x_contamination_13g: shared distinct 13-gram counts replayed " +
+      "from raw token arrays against the pinned eval slice") {
+    val evalIds = (3L until 500L by 5L).toSet
+    val grams = texts().map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(13).filter(_.length == 13)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val evalGrams = grams.collect {
+      case (id, g) if evalIds(id) => g }.foldLeft(Set.empty[String])(_ ++ _)
+    val expected = grams.collect {
+      case (id, g) if !evalIds(id) && (g & evalGrams).nonEmpty =>
+        id -> (g & evalGrams).size.toLong
+    }
+    val got = run("x_contamination_13g").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // eval docs never appear on the training side of the report
+    assert(got.keySet.forall(!evalIds(_)))
+  }
+
   private def embeddings(): Array[(Long, Array[Double], Int)] =
     graft.Tables(spark, sf).embeddings
       .select("vec_id", "embedding", "label").collect()
