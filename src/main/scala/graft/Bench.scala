@@ -5,6 +5,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // The WindowExec "No Partition Defined" WARNs (~30 lines, all from
+    // frames the PlanInvariantsSpec boundedness audit already proves
+    // driver-sized) interleaved with the stdout tail and broke the
+    // BENCH_rN.json parse two rounds running — silence that one logger,
+    // keep WARN everywhere else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm-up outside the timed loop: pays the one-time JVM/codegen/scan
     // costs so the first alphabetical query isn't charged for them.
     try {
@@ -37,6 +45,16 @@ object Bench {
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
     val buildSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val peakMb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // Per-query GC wall-clock (ms): the shared VM's noise signature is an
+    // absolute +multi-second inflation at scattered sub-second queries
+    // (CPU-steal/GC bursts — BENCH_NOTES r8/r11); a query whose sec spikes
+    // WITH gc_ms is allocation/collection debt, one whose sec spikes
+    // WITHOUT it is steal or a genuine plan change. Recorded per query so
+    // the record self-defends without manual percentile arguments.
+    def gcMsNow: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime)
+      .filter(_ >= 0).sum
+    val gcMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = ordered
       .zipWithIndex.map { case ((name, fn), i) =>
       if (i == firstMm) {
@@ -47,6 +65,7 @@ object Bench {
         Thread.sleep(200) // let the ContextCleaner drain its ref queue
       }
       heapPools.foreach(_.resetPeakUsage())
+      val g0 = gcMsNow
       val t0 = System.nanoTime()
       // failed queries record -1 (and land in "failed") so a broken query
       // can never silently contribute a plausible-looking time to the total
@@ -68,6 +87,8 @@ object Bench {
           System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val pk = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
       if (pk > 1024) peakMb(name) = pk
+      val gd = gcMsNow - g0
+      if (gd > 0) gcMs(name) = gd
       val dt = name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       // outside the timed span. clearCache releases CacheManager entries
       // (the flights queries' cache()d CSV preprocessing); localCheckpoint
@@ -82,6 +103,47 @@ object Bench {
       if (i % 32 == 31) System.gc()
       dt
     }.toMap
+    // Self-defending outlier retries (r11 verdict task 3): any query
+    // measuring >3× its committed reference time (the latest
+    // BENCH_LOCAL_r*.json in cwd, or $SPARK_GRAFT_BENCH_REF) AND more
+    // than 1 s over it is re-run ONCE after the sweep, both times kept.
+    // A retry that lands back at the reference proves the first reading
+    // was a host burst (the r11 driver run had four ×4.5-10 sub-second
+    // outliers that cost a manual rebuttal); a retry that reproduces is
+    // a real regression and says so in the record.
+    val refPath: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_REF").filter(_.nonEmpty).orElse {
+        val re = "BENCH_LOCAL_r(\\d+)\\.json".r
+        val here = new java.io.File(".").listFiles()
+        Option(here).toSeq.flatten.flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.getName)); case _ => None
+        }).sortBy(_._1).lastOption.map(_._2)
+      }
+    val refTimes: Map[String, Double] = refPath.flatMap { p =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val q = om.readTree(new java.io.File(p)).get("queries")
+        Option(q).map(_.fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toMap)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] reference $p unreadable: ${e.getMessage}")
+        None
+      }
+    }.getOrElse(Map.empty)
+    val retrySecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    ordered.foreach { case (name, fn) =>
+      val sec = results.getOrElse(name, -1.0)
+      refTimes.get(name).foreach { r =>
+        if (sec >= 0 && r > 0 && sec > 3 * r && sec - r > 1.0) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            retrySecs(name) = (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -95,8 +157,13 @@ object Bench {
     // tail, which a 723-entry map overflows — BENCH_r10.json's
     // `"parsed": null`); the stdout line below stays parseable by being
     // compact: totals + the slowest 30 + a pointer to this file.
+    val gcs = gcMs.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val retries = retrySecs.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val refJson = refPath.map("\"" + _ + "\"").getOrElse("null")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build_sec":$builds,"heap_peak_mb":$peaks,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build_sec":$builds,"heap_peak_mb":$peaks,"gc_ms":$gcs,"retry_ref":$refJson,"retry_sec":$retries,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
@@ -106,7 +173,12 @@ object Bench {
     val top = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_omitted":${math.max(0, results.size - 30)},"failed":$failed,"full":"$outPath","sf":"$sfDir"}""")
+    val retries3 = retrySecs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // stop Spark BEFORE printing so the one-line record is the last thing
+    // on stdout — the driver parses a ~2KB stdout tail (r11 verdict task 2)
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"queries_omitted":${math.max(0, results.size - 30)},"failed":$failed,"retry_sec":$retries3,"full":"$outPath","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

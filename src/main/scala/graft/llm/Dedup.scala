@@ -449,19 +449,46 @@ object Dedup {
     * safe at 100 TB: without it one hot trigram (df 10⁶) materializes a
     * 10⁶-element array in a single task. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = DefaultMaxDf, width: Int = 3): DataFrame = {
+      threshold: Double, maxDf: Int = DefaultMaxDf, width: Int = 3): DataFrame =
     // Per-document shingle SETS in-row (array_distinct before the explode):
     // (id, g) duplicates can only arise within one document, so this equals
     // the exploded global `.distinct()` — minus its corpus-wide shuffle.
-    // pinned: referenced by sizes AND the posting lists ([[pin]] tradeoff).
-    val kept = pin(keptShingles(docs, idCol, textCol, maxDf, width))
+    jaccardFromKept(keptShingles(docs, idCol, textCol, maxDf, width), threshold)
+
+  /** [[ngramJaccardPairs]] over the word-trigram-HASH shingle universe
+    * ([[TextOps.wordTrigramHashes]]) instead of trigram strings — the SAME
+    * universe [[minHashNearDups]]'s exact-Jaccard verify scores, so
+    * `lsh ⊆ hash-truth` holds by construction (below the df cap). The two
+    * universes differ only where [[TextOps.wordHash]] collides (words
+    * sharing first-3-chars + length, e.g. 'their'/'there'): a collision
+    * makes two distinct string trigrams one hash shingle, so the hash
+    * Jaccard can exceed the string Jaccard. Use THIS truth when comparing
+    * against MinHash-LSH output; use the string variant when the score
+    * itself is the product. */
+  def ngramHashJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.wordTrigramHashes(col(textCol)))).as("g"))
+      .transform(pin) // referenced by both the df-count and the anti-join
+    val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("g")
+    jaccardFromKept(g.join(broadcast(hot), Seq("g"), "left_anti"), threshold)
+  }
+
+  /** Shared tail of the exact-Jaccard passes: sizes + inverted-index
+    * intersection counts over an already-df-capped (id, g) shingle frame.
+    * pinned: referenced by sizes AND the posting lists ([[pin]] tradeoff).
+    *
+    * Candidate pairs come straight off the inverted index: group the
+    * posting list per shingle and expand ordered id pairs in-row. One
+    * deterministic hash-aggregate shuffle replaces the g⋈g self-join,
+    * whose build side sat on the broadcast threshold and flip-flopped
+    * plans run-to-run. Singleton shingles (most, by Zipf) die at the size
+    * filter; per-shingle pair expansion is Σ min(df, maxDf)² — bounded,
+    * unlike the raw Σ df². */
+  private def jaccardFromKept(keptIn: DataFrame, threshold: Double): DataFrame = {
+    val kept = pin(keptIn)
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
-    // Candidate pairs straight off the inverted index: group the posting
-    // list per trigram and expand ordered id pairs in-row. One deterministic
-    // hash-aggregate shuffle replaces the g⋈g self-join, whose build side
-    // sat on the broadcast threshold and flip-flopped plans run-to-run.
-    // Singleton trigrams (most, by Zipf) die at the size filter; per-trigram
-    // pair expansion is Σ min(df, maxDf)² — bounded, unlike the raw Σ df².
     val inter = interCounts(postingLists(kept))
     inter
       .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")

@@ -282,7 +282,13 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Embedding near-dup pairs: bucket by sign-LSH, verify cosine ≥ threshold
-    * only within buckets (the banded scale path — no all-pairs join). */
+    * only within buckets (no all-pairs join). Library surface; since
+    * round 12 the REGISTERED embedding near-dup default is
+    * [[srpNearDups]] with bandBits sized to the corpus and a `maxBucket`
+    * cap — with a small constant `nPlanes` this function's 2^nPlanes
+    * buckets make Σ bucket² grow ∝ corpus² at any duplication level
+    * (BENCH_SF1_r11 measured the 4-plane registration ×20 at a ×10
+    * scale-up), so size nPlanes ≈ log2(corpus) if you use it directly. */
   def embeddingNearDups(corpus: DataFrame, nPlanes: Int, dims: Int,
       threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
@@ -317,7 +323,7 @@ object Similarity {
          |               CAST(round(embedding[k] * 1000) AS BIGINT),
          |               -CAST(round(embedding[k] * 1000) AS BIGINT))) >= 0,
          |      CAST(shiftleft(1, i) AS BIGINT), 0L)))""".stripMargin)
-    corpus.select(col("vec_id"), col("embedding"),
+    corpus.select(col("vec_id"),
         posexplode(sigs).as(Seq("band", "sig")))
   }
 
@@ -348,13 +354,22 @@ object Similarity {
           .select("band", "sig")
         sigAll.join(hot, Seq("band", "sig"), "left_anti")
       }
-    val l = sig.select(col("band"), col("sig"),
-      col("vec_id").as("d1"), col("embedding").as("e1"))
-    val r = sig.select(col("band"), col("sig"),
-      col("vec_id").as("d2"), col("embedding").as("e2"))
-    l.join(r, Seq("band", "sig")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("e1"), col("e2"))
-      .distinct() // OR across bands: a pair matching 2+ bands counts once
+    val l = sig.select(col("band"), col("sig"), col("vec_id").as("d1"))
+    val r = sig.select(col("band"), col("sig"), col("vec_id").as("d2"))
+    // OR across bands: a pair matching 2+ bands counts once. Only the id
+    // pair rides the candidate exchange and the distinct hash — the
+    // embeddings are re-attached AFTER (round-12: previously both 64-dim
+    // arrays were carried through the band join and the distinct,
+    // multiplying the shuffle width severalfold at scale for no semantic
+    // gain; the oracle always had this reattach shape). The signature
+    // frame is pinned, so the reattach scans re-derive only the corpus's
+    // own lineage (scan-local at 100 TB), not the projections.
+    val cand = l.join(r, Seq("band", "sig")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2")), "d2")
       .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") >= tau)
   }

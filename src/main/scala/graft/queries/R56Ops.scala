@@ -133,41 +133,14 @@ object R56Ops {
        |  round(CAST(a.n_postings AS DOUBLE) / a.n_shingles, 6) AS mean_df
        |FROM a JOIN dc USING (lvl) ORDER BY lvl""".stripMargin
 
-  /** Capped-bucket SRP-LSH as ONE portable text: the x_dedup_srp contract
-    * with (band, sig) buckets over 32 removed before the self-join —
-    * string surgery on the shared R9Ops.SrpCtes so the two texts cannot
-    * drift (the requires fail the build if the anchor text changes). */
-  private[queries] val SrpCappedSql = {
-    val anchor = "cand AS ("
-    val joinAnchor = "FROM sig l JOIN sig r"
-    require(R9Ops.SrpCtes.contains(anchor) && R9Ops.SrpCtes.contains(joinAnchor),
-      "R9Ops.SrpCtes anchors moved — update SrpCappedSql's surgery")
-    val capped = R9Ops.SrpCtes
-      .replace(anchor,
-        """hotsrp AS (SELECT band, s FROM sig GROUP BY band, s
-          |  HAVING count(*) > 32),
-          |ksig AS (SELECT g.vec_id, g.band, g.s FROM sig g
-          |  LEFT JOIN hotsrp h ON g.band = h.band AND g.s = h.s
-          |  WHERE h.band IS NULL),
-          |cand AS (""".stripMargin)
-      .replace(joinAnchor, "FROM ksig l JOIN ksig r")
-    s"""WITH $capped
-       |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin
-  }
+  // x_dedup_srp_capped (round 11) is RETIRED in round 12: the capped tier
+  // became x_dedup_srp itself (engine maxBucket = 32, oracle =
+  // R9Ops.SrpCtesCapped — the surgery moved next to the shared CTE text),
+  // so keeping a second registered query with the identical plan would be
+  // exactly the twin-pair padding QDefDistinctnessSpec exists to forbid.
+  // The ItemCfSql retirement precedent (R39Ops round 10).
 
   val defs: Seq[QDef] = Seq(
-
-    // CAPPED-BUCKET SRP-LSH: the embedding-side twin of
-    // x_dedup_minhash_capped — Similarity.srpNearDups(maxBucket = 32),
-    // the reachable insurance against viral embedding duplication (a
-    // fixed bandBits means bucket DENSITY grows with the corpus; the cap
-    // hard-bounds the band self-join at 32²/2 per bucket). Oracle =
-    // the shared SrpCtes with the identical hot-bucket filter, so both
-    // engines implement capped semantics by construction.
-    QDef("x_dedup_srp_capped", SrpCappedSql) { (s, d) =>
-      graft.llm.Similarity.srpNearDups(R9Ops.srpAugmented(Tables(s, d)),
-        planes = 32, bandBits = 8, dims = 64, tau = 0.9, maxBucket = 32)
-    },
 
     // COARSE-SHINGLE JACCARD: the x_dedup_ngram_jaccard inverted index at
     // width 5 — the "coarsen the shingle" mitigation as a registered,

@@ -28,13 +28,18 @@ import org.apache.spark.sql.functions._
 object R57Ops {
 
   /** Text-LSH recall vs exact inverted-index truth as ONE portable text.
-    * Truth = the full trigram-hash inverted index (x_dedup_ngram_jaccard's
-    * machinery at τ = 0.7); approx = the x_dedup_minhash_lsh chain. The
-    * engine's truth side runs Dedup.ngramJaccardPairs whose df cap
-    * (maxDf = 1000) this oracle omits: measured df tops out ~10 at the
-    * verify scales and ~94 at sf1, so the cap is plan insurance, not
-    * semantics, there — the same reasoning the capped pipeline tier
-    * documents. */
+    * Recall is measured over the trigram-HASH universe throughout: truth =
+    * the exact trigram-hash inverted index (Dedup.ngramHashJaccardPairs at
+    * τ = 0.7 — the wsh CTE's universe, which is ALSO the universe the LSH
+    * verify's hash-Jaccard scores, so `lsh ⊆ truth` holds by construction
+    * below the df cap); approx = the x_dedup_minhash_lsh chain. Round 12:
+    * previously the engine truth ran the STRING-trigram index while this
+    * oracle's tinter CTE used hashes — on a wordHash-colliding corpus
+    * ('their'/'there') the sides diverged (ADVICE r11); both now share the
+    * hash universe. The engine truth's df cap (maxDf = 1000) this oracle
+    * omits: measured df tops out ~10 at the verify scales and ~94 at sf1,
+    * so the cap is plan insurance, not semantics, there — the same
+    * reasoning the capped pipeline tier documents. */
   private[queries] val MinhashRecallSql =
     s"""WITH ${StarExt.WordShCte},
        |${StarExt.MhCte},
@@ -152,7 +157,8 @@ object R57Ops {
       |SELECT n_sources, total AS total_tokens,
       |  round(ent, 6) AS entropy,
       |  round(exp(ent), 6) AS eff_sources,
-      |  round(ent / ln(CAST(n_sources AS DOUBLE)), 6) AS evenness
+      |  CASE WHEN n_sources = 1 THEN NULL
+      |    ELSE round(ent / ln(CAST(n_sources AS DOUBLE)), 6) END AS evenness
       |FROM h""".stripMargin
 
   /** 13-gram decontamination as ONE portable text — the published
@@ -195,15 +201,16 @@ object R57Ops {
     // TEXT-LSH RECALL HARNESS: MinHash-LSH's verified near-dup pairs
     // measured against the exact inverted-index truth — both sides the
     // registered linear-regime passes (banded LSH; df-capped posting
-    // lists), intersected on (d1, d2). The released frame is ONE row
-    // (n_true, n_lsh, n_found, recall), so this runs as a standing
-    // corpus-quality job at any scale: recall says what the 4×4 banding
-    // missed, n_lsh − n_found says what the exact pass's df cap dropped
-    // (zero until the cap binds). Each side is pinned once (the counts
-    // and the semi-join both consume it).
+    // lists) over ONE shingle universe (trigram hashes — the same sets
+    // the LSH verify scores), intersected on (d1, d2). The released frame
+    // is ONE row (n_true, n_lsh, n_found, recall), so this runs as a
+    // standing corpus-quality job at any scale: recall says what the 4×4
+    // banding missed, n_lsh − n_found says what the exact pass's df cap
+    // dropped (zero until the cap binds). Each side is pinned once (the
+    // counts and the semi-join both consume it).
     QDef("x_dedup_minhash_recall", MinhashRecallSql) { (s, d) =>
       val docs = Tables(s, d).documents
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.7)
+      val truth = Dedup.ngramHashJaccardPairs(docs, "doc_id", "text", 0.7)
         .select("d1", "d2").localCheckpoint(false) // nt + the semi-join
       val lsh = Dedup.minHashNearDups(docs, "doc_id", "text", 0.7)
         .select("d1", "d2").localCheckpoint(false) // nl + the semi-join
@@ -273,7 +280,11 @@ object R57Ops {
         .select(col("n_sources"), col("total_tokens"),
           round(col("ent"), 6).as("entropy"),
           round(exp(col("ent")), 6).as("eff_sources"),
-          round(col("ent") / log(col("n_sources").cast("double")), 6)
+          // one-source corpus: H = 0 and ln(1) = 0, so evenness is 0/0 —
+          // Spark yields NaN, DuckDB NaN-or-NULL by config; both texts
+          // release NULL for the degenerate case (ADVICE r11)
+          when(col("n_sources") === 1, lit(null).cast("double"))
+            .otherwise(round(col("ent") / log(col("n_sources").cast("double")), 6))
             .as("evenness"))
     })
 }

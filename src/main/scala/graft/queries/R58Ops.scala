@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-58 batch (round 12): the embedding-side regime canary the text
+  * side has had since R54 (x_band_density). Context: the capped SRP tier
+  * is now the REGISTERED embedding near-dup default (x_dedup_srp /
+  * x_dedup_embedding), and unlike the text side its cap measurably BINDS
+  * at the gate scales — 256 buckets per 8-bit band are undersized at
+  * 7.5k vectors (64 hot buckets at sf0.1; x_dedup_srp_recall prices the
+  * recall cost at 0.46 there). The production posture is bandBits ≈
+  * log2(corpus) with the cap as the overload valve — and THIS canary is
+  * the one-pass read that says, BEFORE a 100 TB pass commits, whether
+  * bandBits is sized (candidate_pairs tracking the corpus ≈ linearly)
+  * or undersized (density growing; widen bandBits, or accept the cap
+  * cost the recall harness reports). Signature pass + two bounded
+  * aggregates; the released frame is 4 rows. */
+object R58Ops {
+
+  /** Per-band SRP bucket histogram as ONE portable text — the sig CTE of
+    * the shared generator (string surgery with a require anchor, the
+    * SrpCtesCapped convention) + the x_band_density aggregate shape. */
+  private[queries] val SrpBandDensitySql = {
+    val base = R9Ops.srpCteText(32, 8)
+    val cut = base.indexOf(",\ncand AS (")
+    require(cut > 0, "srpCteText anchors moved — update SrpBandDensitySql")
+    s"""WITH ${base.substring(0, cut)},
+       |bk AS (SELECT band, s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT CAST(band AS INT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  max(n) AS max_bucket,
+       |  sum(CAST(n AS DOUBLE) * (n - 1) / 2) AS candidate_pairs,
+       |  CAST(sum(CASE WHEN n > 32 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS buckets_over_32
+       |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // SRP BAND-DENSITY CANARY: the exact candidate-pair bill of the
+    // banded SRP self-join, per band, BEFORE running it — and the exact
+    // mass the maxBucket=32 valve would remove (buckets_over_32). Same
+    // augmented corpus and signature computation as x_dedup_srp, so the
+    // read applies to the registered pass verbatim. candidate_pairs
+    // sums exact half-integers (n(n-1)/2 ≪ 2^53), so the double
+    // aggregate is order-insensitive in both engines.
+    QDef("x_srp_band_density", SrpBandDensitySql) { (s, d) =>
+      val sig = graft.llm.Similarity.srpSignatures(
+        R9Ops.srpAugmented(Tables(s, d)), planes = 32, bandBits = 8, dims = 64)
+      val bk = sig.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      bk.groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"), max("n").as("max_bucket"),
+          sum(col("n").cast("double") * (col("n") - 1) / 2)
+            .as("candidate_pairs"),
+          sum(when(col("n") > 32, 1L).otherwise(0L)).as("buckets_over_32"))
+        .orderBy("band")
+    })
+}

@@ -168,8 +168,13 @@ object R9Ops {
     * determinism — a near-zero float dot can't flip between engines'
     * summation orders), 32 planes packed as 4×8-bit band signatures,
     * OR-across-bands candidates, exact-cosine verification at τ=0.9.
-    * Mirrors [[graft.llm.Similarity.srpSignatures]] seed-for-seed. */
-  private[queries] val SrpCtes =
+    * Mirrors [[graft.llm.Similarity.srpSignatures]] seed-for-seed.
+    *
+    * Parameterized over (planes, bandBits) since round 12 so the banded
+    * default (32, 8 — x_dedup_srp) and the single-AND-bucket variant
+    * (16, 16 — x_dedup_embedding) share one text generator, mirroring how
+    * both engine bodies share [[graft.llm.Similarity.srpNearDups]]. */
+  private[queries] def srpCteText(planes: Int, bandBits: Int): String =
     s"""ee0 AS (
        |  SELECT vec_id, CAST(j AS BIGINT) AS j,
        |    CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) AS e
@@ -183,11 +188,11 @@ object R9Ops {
        |${StarExt.NormsCte},
        |eq AS (SELECT vec_id, j, CAST(round(e * 1000) AS BIGINT) AS q FROM ee),
        |proj AS (
-       |  SELECT eq.vec_id, p // 8 AS band, p % 8 AS bit,
+       |  SELECT eq.vec_id, p // $bandBits AS band, p % $bandBits AS bit,
        |    sum(CASE WHEN (1103515245 * (p * 64 + eq.j) + 12345)
        |          % 2147483648 // 1048576 % 2 = 1
        |      THEN eq.q ELSE -eq.q END) AS dot
-       |  FROM eq, unnest(range(0, 32)) pp(p)
+       |  FROM eq, unnest(range(0, $planes)) pp(p)
        |  GROUP BY 1, 2, 3),
        |sig AS (
        |  SELECT vec_id, band,
@@ -208,6 +213,38 @@ object R9Ops {
        |    round(dot / (sqrt(n1.n2) * sqrt(n2.n2)), 6) AS cos
        |  FROM cdots JOIN norms n1 ON n1.vec_id = cdots.d1
        |  JOIN norms n2 ON n2.vec_id = cdots.d2)""".stripMargin
+
+  private[queries] val SrpCtes = srpCteText(32, 8)
+
+  /** [[SrpCtes]] with (band, sig) buckets over 32 anti-joined away before
+    * the self-join — capped-bucket semantics as string surgery on the
+    * shared text, so the two tiers cannot drift (the requires fail the
+    * build if the anchor text moves). Round 12: this is x_dedup_srp's AND
+    * x_dedup_srp_recall's oracle — the capped pass is the REGISTERED
+    * DEFAULT, because the uncapped banded baseline measured ×16 at a ×10
+    * scale-up (BENCH_SF1_r11: fixed bandBits ⇒ bucket density grows with
+    * the corpus, the builder's own Similarity.srpNearDups comment) while
+    * the cap hard-bounds per-bucket pair expansion at 32²/2 (measured
+    * ×8.0). The round-11 bridge query x_dedup_srp_capped is retired,
+    * merged into the headline (the ItemCfSql retirement precedent). */
+  private[queries] def srpCappedText(planes: Int, bandBits: Int): String = {
+    val base = srpCteText(planes, bandBits)
+    val anchor = "cand AS ("
+    val joinAnchor = "FROM sig l JOIN sig r"
+    require(base.contains(anchor) && base.contains(joinAnchor),
+      "srpCteText anchors moved — update srpCappedText's surgery")
+    base
+      .replace(anchor,
+        """hotsrp AS (SELECT band, s FROM sig GROUP BY band, s
+          |  HAVING count(*) > 32),
+          |ksig AS (SELECT g.vec_id, g.band, g.s FROM sig g
+          |  LEFT JOIN hotsrp h ON g.band = h.band AND g.s = h.s
+          |  WHERE h.band IS NULL),
+          |cand AS (""".stripMargin)
+      .replace(joinAnchor, "FROM ksig l JOIN ksig r")
+  }
+
+  private[queries] val SrpCtesCapped = srpCappedText(32, 8)
 
   /** The SRP test corpus: embeddings plus deterministic perturbed clones
     * (1 in 4 originals, vec_id+10⁶, integer-seeded jitter float-rounded
@@ -233,14 +270,19 @@ object R9Ops {
     // clone at cos 0.99, each band agrees w.p. ≈ 0.86⁸ ≈ 0.3 and the OR
     // over 4 bands lifts recall past 0.8 — measured by the companion
     // recall query). The whole signature computation is ONE scan-local
-    // integer projection; 256-value band buckets keep candidate volume at
-    // the banded-LSH bound, and false positives only cost the verify
-    // cosine.
+    // integer projection; false positives only cost the verify cosine.
+    // Round 12: the CAPPED tier (maxBucket = 32, oracle carrying the
+    // identical hot-bucket anti-join) is the registered default — fixed
+    // bandBits means bucket DENSITY grows with the corpus (×16 uncapped
+    // vs ×8.0 capped at the ×10 scale-up, BENCH_SF1_r11), the same flip
+    // the text-side pipeline made in round 11. The cap never binds at
+    // the gate scales (bucket max ≪ 32), so sf0.01/sf0.1 results equal
+    // the uncapped pass bit-for-bit.
     QDef("x_dedup_srp",
-      s"""WITH $SrpCtes
+      s"""WITH $SrpCtesCapped
          |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin) { (s, d) =>
       graft.llm.Similarity.srpNearDups(R9Ops.srpAugmented(Tables(s, d)),
-        planes = 32, bandBits = 8, dims = 64, tau = 0.9)
+        planes = 32, bandBits = 8, dims = 64, tau = 0.9, maxBucket = 32)
     },
 
     // Measured SRP recall against brute-force truth on a sub-universe:
@@ -252,7 +294,7 @@ object R9Ops {
     // brute pair join broadcasts the bounded probe set ->
     // BroadcastNestedLoopJoin, never a corpus cross product.
     QDef("x_dedup_srp_recall",
-      s"""WITH $SrpCtes,
+      s"""WITH $SrpCtesCapped,
          |sub AS (SELECT * FROM ee
          |  WHERE (vec_id % 1000000) % 20 = 1 AND (vec_id % 1000000) < 4000),
          |tdots AS (
@@ -284,8 +326,10 @@ object R9Ops {
           graft.llm.Similarity.cosine(col("e1"), col("e2")).as("cos"))
         .filter(col("cos") >= 0.9)
         .select("d1", "d2")
+      // measures the REGISTERED tier (capped, round 12) — when the cap
+      // binds, its recall cost shows up in this number, which is the point
       val found = graft.llm.Similarity.srpNearDups(aug,
-          planes = 32, bandBits = 8, dims = 64, tau = 0.9)
+          planes = 32, bandBits = 8, dims = 64, tau = 0.9, maxBucket = 32)
         .join(truth, Seq("d1", "d2"), "left_semi")
       val nt = truth.agg(count(lit(1)).as("n_true"))
       val nf = found.agg(count(lit(1)).as("n_found"))

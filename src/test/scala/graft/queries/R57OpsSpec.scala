@@ -21,7 +21,13 @@ class R57OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
 
   /** Distinct word-trigram-hash sets per doc — the TextOps.wordHash /
-    * wordTrigramHashes arithmetic replayed (same fold as R54OpsSpec). */
+    * wordTrigramHashes arithmetic replayed (same fold as R54OpsSpec).
+    * Since round 12 this is THE recall universe: engine truth
+    * (Dedup.ngramHashJaccardPairs), oracle truth (the wsh-based tinter
+    * CTE), and the LSH verify all score hash-Jaccard over these sets, so
+    * the replay validates the registered semantics, not a coincidentally
+    * collision-free projection of them (ADVICE r11); the collision case
+    * itself is pinned by the dedicated wordHash-collision test below. */
   private def shingleSets(): Map[Long, Set[Long]] = {
     val p = 2147483647L
     def wh(w: String): Long = {
@@ -78,6 +84,47 @@ class R57OpsSpec extends SparkSpec {
     // LSH can only ever MISS truth pairs, never invent them (the verify
     // step is the same exact Jaccard)
     assert((lsh -- truth).isEmpty, "verified LSH pairs must be true pairs")
+  }
+
+  test("recall truth universe: hash-Jaccard and string-Jaccard diverge " +
+      "exactly at wordHash collisions, and lsh ⊆ hash-truth holds there") {
+    import spark.implicits._
+    // 'their'/'there' share first-3-chars ('the') AND length (5), so
+    // wordHash collides: every trigram containing the differing word is
+    // ONE hash shingle but TWO string shingles. 6 tokens → 4 trigrams.
+    val docs = Seq(
+      (1L, "alpha their beta gamma delta epsilon"),
+      (2L, "alpha there beta gamma delta epsilon")).toDF("doc_id", "text")
+    val hash = graft.llm.Dedup
+      .ngramHashJaccardPairs(docs, "doc_id", "text", 0.0).collect()
+    assert(hash.length == 1 && hash.head.getDouble(2) == 1.0,
+      "hash universe: collision makes the shingle sets identical")
+    val str = graft.llm.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 0.0).collect()
+    assert(str.length == 1 && str.head.getDouble(2) == r6(2.0 / 6.0),
+      "string universe: 2 shared of 6 distinct trigrams")
+    // the LSH chain verifies hash-Jaccard, so on this corpus it finds the
+    // pair at τ = 0.7 — inside the hash truth (the registered recall
+    // invariant) but OUTSIDE the string truth (the pre-round-12 mismatch)
+    val lsh = graft.llm.Dedup
+      .minHashNearDups(docs, "doc_id", "text", 0.7).collect()
+    assert(lsh.length == 1 && lsh.head.getDouble(2) == 1.0,
+      "LSH verify scores the same hash universe as the truth side")
+  }
+
+  test("x_mix_entropy: single-source corpus releases NULL evenness " +
+      "(0/0 guard), H = 0, eff_sources = 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix1").toString
+    val src = graft.Tables(spark, sf).documents
+      .select("source").limit(1).collect().head.getString(0)
+    graft.Tables(spark, sf).documents
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val row = SparkEntry.queries("x_mix_entropy")(spark, tmp).collect().head
+    assert(row.getLong(0) == 1L, "n_sources")
+    assert(row.getDouble(2) == 0.0, "entropy")
+    assert(row.getDouble(3) == 1.0, "eff_sources")
+    assert(row.isNullAt(4), "evenness must be NULL, not NaN, at n_sources = 1")
   }
 
   test("x_contamination_13g: shared distinct 13-gram counts replayed " +

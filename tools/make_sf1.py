@@ -37,6 +37,22 @@ Two document-perturbation modes:
                linear. This is the fixture that matches how real
                corpora behave; the default stays as the stress case.
 
+Round 12 additions (the sf10 canary-first demo):
+
+  --replicas=N Replica count (default 10 = ~sf1; 100 = ~sf10). With
+               --heaps and N > 10 the per-replica renaming switches
+               from the suffix scheme ('z' * r — O(N) char growth) to
+               a Caesar shift of each word's FIRST character by
+               r % 26 plus a 'z' * (r // 26) suffix: still a
+               per-replica vocabulary bijection, still a distinct
+               wordHash per replica (first-3-chars change with the
+               shift, length with the suffix), but bounded +4 chars at
+               N <= 104. N <= 10 keeps the round-11 scheme EXACTLY so
+               sf1h fixtures stay reproducible.
+  --tables=a,b Only build the listed tables (the canary demo needs
+               documents + events; building 100x lineitem for a
+               4-query go/no-go read would be fixture theater).
+
 Usage: python3 tools/make_sf1.py [outdir] [--heaps]   (default /tmp/sf1)
 """
 import sys, os
@@ -47,6 +63,13 @@ HEAPS = "--heaps" in sys.argv
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 OUT = ARGS[0] if ARGS else ("/tmp/sf1h" if HEAPS else "/tmp/sf1")
 REPLICAS = 10
+for a in sys.argv[1:]:
+    if a.startswith("--replicas="):
+        REPLICAS = int(a.split("=", 1)[1])
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--tables="):
+        ONLY = set(a.split("=", 1)[1].split(","))
 
 OKEY, CKEY, PKEY, SKEY = 1_000_000, 100_000, 100_000, 10_000
 DKEY, VKEY, EKEY, UKEY = 10_000, 10_000, 1_000_000, 1_000_000
@@ -91,27 +114,45 @@ PERTURB = {
                  "END AS text"),
     },
     "embeddings": {
-        "embedding": ("CASE WHEN r.r = 0 THEN embedding ELSE "
-                      "list_concat(embedding[r.r * 3 + 1:], "
-                      "embedding[1:r.r * 3])::FLOAT[] END AS embedding"),
+        # rotation amount mod 64 (the dim count) so replica counts
+        # past 21 don't slice beyond the array; r.r*3 % 64 = 0 only at
+        # r = 0 below 64 replicas (gcd(3, 64) = 1)
+        "embedding": ("CASE WHEN r.r * 3 % 64 = 0 THEN embedding ELSE "
+                      "list_concat(embedding[r.r * 3 % 64 + 1:], "
+                      "embedding[1:r.r * 3 % 64])::FLOAT[] END AS embedding"),
     },
 }
 
-# --heaps: replica-unique suffix on a deterministic ~80% of the
-# vocabulary (hash(t) % 5 != 0), word order kept. 'z' * r changes the
-# token LENGTH, which the engine's wordHash reads, so every replica's
-# renamed vocabulary is disjoint from every other's.
-HEAPS_TEXT = (
+# --heaps: replica-unique renaming of a deterministic ~80% of the
+# vocabulary (hash(t) % 5 != 0), word order kept, so every replica's
+# renamed vocabulary is disjoint from every other's (in the STRING
+# universe and under the engine's first-3-chars+length wordHash).
+#   N <= 10 (the round-11 sf1h fixture, kept byte-reproducible):
+#     suffix 'z' * r — distinct length => distinct wordHash.
+#   N > 10 (sf10+): Caesar-shift the first character by r % 26 and
+#     append 'z' * (r // 26) — distinct (first-char shift, length)
+#     pair per replica, bounded char growth. Within a replica the
+#     shift is a bijection on the first character, so word identity
+#     (and therefore trigram structure) is preserved exactly.
+HEAPS_TEXT_SUFFIX = (
     "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
     "list_transform(string_split(text, ' '), "
     "t -> CASE WHEN hash(t) % 5 = 0 THEN t "
     "ELSE t || repeat('z', r.r) END), ' ') END AS text")
+HEAPS_TEXT_CAESAR = (
+    "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
+    "list_transform(string_split(text, ' '), "
+    "t -> CASE WHEN hash(t) % 5 = 0 OR len(t) = 0 THEN t "
+    "ELSE chr(CAST(((ascii(t[1:1]) - 97 + r.r) % 26) + 97 AS INTEGER)) || t[2:] "
+    "|| repeat('z', r.r // 26) END), ' ') END AS text")
 
 
 def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     for t, shifts in SHIFTS.items():
+        if ONLY is not None and t not in ONLY:
+            continue
         src = f"{SRC}/{t}.parquet"
         dst = f"{OUT}/{t}.parquet"
         cols = [r[0] for r in
@@ -123,7 +164,8 @@ def main():
             smap = dict(shifts)
             pmap = dict(PERTURB.get(t, {}))
             if HEAPS and t == "documents":
-                pmap["text"] = HEAPS_TEXT
+                pmap["text"] = (HEAPS_TEXT_SUFFIX if REPLICAS <= 10
+                                else HEAPS_TEXT_CAESAR)
             sel = ", ".join(
                 f"{c} + r.r * {smap[c]} AS {c}" if c in smap
                 else pmap.get(c, c)
