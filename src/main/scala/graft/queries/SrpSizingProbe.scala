@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** One-off measurement main for the SRP sizing story (round 12): the
+  * registered x_dedup_srp runs (planes=32, bandBits=8) + maxBucket=32,
+  * and at sf1h density the x_srp_band_density canary reads ~115 of 256
+  * buckets per band over the cap (recall 0.10) — the documented response
+  * is to widen bandBits toward log2(corpus). This main MEASURES that
+  * response at any (planes, bandBits): same augmented corpus, same
+  * bounded probe truth as x_dedup_srp_recall, capped pass, one JSON line
+  * with recall and wall-clock. Not a registered QDef — parameters are
+  * runtime arguments, so there is no single oracle text; the registered
+  * recall harness stays the per-corpus standing number.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/tmp/sf1h sbt "runMain graft.queries.SrpSizingProbe 64 16"
+  */
+object SrpSizingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1h")
+    val planes = args.headOption.map(_.toInt).getOrElse(64)
+    val bandBits = if (args.length > 1) args(1).toInt else 16
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+
+    val aug = R9Ops.srpAugmented(Tables(spark, sfDir))
+    // the x_dedup_srp_recall probe sub-universe: pinned ≤4000-id sample
+    val sub = aug.filter((col("vec_id") % 1000000) % 20 === 1
+      && (col("vec_id") % 1000000) < 4000)
+    val l = sub.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val r = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    val truth = l.join(broadcast(r), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        graft.llm.Similarity.cosine(col("e1"), col("e2")).as("cos"))
+      .filter(col("cos") >= 0.9).select("d1", "d2")
+      .localCheckpoint()
+
+    val t0 = System.nanoTime()
+    val found = graft.llm.Similarity.srpNearDups(aug,
+        planes = planes, bandBits = bandBits, dims = 64, tau = 0.9,
+        maxBucket = 32)
+      .join(truth, Seq("d1", "d2"), "left_semi").count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nTrue = truth.count()
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    spark.stop()
+    println(s"""{"metric":"srp_sizing","planes":$planes,"band_bits":$bandBits,"max_bucket":32,"n_true":$nTrue,"n_found":$found,"recall":${r3(if (nTrue == 0) 0 else found.toDouble / nTrue)},"pass_sec":${r3(sec)},"sf":"$sfDir"}""")
+    System.out.flush()
+  }
+}
