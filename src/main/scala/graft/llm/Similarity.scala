@@ -306,20 +306,32 @@ object Similarity {
   /** Banded SRP (sign-random-projection) signatures: `bands` band values
     * per vector, each packing `bandBits` hyperplane sign bits, computed in
     * ONE scan-local projection. Two determinism levers vs [[lshBucket]]:
-    * the hyperplane weights are ±1 from an LCG bit (pure integer algebra —
-    * replayable in any engine), and the projections run over
+    * the hyperplane weights are ±1 from a pure-integer bit mix
+    * (replayable in any engine), and the projections run over
     * round(e·1000) INTEGER quantizations, so the sign of a near-zero dot
-    * can never differ between engines' float summation orders. */
+    * can never differ between engines' float summation orders.
+    *
+    * The weight bit is an xorshift-multiply MIX of the plane-dim index,
+    * not a raw LCG bit (round-12 fix): bit 20 of the affine sequence
+    * a·idx + c is heavily structured across the dim stride — measured
+    * inter-plane weight agreement ranged 14/64 to 51/64 (h₂ ≈ −h₁,
+    * h₀ ≈ h₈), so nominal bandBits carried only a few EFFECTIVE bits,
+    * buckets concentrated ~7× over uniform at any width, and widening
+    * bands could not raise recall (the SrpSizingProbe plateau). The mix
+    * (h ← a·idx+c mod 2³¹; h ← xor(h, h ≫ 15)·2654435761 mod 2³¹;
+    * bit = h ≫ 10 mod 2) measures 31.8/64 mean pairwise agreement
+    * (ideal 32, binomial spread) — full-entropy bands. */
   def srpSignatures(corpus: DataFrame, planes: Int, bandBits: Int,
       dims: Int): DataFrame = {
     val bands = planes / bandBits
+    val h1 = s"(1103515245L * ((b * $bandBits + i) * $dims + k) + 12345L) % 2147483648L"
     val sigs = expr(
       s"""transform(sequence(0, ${bands - 1}), b ->
          |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, i) ->
          |    acc + IF(
          |      aggregate(sequence(0, ${dims - 1}), 0L, (s, k) ->
-         |        s + IF((1103515245L * ((b * $bandBits + i) * $dims + k) + 12345L)
-         |                 % 2147483648L div 1048576L % 2L = 1L,
+         |        s + IF((($h1 ^ ($h1 div 32768L)) * 2654435761L)
+         |                 % 2147483648L div 1024L % 2L = 1L,
          |               CAST(round(embedding[k] * 1000) AS BIGINT),
          |               -CAST(round(embedding[k] * 1000) AS BIGINT))) >= 0,
          |      CAST(shiftleft(1, i) AS BIGINT), 0L)))""".stripMargin)

@@ -163,7 +163,9 @@ object R9Ops {
     * integer-seeded jitter, float-rounded IDENTICALLY in both engines
     * (cast through REAL), landing at cosine ≈ 0.99 to its original.
     *
-    * Then: ±1 hyperplane weights from an LCG bit (pure integer algebra),
+    * Then: ±1 hyperplane weights from a pure-integer xorshift-multiply
+    * mix of the plane-dim index (round 12 — the raw LCG bit20 family was
+    * nearly rank-deficient: see [[graft.llm.Similarity.srpSignatures]]),
     * projections over round(e·1000) integer quantizations (sign
     * determinism — a near-zero float dot can't flip between engines'
     * summation orders), 32 planes packed as 4×8-bit band signatures,
@@ -189,8 +191,10 @@ object R9Ops {
        |eq AS (SELECT vec_id, j, CAST(round(e * 1000) AS BIGINT) AS q FROM ee),
        |proj AS (
        |  SELECT eq.vec_id, p // $bandBits AS band, p % $bandBits AS bit,
-       |    sum(CASE WHEN (1103515245 * (p * 64 + eq.j) + 12345)
-       |          % 2147483648 // 1048576 % 2 = 1
+       |    sum(CASE WHEN xor(
+       |          (1103515245 * (p * 64 + eq.j) + 12345) % 2147483648,
+       |          (1103515245 * (p * 64 + eq.j) + 12345) % 2147483648 // 32768)
+       |          * 2654435761 % 2147483648 // 1024 % 2 = 1
        |      THEN eq.q ELSE -eq.q END) AS dot
        |  FROM eq, unnest(range(0, $planes)) pp(p)
        |  GROUP BY 1, 2, 3),

@@ -5,14 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** One-off measurement main for the SRP sizing story (round 12): the
   * registered x_dedup_srp runs (planes=32, bandBits=8) + maxBucket=32,
-  * and at sf1h density the x_srp_band_density canary reads ~115 of 256
-  * buckets per band over the cap (recall 0.10) — the documented response
-  * is to widen bandBits toward log2(corpus). This main MEASURES that
-  * response at any (planes, bandBits): same augmented corpus, same
-  * bounded probe truth as x_dedup_srp_recall, capped pass, one JSON line
-  * with recall and wall-clock. Not a registered QDef — parameters are
-  * runtime arguments, so there is no single oracle text; the registered
-  * recall harness stays the per-corpus standing number.
+  * and at sf1h density the x_srp_band_density canary reads ~240 of 256
+  * buckets per band over the cap — the documented response is to widen
+  * bandBits toward log2(corpus). This main MEASURES that response at
+  * any (planes, bandBits): same augmented corpus, same bounded probe
+  * truth as x_dedup_srp_recall, capped pass, one JSON line with recall
+  * and wall-clock. Not a registered QDef — parameters are runtime
+  * arguments, so there is no single oracle text; the registered recall
+  * harness stays the per-corpus standing number.
+  *
+  * This probe's first readings CAUGHT the round-12 hyperplane defect:
+  * recall plateaued at 0.32-0.38 however wide the bands, which is
+  * impossible for independent hyperplanes at clone cosine ≈ 0.99 — the
+  * raw-LCG weight family was nearly rank-deficient (see
+  * [[graft.llm.Similarity.srpSignatures]]). Post-fix, (64, 16) measures
+  * recall 0.96 at sf1h density on BOTH the rotation and the sign-flip
+  * (--embhonest) fixtures.
   *
   * Run: SPARK_GRAFT_SF_DIR=/tmp/sf1h sbt "runMain graft.queries.SrpSizingProbe 64 16"
   */

@@ -24,16 +24,19 @@ class R58OpsSpec extends SparkSpec {
     }
     def half(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    // srpSignatures replay: ±1 LCG hyperplane weights over round(e·1000)
-    // integer quantizations; float multiply first (the engine's
+    // srpSignatures replay: ±1 xorshift-multiply-mixed hyperplane weights
+    // (the round-12 full-entropy family) over round(e·1000) integer
+    // quantizations; float multiply first (the engine's
     // embedding[k] * 1000 stays in FloatType before round)
     val sigs = aug.flatMap { case (id, e) =>
       val q = e.map(x => half((x * 1000f).toDouble))
       (0 until 4).map { b =>
         val s = (0 until 8).map { i =>
           val dot = (0 until 64).map { k =>
-            val bit = (1103515245L * ((b * 8 + i) * 64 + k) + 12345L) %
-              2147483648L / 1048576L % 2L
+            val h1 = (1103515245L * ((b * 8 + i) * 64 + k) + 12345L) %
+              2147483648L
+            val bit = (h1 ^ (h1 / 32768L)) * 2654435761L %
+              2147483648L / 1024L % 2L
             if (bit == 1L) q(k) else -q(k)
           }.sum
           if (dot >= 0) 1L << i else 0L

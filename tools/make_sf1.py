@@ -52,6 +52,21 @@ Round 12 additions (the sf10 canary-first demo):
   --tables=a,b Only build the listed tables (the canary demo needs
                documents + events; building 100x lineitem for a
                4-query go/no-go read would be fixture theater).
+  --embhonest  Embedding-analog of --heaps (round-11 verdict ask): the
+               default embedding perturbation ROTATES elements by the
+               replica index, and rotation replicas of one structured
+               corpus CONCENTRATE sign-LSH buckets (any fixed
+               hyperplane set sees a rotation family as near-collinear
+               projections — measured: SrpSizingProbe recall plateaus
+               ~0.38 at sf1h however wide the bands). This mode instead
+               multiplies each dimension by a deterministic per-replica
+               ±1 SIGN PATTERN: norms, within-replica geometry, and
+               clone cosines are preserved EXACTLY (sign flips are an
+               isometry applied uniformly per replica), while a fixed
+               hyperplane h sees replica r as the projection of the
+               base vector onto h∘s_r — a fresh effective hyperplane
+               per replica — so bucket density stays FLAT as the corpus
+               grows: the honest regime for banded sign-LSH.
 
 Usage: python3 tools/make_sf1.py [outdir] [--heaps]   (default /tmp/sf1)
 """
@@ -60,6 +75,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 HEAPS = "--heaps" in sys.argv
+EMBHONEST = "--embhonest" in sys.argv
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 OUT = ARGS[0] if ARGS else ("/tmp/sf1h" if HEAPS else "/tmp/sf1")
 REPLICAS = 10
@@ -139,6 +155,21 @@ HEAPS_TEXT_SUFFIX = (
     "list_transform(string_split(text, ' '), "
     "t -> CASE WHEN hash(t) % 5 = 0 THEN t "
     "ELSE t || repeat('z', r.r) END), ' ') END AS text")
+# --embhonest: deterministic per-(replica, dim) sign flips — an exact
+# per-replica isometry (see the flag docstring). The flip bit MUST come
+# from a family UNRELATED to the engine's hyperplane LCG: a first draft
+# reused the srpSignatures formula, making the flip pattern s_r IDENTICAL
+# to hyperplane pattern h_r, and bit20 of two affine sequences differing
+# by a constant offset mostly agree — effective hyperplanes h∘s_r then
+# correlate ~0.6 per plane ACROSS replicas and cross-replica bucket
+# collisions ran 4.4x uniform (measured; BENCH_NOTES round 12). DuckDB's
+# hash() has no such affine structure.
+EMB_SIGNFLIP = (
+    "CASE WHEN r.r = 0 THEN embedding ELSE "
+    "list_transform(list_zip(embedding, range(0, 64)), "
+    "z -> CASE WHEN hash(r.r * 64 + z[2]) % 2 = 0 "
+    "THEN z[1] ELSE -z[1] END)::FLOAT[] END AS embedding")
+
 HEAPS_TEXT_CAESAR = (
     "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
     "list_transform(string_split(text, ' '), "
@@ -166,6 +197,8 @@ def main():
             if HEAPS and t == "documents":
                 pmap["text"] = (HEAPS_TEXT_SUFFIX if REPLICAS <= 10
                                 else HEAPS_TEXT_CAESAR)
+            if EMBHONEST and t == "embeddings":
+                pmap["embedding"] = EMB_SIGNFLIP
             sel = ", ".join(
                 f"{c} + r.r * {smap[c]} AS {c}" if c in smap
                 else pmap.get(c, c)
