@@ -320,23 +320,40 @@ object Similarity {
     * bands could not raise recall (the SrpSizingProbe plateau). The mix
     * (h ← a·idx+c mod 2³¹; h ← xor(h, h ≫ 15)·2654435761 mod 2³¹;
     * bit = h ≫ 10 mod 2) measures 31.8/64 mean pairwise agreement
-    * (ideal 32, binomial spread) — full-entropy bands. */
+    * (ideal 32, binomial spread) — full-entropy bands.
+    *
+    * The weight matrix is DATA-INDEPENDENT, so [[srpWeight]] evaluates it
+    * at plan-build time and the per-row expression multiplies the
+    * quantized dims against a ±1 LITERAL array — the mixing arithmetic
+    * never runs per row (it briefly did, tripling the signature pass;
+    * the oracle text still spells out the formula, which pins the
+    * literal to the shared integer algebra). */
   def srpSignatures(corpus: DataFrame, planes: Int, bandBits: Int,
       dims: Int): DataFrame = {
     val bands = planes / bandBits
-    val h1 = s"(1103515245L * ((b * $bandBits + i) * $dims + k) + 12345L) % 2147483648L"
+    // ±1 weights, flat-indexed by plane*dims + k, as one literal array
+    val w: Seq[Long] =
+      (0 until planes * dims).map(idx => if (srpWeight(idx)) 1L else -1L)
     val sigs = expr(
       s"""transform(sequence(0, ${bands - 1}), b ->
          |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, i) ->
          |    acc + IF(
          |      aggregate(sequence(0, ${dims - 1}), 0L, (s, k) ->
-         |        s + IF((($h1 ^ ($h1 div 32768L)) * 2654435761L)
-         |                 % 2147483648L div 1024L % 2L = 1L,
-         |               CAST(round(embedding[k] * 1000) AS BIGINT),
-         |               -CAST(round(embedding[k] * 1000) AS BIGINT))) >= 0,
+         |        s + element_at(${w.mkString("array(", "L,", "L)")},
+         |              CAST((b * $bandBits + i) * $dims + k + 1 AS INT))
+         |            * CAST(round(embedding[k] * 1000) AS BIGINT)) >= 0,
          |      CAST(shiftleft(1, i) AS BIGINT), 0L)))""".stripMargin)
     corpus.select(col("vec_id"),
         posexplode(sigs).as(Seq("band", "sig")))
+  }
+
+  /** The SRP hyperplane weight bit for flat index plane·dims + k — the
+    * xorshift-multiply mix documented on [[srpSignatures]], evaluated
+    * once at plan build. Public so spec replays and sizing tools share
+    * the exact integer algebra. */
+  def srpWeight(idx: Long): Boolean = {
+    val h1 = (1103515245L * idx + 12345L) % 2147483648L
+    (h1 ^ (h1 / 32768L)) * 2654435761L % 2147483648L / 1024L % 2L == 1L
   }
 
   /** Banded SRP-LSH near-dup pairs — the OR-amplified recall upgrade of
