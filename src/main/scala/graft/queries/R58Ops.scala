@@ -56,5 +56,21 @@ object R58Ops {
             .as("candidate_pairs"),
           sum(when(col("n") > 32, 1L).otherwise(0L)).as("buckets_over_32"))
         .orderBy("band")
+    },
+
+    // SIZED SRP-LSH: the canary's recommended move as a REGISTERED,
+    // oracle-gated tier — 64 planes as 4×16-bit bands (bandBits ≈
+    // log2(corpus) at the sf1 scale, 2^16 bucket keys per band) + the
+    // same maxBucket=32 valve. Where x_dedup_srp (4×8-bit) saturates at
+    // sf1h density (avg bucket occupancy 98 ≫ cap ⇒ recall 0.10), this
+    // sizing measures 0.96 recall at the same density (SrpSizingProbe,
+    // both scale fixtures) at exactly 2× the signature cost — the
+    // go/no-go read from x_srp_band_density selects between them per
+    // corpus. Oracle = the shared capped generator at (64, 16).
+    QDef("x_dedup_srp_sized",
+      s"""WITH ${R9Ops.srpCappedText(64, 16)}
+         |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin) { (s, d) =>
+      graft.llm.Similarity.srpNearDups(R9Ops.srpAugmented(Tables(s, d)),
+        planes = 64, bandBits = 16, dims = 64, tau = 0.9, maxBucket = 32)
     })
 }
