@@ -57,7 +57,11 @@ object StreamBench {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val streamSec = (System.nanoTime() - t0) / 1e9
-    val batches = q.recentProgress.length
+    // batch COUNT from the final progress's batchId, not
+    // recentProgress.length — the latter is capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) and
+    // would silently saturate above ~100 files (ADVICE r12)
+    val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
     val rows = spark.table("stream_bench").count()
 
     val tb = System.nanoTime()
@@ -67,6 +71,17 @@ object StreamBench {
 
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     spark.stop()
+    // remove the temp source/checkpoint tree — a probe main must not
+    // accumulate one events copy per run in /tmp (ADVICE r12)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.delete(f)
+            catch { case _: Throwable => () })
+      }
+    }
+    rmTree(java.nio.file.Paths.get(tmp))
     println(s"""{"metric":"stream_tumbling_engine","value":${r3(streamSec)},"unit":"sec","batch_sec":${r3(batchSec)},"micro_batches":$batches,"rows":$rows,"rows_match":${rows == batchRows},"n_files":$nFiles,"sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<float>` columns — single pass accumulating dot product and both
@@ -163,6 +163,186 @@ case class SquaredL2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded SRP (sign-random-projection) signatures over an `array<float>`
+  * embedding: quantizes each dim to `round(e·1000)` integers (the engine/
+  * oracle-shared sign-determinism contract), projects against the ±1
+  * hyperplane family, and returns `planes/bandBits` band values, each
+  * packing `bandBits` hyperplane sign bits, as `array<bigint>`.
+  *
+  * Why a custom Expression (prompt preference order (b)): the composable
+  * formulation — nested `transform`/`aggregate` with `element_at` into a
+  * `planes·dims`-element ±1 literal array — is a HigherOrderFunction tree:
+  * evaluated INTERPRETED per element, it re-ran the `round(e·1000)`
+  * quantization inside the innermost loop (planes·dims BigDecimal rounds
+  * per row — 4096 at the sized tier), and, being CodegenFallback, it
+  * barred the hosting Project from whole-stage codegen entirely. That made
+  * the sized SRP tier the slowest query in the whole suite (BENCH_SF1_r12:
+  * 74.8 s at sf1h, "single-task interpreted-HOF signature pass"). This
+  * expression quantizes each dim ONCE and emits one fused Java triple loop
+  * inside whole-stage codegen, with the hyperplane weight matrix held as a
+  * reference object.
+  *
+  * Bit-identity contract: the weight matrix is [[SrpSignatures.weight]] —
+  * the exact xorshift-multiply mix the HOF literal array was built from
+  * and the DuckDB oracle texts spell out; [[SrpSignatures.quantize]]
+  * replicates `CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)`
+  * exactly (Spark's Round = HALF_UP on `BigDecimal.valueOf`, i.e. on the
+  * double's shortest decimal representation — taken verbatim on the tie
+  * window); and the per-bit accumulation is the same ascending-k Long sum
+  * with `dot >= 0` sign packing. Results are bit-for-bit equal to the HOF
+  * formulation (asserted in VectorExpressionsSpec, which keeps the retired
+  * HOF text as its oracle) and to DuckDB (all SRP-family gates).
+  *
+  * Null semantics: null array → null; array length ≠ `dims` → null (the
+  * schema contract is fixed-width embeddings; a mismatch is data
+  * corruption surfaced as null, not a silent partial projection). Elements
+  * are assumed non-null and finite (embedding columns).
+  *
+  * Scale shape: scan-local (one pass, no exchange), parallelizes by row
+  * group; the weight matrix is O(planes·dims) longs shipped once with the
+  * generated code, never per row.
+  */
+case class SrpSignatures(child: Expression, planes: Int, bandBits: Int,
+    dims: Int) extends UnaryExpression {
+
+  private def bands: Int = planes / bandBits
+
+  @transient private lazy val weights: Array[Long] =
+    Array.tabulate(planes * dims)(idx =>
+      if (SrpSignatures.weight(idx.toLong)) 1L else -1L)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      if (planes <= 0 || bandBits <= 0 || bandBits > 62 || dims <= 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires planes > 0, 0 < bandBits <= 62, dims > 0")
+      else if (planes % bandBits != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires bandBits ($bandBits) to divide planes ($planes)")
+      else TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_sigs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dims) null
+    else {
+      val q = new Array[Long](dims)
+      var k = 0
+      while (k < dims) {
+        q(k) = SrpSignatures.quantize(arr.getFloat(k).toDouble * 1000.0)
+        k += 1
+      }
+      val sigs = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = 0L
+        var i = 0
+        while (i < bandBits) {
+          var s = 0L
+          val base = (b * bandBits + i) * dims
+          var j = 0
+          while (j < dims) {
+            s += weights(base + j) * q(j)
+            j += 1
+          }
+          if (s >= 0L) acc |= (1L << i)
+          i += 1
+        }
+        sigs(b) = acc
+        b += 1
+      }
+      new GenericArrayData(sigs)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val w = ctx.addReferenceObj("srpWeights", weights, "long[]")
+      val qa = ctx.freshName("qa")
+      val sigs = ctx.freshName("sigs")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($arr.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $qa = new long[$dims];
+         |  for (int $k = 0; $k < $dims; $k++) {
+         |    $qa[$k] = graft.functions.SrpSignatures.quantize(
+         |      ((double) $arr.getFloat($k)) * 1000.0);
+         |  }
+         |  long[] $sigs = new long[$bands];
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $bandBits; $i++) {
+         |      long $s = 0L;
+         |      int $base = ($b * $bandBits + $i) * $dims;
+         |      for (int $k = 0; $k < $dims; $k++) {
+         |        $s += $w[$base + $k] * $qa[$k];
+         |      }
+         |      if ($s >= 0L) $acc |= (1L << $i);
+         |    }
+         |    $sigs[$b] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpSignatures {
+
+  /** The SRP hyperplane weight bit for flat index plane·dims + k — a
+    * xorshift-multiply MIX of the index (h ← a·idx+c mod 2³¹;
+    * h ← xor(h, h ≫ 15)·2654435761 mod 2³¹; bit = h ≫ 10 mod 2), the
+    * round-12 full-entropy family (raw LCG bit 20 was nearly
+    * rank-deficient — see [[graft.llm.Similarity.srpSignatures]]'s
+    * history note). Pure integer algebra, replayable in any engine: the
+    * DuckDB oracle texts and the spec replays spell out this exact
+    * formula. [[graft.llm.Similarity.srpWeight]] delegates here. */
+  def weight(idx: Long): Boolean = {
+    val h1 = (1103515245L * idx + 12345L) % 2147483648L
+    (h1 ^ (h1 / 32768L)) * 2654435761L % 2147483648L / 1024L % 2L == 1L
+  }
+
+  /** `CAST(round(m, 0) AS BIGINT)` for a double `m`, replicating Spark's
+    * Round semantics exactly: HALF_UP applied to `BigDecimal.valueOf(m)`
+    * (the SHORTEST-decimal representation of the double, not its exact
+    * binary value). Away from the tie window the two notions agree and a
+    * plain `floor(m + 0.5)` (= round-half-away there, for either sign
+    * since non-tie) is exact, so the BigDecimal path — a Double.toString
+    * per call — only runs when |frac − 0.5| ≤ 1e-9, where the shortest-
+    * repr subtlety can actually bite (the window is ~1e-11 wide for the
+    * |m| ≤ 10⁵ quantized-embedding range; 1e-9 is a safe cover). NaN/Inf
+    * pass through Round and truncate under the cast — can't occur for
+    * finite embeddings, kept total so the expression never throws.
+    * Called from both the interpreted eval and the generated code (via
+    * the companion's static forwarder). */
+  def quantize(m: Double): Long = {
+    if (java.lang.Double.isNaN(m) || java.lang.Double.isInfinite(m)) m.toLong
+    else {
+      val f = m - math.floor(m)
+      if (math.abs(f - 0.5) > 1e-9) math.floor(m + 0.5).toLong
+      else java.math.BigDecimal.valueOf(m)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
+  }
+}
+
 /** Registration surface: imperative (`register`) for existing sessions and a
   * `SparkSessionExtensions` hook for `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
@@ -176,6 +356,11 @@ object GraftFunctions {
   def l2Sq(a: Column, b: Column): Column =
     Shim.column(SquaredL2Distance(Shim.expression(a), Shim.expression(b)))
 
+  /** Dataset-API entry: `srpSigs(quantized, planes, bandBits, dims)` over an
+    * `array<bigint>` integer-quantized embedding. */
+  def srpSigs(quantized: Column, planes: Int, bandBits: Int, dims: Int): Column =
+    Shim.column(SrpSignatures(Shim.expression(quantized), planes, bandBits, dims))
+
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -185,6 +370,23 @@ object GraftFunctions {
     FunctionIdentifier("l2_sq"),
     new ExpressionInfo(classOf[SquaredL2Distance].getName, "l2_sq"),
     (children: Seq[Expression]) => SquaredL2Distance(children(0), children(1)))
+
+  /** `srp_sigs(quantized, planes, bandBits, dims)` — the three width
+    * parameters must be INT literals (they shape the weight matrix at plan
+    * build; a non-literal width has no meaning for a data-independent
+    * hyperplane family). */
+  val srpSigsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("srp_sigs"),
+    new ExpressionInfo(classOf[SrpSignatures].getName, "srp_sigs"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"srp_sigs: $name must be an INT literal, got $other")
+      }
+      SrpSignatures(children(0), intLit(children(1), "planes"),
+        intLit(children(2), "bandBits"), intLit(children(3), "dims"))
+    })
 
   val minHash16Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash16"),
@@ -228,8 +430,8 @@ object GraftFunctions {
       Shim.expression(key)))
 
   private def allDescriptors = Seq(cosineSimDescriptor, l2SqDescriptor,
-    minHash16Descriptor, simHash32WordsDescriptor, jaroWinklerDescriptor,
-    jaroWinklerAliasDescriptor)
+    srpSigsDescriptor, minHash16Descriptor, simHash32WordsDescriptor,
+    jaroWinklerDescriptor, jaroWinklerAliasDescriptor)
 
   /** Register `cosine_sim` / `l2_sq` / `minhash16` / `simhash32_words` in an
     * existing session's function registry (usable from `spark.sql(...)`). */
@@ -244,6 +446,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.l2SqDescriptor)
+    ext.injectFunction(GraftFunctions.srpSigsDescriptor)
     ext.injectFunction(GraftFunctions.minHash16Descriptor)
     ext.injectFunction(GraftFunctions.simHash32WordsDescriptor)
     ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)

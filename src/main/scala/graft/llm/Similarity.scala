@@ -322,39 +322,40 @@ object Similarity {
     * bit = h ≫ 10 mod 2) measures 31.8/64 mean pairwise agreement
     * (ideal 32, binomial spread) — full-entropy bands.
     *
-    * The weight matrix is DATA-INDEPENDENT, so [[srpWeight]] evaluates it
-    * at plan-build time and the per-row expression multiplies the
-    * quantized dims against a ±1 LITERAL array — the mixing arithmetic
-    * never runs per row (it briefly did, tripling the signature pass;
-    * the oracle text still spells out the formula, which pins the
-    * literal to the shared integer algebra). */
+    * The weight matrix is DATA-INDEPENDENT, so it is evaluated from
+    * [[srpWeight]] at plan-build time — the mixing arithmetic never runs
+    * per row (the oracle text still spells out the formula, which pins
+    * the matrix to the shared integer algebra).
+    *
+    * Round 13: the whole signature pass is the native codegen'd
+    * [[graft.functions.SrpSignatures]] expression (quantize each dim
+    * once, then one fused Java triple loop with the weight matrix as a
+    * reference object) — the previous formulation, nested
+    * `transform`/`aggregate` HOFs over a planes·dims-element ±1 literal
+    * with per-element `element_at`, was interpreted per row, re-ran the
+    * quantization round inside the innermost loop, and (CodegenFallback)
+    * barred its Project from whole-stage codegen; it made the (64, 16)
+    * sized tier the slowest query in the suite (74.8 s at sf1h,
+    * BENCH_SF1_r12). Results are bit-identical: the quantization
+    * replicates Spark's `CAST(round(CAST(x AS DOUBLE) * 1000.0) AS
+    * BIGINT)` exactly, BigDecimal-HALF_UP tie window included
+    * ([[graft.functions.SrpSignatures.quantize]]); VectorExpressionsSpec
+    * asserts equality against the retired HOF formulation, and the
+    * DuckDB oracles gate it end-to-end. */
   def srpSignatures(corpus: DataFrame, planes: Int, bandBits: Int,
-      dims: Int): DataFrame = {
-    val bands = planes / bandBits
-    // ±1 weights, flat-indexed by plane*dims + k, as one literal array
-    val w: Seq[Long] =
-      (0 until planes * dims).map(idx => if (srpWeight(idx)) 1L else -1L)
-    val sigs = expr(
-      s"""transform(sequence(0, ${bands - 1}), b ->
-         |  aggregate(sequence(0, ${bandBits - 1}), 0L, (acc, i) ->
-         |    acc + IF(
-         |      aggregate(sequence(0, ${dims - 1}), 0L, (s, k) ->
-         |        s + element_at(${w.mkString("array(", "L,", "L)")},
-         |              CAST((b * $bandBits + i) * $dims + k + 1 AS INT))
-         |            * CAST(round(embedding[k] * 1000) AS BIGINT)) >= 0,
-         |      CAST(shiftleft(1, i) AS BIGINT), 0L)))""".stripMargin)
+      dims: Int): DataFrame =
     corpus.select(col("vec_id"),
-        posexplode(sigs).as(Seq("band", "sig")))
-  }
+      posexplode(graft.functions.GraftFunctions.srpSigs(col("embedding"),
+        planes, bandBits, dims)).as(Seq("band", "sig")))
 
   /** The SRP hyperplane weight bit for flat index plane·dims + k — the
     * xorshift-multiply mix documented on [[srpSignatures]], evaluated
     * once at plan build. Public so spec replays and sizing tools share
-    * the exact integer algebra. */
-  def srpWeight(idx: Long): Boolean = {
-    val h1 = (1103515245L * idx + 12345L) % 2147483648L
-    (h1 ^ (h1 / 32768L)) * 2654435761L % 2147483648L / 1024L % 2L == 1L
-  }
+    * the exact integer algebra; delegates to
+    * [[graft.functions.SrpSignatures.weight]], the same matrix the
+    * native expression holds. */
+  def srpWeight(idx: Long): Boolean =
+    graft.functions.SrpSignatures.weight(idx)
 
   /** Banded SRP-LSH near-dup pairs — the OR-amplified recall upgrade of
     * [[embeddingNearDups]]'s single AND-bucket: a pair is a candidate if
@@ -402,6 +403,21 @@ object Similarity {
       .select(col("d1"), col("d2"), cosine(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Mechanized SRP tier selection (round 13 — closes the "tier
+    * escalation is a human act" residual): bandBits ≈ ceil(log₂ n)
+    * clamped to the two REGISTERED tiers, as one integer comparison both
+    * engines can compute identically — n > 2⁸ ⟺ ceil(log₂ n) > 8 ⟹ the
+    * 8-bit band space is outnumbered by the corpus, escalate to the
+    * sized (64, 16) tier; otherwise the (32, 8) default. This is exactly
+    * the go/no-go read x_srp_band_density documents ("avg occupancy ≫
+    * cap ⇒ widen bandBits"), turned from prose into the dispatch
+    * x_dedup_srp_auto registers: the 8-bit tier's recall collapses to
+    * ~0.10 at sf1h density while the sized tier holds 0.96
+    * (SrpSizingProbe, both scale fixtures). `n` is the corpus count —
+    * one metadata-cheap pass (parquet footers) at plan build. */
+  def srpAutoTier(n: Long): (Int, Int) =
+    if (n > 256) (64, 16) else (32, 8)
 
   /** Prototype-distance filtering (the D4 recipe — "D4: Improving LLM
     * Pretraining via Document De-Duplication and Diversification",

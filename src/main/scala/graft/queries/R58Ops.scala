@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * side has had since R54 (x_band_density). Context: the capped SRP tier
   * is now the REGISTERED embedding near-dup default (x_dedup_srp /
   * x_dedup_embedding), and unlike the text side its cap measurably BINDS
-  * at the gate scales — 256 buckets per 8-bit band are undersized at
-  * 7.5k vectors (64 hot buckets at sf0.1; x_dedup_srp_recall prices the
-  * recall cost at 0.46 there). The production posture is bandBits ≈
+  * at the bench scale — post the round-12 hyperplane fix, the canary
+  * reads 5 hot buckets (> 32, max 37) across bands 1 and 3 at sf0.1's
+  * 2,500 augmented vectors (none at sf0.01's 625), with
+  * x_dedup_srp_recall still at 1.0 at both gate scales; saturation
+  * begins at sf1h density, where avg occupancy overwhelms the 8-bit
+  * band space. The production posture is bandBits ≈
   * log2(corpus) with the cap as the overload valve — and THIS canary is
   * the one-pass read that says, BEFORE a 100 TB pass commits, whether
   * bandBits is sized (candidate_pairs tracking the corpus ≈ linearly)
@@ -64,9 +67,14 @@ object R58Ops {
     // same maxBucket=32 valve. Where x_dedup_srp (4×8-bit) saturates at
     // sf1h density (avg bucket occupancy 98 ≫ cap ⇒ recall 0.10), this
     // sizing measures 0.96 recall at the same density (SrpSizingProbe,
-    // both scale fixtures) at exactly 2× the signature cost — the
-    // go/no-go read from x_srp_band_density selects between them per
-    // corpus. Oracle = the shared capped generator at (64, 16).
+    // both scale fixtures) at 2× the per-row projection work (64 vs 32
+    // planes) — and since the round-13 native signature expression
+    // (graft.functions.SrpSignatures), LOWER end-to-end cost than the
+    // 8-bit tier at sf0.1 (0.76 s vs 1.41 s: sparser 16-bit buckets mean
+    // far fewer candidate pairs, and the projection is a fused codegen
+    // loop either way). The go/no-go read from x_srp_band_density
+    // selects between them per corpus; x_dedup_srp_auto mechanizes that
+    // read. Oracle = the shared capped generator at (64, 16).
     QDef("x_dedup_srp_sized",
       s"""WITH ${R9Ops.srpCappedText(64, 16)}
          |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin) { (s, d) =>

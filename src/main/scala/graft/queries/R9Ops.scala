@@ -279,9 +279,14 @@ object R9Ops {
     // identical hot-bucket anti-join) is the registered default — fixed
     // bandBits means bucket DENSITY grows with the corpus (×16 uncapped
     // vs ×8.0 capped at the ×10 scale-up, BENCH_SF1_r11), the same flip
-    // the text-side pipeline made in round 11. The cap never binds at
-    // the gate scales (bucket max ≪ 32), so sf0.01/sf0.1 results equal
-    // the uncapped pass bit-for-bit.
+    // the text-side pipeline made in round 11. Where the cap binds —
+    // measured via x_srp_band_density (round 13): at sf0.01 (625
+    // augmented vectors) it never does (max bucket 13); at sf0.1 (2,500)
+    // it binds MILDLY — 5 of ~1,016 buckets exceed 32 (max 37, bands 1
+    // and 3), so the capped default does drop a small candidate slice at
+    // the bench scale. The gates still match because the oracle carries
+    // the identical cap semantics, and the recall harness prices the
+    // cost: x_dedup_srp_recall reads 1.0 at both gate scales.
     QDef("x_dedup_srp",
       s"""WITH $SrpCtesCapped
          |SELECT d1, d2, cos FROM srp WHERE cos >= 0.9""".stripMargin) { (s, d) =>

@@ -23,14 +23,25 @@ import org.apache.spark.sql.functions._
   * (--embhonest) fixtures.
   *
   * Run: SPARK_GRAFT_SF_DIR=/tmp/sf1h sbt "runMain graft.queries.SrpSizingProbe 64 16"
+  * or `... SrpSizingProbe auto` (round 13) — the x_dedup_srp_auto
+  * dispatch chooses the tier from the corpus count exactly as the
+  * registered query does, and the record carries the width it chose:
+  * the "≥0.9 recall at sf1h density without a human choosing the tier"
+  * evidence row.
   */
 object SrpSizingProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1h")
-    val planes = args.headOption.map(_.toInt).getOrElse(64)
-    val bandBits = if (args.length > 1) args(1).toInt else 16
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    val auto = args.headOption.contains("auto")
+    val (planes, bandBits) =
+      if (auto) {
+        val t = Tables(spark, sfDir)
+        graft.llm.Similarity.srpAutoTier(t.embeddings.count() +
+          t.embeddings.filter(col("vec_id") % 4 === 1).count())
+      } else (args.headOption.map(_.toInt).getOrElse(64),
+        if (args.length > 1) args(1).toInt else 16)
 
     val aug = R9Ops.srpAugmented(Tables(spark, sfDir))
     // the x_dedup_srp_recall probe sub-universe: pinned ≤4000-id sample
@@ -53,7 +64,7 @@ object SrpSizingProbe {
     val nTrue = truth.count()
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     spark.stop()
-    println(s"""{"metric":"srp_sizing","planes":$planes,"band_bits":$bandBits,"max_bucket":32,"n_true":$nTrue,"n_found":$found,"recall":${r3(if (nTrue == 0) 0 else found.toDouble / nTrue)},"pass_sec":${r3(sec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"srp_sizing","auto":$auto,"planes":$planes,"band_bits":$bandBits,"max_bucket":32,"n_true":$nTrue,"n_found":$found,"recall":${r3(if (nTrue == 0) 0 else found.toDouble / nTrue)},"pass_sec":${r3(sec)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** The two-oracle discipline for x_dedup_srp_auto, plus the mechanical
+  * tier-selection check the round-12 verdict asked for (task 8): each
+  * corpus regime must select the documented tier WITHOUT a human reading
+  * the canary. */
+class R59OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("srpAutoTier: escalates exactly when the corpus outnumbers the " +
+      "8-bit band space (n > 2^8)") {
+    assert(Similarity.srpAutoTier(1L) === ((32, 8)))
+    assert(Similarity.srpAutoTier(256L) === ((32, 8)))
+    assert(Similarity.srpAutoTier(257L) === ((64, 16)))
+    assert(Similarity.srpAutoTier(625L) === ((64, 16)))   // gate scales
+    assert(Similarity.srpAutoTier(25000L) === ((64, 16))) // sf1h fixture
+  }
+
+  test("x_dedup_srp_auto at the gate scale dispatches to the sized tier " +
+      "and its pairs equal x_dedup_srp_sized's exactly") {
+    val auto = SparkEntry.queries("x_dedup_srp_auto")(spark, sf).collect()
+    assert(auto.nonEmpty)
+    assert(auto.forall(_.getInt(0) == 16), "n = 625 > 256 -> 16-bit tier")
+    val sized = SparkEntry.queries("x_dedup_srp_sized")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val autoPairs = auto.map(r => s"[${r.get(1)},${r.get(2)},${r.get(3)}]")
+      .sorted.toSeq
+    assert(autoPairs === sized, "same candidate machinery behind the dispatch")
+  }
+
+  test("x_dedup_srp_auto on a small written corpus (n <= 256) dispatches " +
+      "to the 8-bit default, pairs matching srpNearDups(32, 8) replay") {
+    // 150 base vectors -> 150 + 37 clones = 187 <= 256: the 8-bit branch,
+    // unreachable at the shipped gate scales, exercised on a real parquet
+    // dir so the REGISTERED query (counts included) runs end-to-end
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srp_auto").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 150)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val auto = SparkEntry.queries("x_dedup_srp_auto")(spark, dir).collect()
+      assert(auto.nonEmpty)
+      assert(auto.forall(_.getInt(0) == 8), "n = 187 <= 256 -> 8-bit tier")
+      val small = graft.Tables(spark, dir)
+      val expect = Similarity.srpNearDups(R9Ops.srpAugmented(small),
+          planes = 32, bandBits = 8, dims = 64, tau = 0.9, maxBucket = 32)
+        .collect().map(_.toString).sorted.toSeq
+      val got = auto.map(r => s"[${r.get(1)},${r.get(2)},${r.get(3)}]")
+        .sorted.toSeq
+      assert(got === expect)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f)
+          catch { case _: Throwable => () })
+    }
+  }
+}

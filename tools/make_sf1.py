@@ -145,11 +145,24 @@ PERTURB = {
 # universe and under the engine's first-3-chars+length wordHash).
 #   N <= 10 (the round-11 sf1h fixture, kept byte-reproducible):
 #     suffix 'z' * r — distinct length => distinct wordHash.
-#   N > 10 (sf10+): Caesar-shift the first character by r % 26 and
-#     append 'z' * (r // 26) — distinct (first-char shift, length)
-#     pair per replica, bounded char growth. Within a replica the
-#     shift is a bijection on the first character, so word identity
-#     (and therefore trigram structure) is preserved exactly.
+#   N > 10 (sf10+): prepend a replica-unique 3-char marker,
+#     base26(r) (2 chars) + '~'. The round-12 Caesar variant
+#     (shift first char by r % 26 + 'z' * (r // 26)) was NOT
+#     disjoint (ADVICE r12): a shifted word could equal an
+#     unrenamed kept word (shift('cat',1)='dat'), two DIFFERENT
+#     originals in different replicas could shift to the SAME
+#     string ('cat'+1 = 'bat'+2 = 'dat'), and the mod-26 shift was
+#     non-bijective off lowercase. The prefix fixes all three by
+#     construction: '~' never occurs in the base corpus (lowercase
+#     + space only — asserted post-build), so renamed ∩ kept = ∅;
+#     the base26 pair is unique per replica (known-good for
+#     r < 676, asserted), so renamed vocabularies are pairwise
+#     disjoint; prepending a fixed string is injective, so
+#     within-replica word identity (and therefore shingle
+#     structure) is preserved exactly. Constant +3 chars per
+#     renamed word (vs the suffix scheme's O(r)), and the marker
+#     lands in the engine's first-3-chars+length wordHash prefix,
+#     so hash-universe disjointness holds too.
 HEAPS_TEXT_SUFFIX = (
     "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
     "list_transform(string_split(text, ' '), "
@@ -170,12 +183,13 @@ EMB_SIGNFLIP = (
     "z -> CASE WHEN hash(r.r * 64 + z[2]) % 2 = 0 "
     "THEN z[1] ELSE -z[1] END)::FLOAT[] END AS embedding")
 
-HEAPS_TEXT_CAESAR = (
+HEAPS_TEXT_PREFIX = (
     "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
     "list_transform(string_split(text, ' '), "
     "t -> CASE WHEN hash(t) % 5 = 0 OR len(t) = 0 THEN t "
-    "ELSE chr(CAST(((ascii(t[1:1]) - 97 + r.r) % 26) + 97 AS INTEGER)) || t[2:] "
-    "|| repeat('z', r.r // 26) END), ' ') END AS text")
+    "ELSE chr(CAST(97 + (r.r // 26) % 26 AS INTEGER)) "
+    "|| chr(CAST(97 + r.r % 26 AS INTEGER)) || '~' || t END), ' ') "
+    "END AS text")
 
 
 def main():
@@ -195,8 +209,21 @@ def main():
             smap = dict(shifts)
             pmap = dict(PERTURB.get(t, {}))
             if HEAPS and t == "documents":
+                assert REPLICAS < 676, "base26 marker pair exhausted"
+                # both schemes' disjointness proofs rest on the rename
+                # markers being absent from the base corpus ('z' suffix
+                # for N <= 10, '~' prefix for N > 10) — assert it rather
+                # than assume it (ADVICE r12): a marker occurring in a
+                # kept word would let a renamed word collide with it
+                bad = con.execute(
+                    f"SELECT count(*) FROM '{src}' "
+                    "WHERE text LIKE '%z%' OR text LIKE '%~%'"
+                ).fetchone()[0]
+                assert bad == 0, (
+                    f"{bad} base documents contain a rename marker "
+                    "('z'/'~') — heaps vocabulary disjointness broken")
                 pmap["text"] = (HEAPS_TEXT_SUFFIX if REPLICAS <= 10
-                                else HEAPS_TEXT_CAESAR)
+                                else HEAPS_TEXT_PREFIX)
             if EMBHONEST and t == "embeddings":
                 pmap["embedding"] = EMB_SIGNFLIP
             sel = ", ".join(
