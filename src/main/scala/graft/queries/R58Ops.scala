@@ -70,7 +70,7 @@ object R58Ops {
     // both scale fixtures) at 2× the per-row projection work (64 vs 32
     // planes) — and since the round-13 native signature expression
     // (graft.functions.SrpSignatures), LOWER end-to-end cost than the
-    // 8-bit tier at sf0.1 (0.76 s vs 1.41 s: sparser 16-bit buckets mean
+    // 8-bit tier at sf0.1 (0.39 s vs 0.93 s, BENCH_LOCAL_r13: sparser buckets mean
     // far fewer candidate pairs, and the projection is a fused codegen
     // loop either way). The go/no-go read from x_srp_band_density
     // selects between them per corpus; x_dedup_srp_auto mechanizes that
