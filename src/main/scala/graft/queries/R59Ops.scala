@@ -42,6 +42,62 @@ object R59Ops {
       .replaceAllIn(base, m => m.group(1) + "8")
   }
 
+  /** A registered ngram-tier text (both end in the same final-SELECT
+    * shape) rewritten as a CTE block ending in `res AS (…)`, with every
+    * block-local name suffixed when requested so two tiers coexist in
+    * one WITH. The suffix also lands on the in-block shingle column `g`
+    * — renamed consistently at its definition and both join sides, so
+    * the text stays valid. Surgery on the REGISTERED tier oracles (the
+    * SrpCtesCapped8Renamed convention), so the dispatch oracle cannot
+    * drift from the tiers it dispatches between. */
+  private[queries] def ngramTierCtes(base: String, sfx: String): String = {
+    val anchor = "SELECT d1, d2, round"
+    val cut = base.lastIndexOf(anchor)
+    require(cut > 0 && base.startsWith("WITH "),
+      "ngram tier text anchors moved — update ngramTierCtes")
+    // plain concatenation, NOT stripMargin: the interpolated tier text
+    // contains '||' string-concat operators at line starts, which a
+    // stripMargin over the combined string would eat as margin pipes
+    val block = base.substring(5, cut).trim + ",\nres AS (\n" +
+      base.substring(cut) + ")"
+    if (sfx.isEmpty) block
+    else """\b(g|sizes|inter|res)\b""".r
+      .replaceAllIn(block, m => m.group(1) + sfx)
+  }
+
+  /** The dual-width dispatch oracle of x_dedup_ngram_auto: the
+    * x_heaps_profile counts (hashed-trigram universe, 25/50/100% carve)
+    * decide the width with the SAME integer comparisons as
+    * [[TierSelect.heapsRegime]], then both registered tiers' CTE
+    * pipelines run, each branch guarded by the decision. */
+  private[queries] val NgramAutoSql = {
+    val w3 = ngramTierCtes(StarExt.NgramJaccardSql, "")
+    val w5 = ngramTierCtes(R56Ops.NgramCoarseSql, "5")
+    // the decision CTEs stripMargin'd ALONE; the tier blocks (which
+    // contain line-leading '||' concat operators a stripMargin would
+    // eat) are concatenated verbatim
+    val head =
+      s"""WITH ${StarExt.WordShCte},
+         |lv AS (SELECT id, sh,
+         |  unnest(CASE WHEN id % 4 = 0 THEN [1, 2, 3]
+         |    WHEN id % 2 = 0 THEN [2, 3] ELSE [3] END) AS lvl FROM wsh),
+         |hp AS (SELECT lvl, CAST(count(DISTINCT sh) AS BIGINT) AS ns,
+         |  CAST(count(*) AS BIGINT) AS np FROM lv GROUP BY 1),
+         |flag AS (SELECT CASE
+         |    WHEN (SELECT ns FROM hp WHERE lvl = 3)
+         |      >= 2 * (SELECT ns FROM hp WHERE lvl = 1) THEN 3
+         |    WHEN (SELECT np FROM hp WHERE lvl = 3)
+         |      >= 2 * (SELECT np FROM hp WHERE lvl = 1) THEN 5
+         |    ELSE 3 END AS w),""".stripMargin
+    val tail =
+      """SELECT CAST(3 AS INTEGER) AS width, d1, d2, jaccard
+        |FROM res, flag WHERE flag.w = 3
+        |UNION ALL
+        |SELECT CAST(5 AS INTEGER) AS width, d1, d2, jaccard
+        |FROM res5, flag WHERE flag.w = 5""".stripMargin
+    head + "\n" + w3 + ",\n" + w5 + "\n" + tail
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // AUTO-SIZED SRP-LSH near-dup: the canary's go/no-go read, mechanized.
@@ -76,5 +132,37 @@ object R59Ops {
           planes = planes, bandBits = bits, dims = 64, tau = 0.9,
           maxBucket = 32)
         .select(lit(bits).as("bandbits"), col("d1"), col("d2"), col("cos"))
+    },
+
+    // AUTO-WIDTH NGRAM DEDUP: the TEXT side of the same mechanization —
+    // the x_heaps_profile canary read (one hashed-trigram pass, three
+    // released rows, collected at plan build) decides the shingle width
+    // via TierSelect.heapsRegime's integer comparisons: vocabulary still
+    // growing (n_shingles doubling across the 25/50/100% carve) keeps
+    // the width-3 default; saturated vocabulary (postings doubling while
+    // shingles stay flat — df tracks the corpus, the inverted index's
+    // quadratic window) coarsens to width 5, the documented mitigation
+    // (x_dedup_ngram_coarse: ×6.97 where width 3 ran ×17.74). The width
+    // is an output column and the oracle recomputes the identical
+    // decision, so the dispatch is hash-gated. BOTH branches run at the
+    // shipped gates: the driver corpus reads "heaps" at sf0.001/sf0.01
+    // (width 3) and "saturated" at sf0.1 (width 5).
+    QDef("x_dedup_ngram_auto", NgramAutoSql) { (s, d) =>
+      val docs = Tables(s, d).documents
+      val sh = graft.llm.Dedup.wordShingleSet(docs, "doc_id", "text")
+      def lvls(id: org.apache.spark.sql.Column) =
+        when(id % 4 === 0, array(lit(1), lit(2), lit(3)))
+          .when(id % 2 === 0, array(lit(2), lit(3)))
+          .otherwise(array(lit(3)))
+      val hp = sh.select(col("sh"), explode(lvls(col("id"))).as("lvl"))
+        .groupBy("lvl")
+        .agg(countDistinct(col("sh")).as("ns"), count(lit(1)).as("np"))
+        .orderBy("lvl").collect()
+      val regime = TierSelect.heapsRegime(
+        hp.map(_.getLong(1)).toSeq, hp.map(_.getLong(2)).toSeq)
+      val width = TierSelect.shingleWidth(regime)
+      graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, width = width)
+        .select(lit(width).as("width"), col("d1"), col("d2"), col("jaccard"))
     })
 }

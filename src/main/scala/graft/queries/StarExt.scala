@@ -118,6 +118,28 @@ object StarExt {
   private[queries] val NormsCte =
     "norms AS (SELECT vec_id, sum(e * e) AS n2 FROM ee GROUP BY vec_id)"
 
+  /** Word-trigram Jaccard near-dups (inverted-index join, ≥ 0.5) as ONE
+    * portable text — oracle of `x_dedup_ngram_jaccard`, and since round
+    * 13 the width-3 tier of `x_dedup_ngram_auto`'s dual-width dispatch
+    * oracle (R59Ops turns the final SELECT into a CTE by string surgery,
+    * so the two registrations cannot drift). */
+  private[queries] val NgramJaccardSql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2] AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |       unnest(range(1, len(toks)-1)) t(i)),
+      |sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+      |inter AS (
+      |  SELECT l.id AS d1, r.id AS d2, count(*) AS i
+      |  FROM g l JOIN g r ON l.g = r.g AND l.id < r.id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, round(i / (n1.n + n2.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes n1 ON n1.id = d1
+      |JOIN sizes n2 ON n2.id = d2
+      |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.5""".stripMargin
+
   /** The perceptual-near-dup oracle pipeline over the perturbed-pattern PNG
     * fixture (see Multimodal.synthNearDupPngTable): pixels → exact dyadic
     * mean → 64 threshold bits (HUGEINT-built, folded to the signed BIGINT
@@ -427,22 +449,7 @@ object StarExt {
     },
 
     // Word-trigram Jaccard near-dups via an inverted-index join (≥ 0.5).
-    QDef("x_dedup_ngram_jaccard",
-      """WITH g AS (
-        |  SELECT DISTINCT doc_id AS id,
-        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2] AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |       unnest(range(1, len(toks)-1)) t(i)),
-        |sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
-        |inter AS (
-        |  SELECT l.id AS d1, r.id AS d2, count(*) AS i
-        |  FROM g l JOIN g r ON l.g = r.g AND l.id < r.id
-        |  GROUP BY 1, 2)
-        |SELECT d1, d2, round(i / (n1.n + n2.n - i), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes n1 ON n1.id = d1
-        |JOIN sizes n2 ON n2.id = d2
-        |WHERE round(i / (n1.n + n2.n - i), 6) >= 0.5""".stripMargin) {
+    QDef("x_dedup_ngram_jaccard", StarExt.NgramJaccardSql) {
       (s, d) => Dedup.ngramJaccardPairs(Tables(s, d).documents, "doc_id", "text", 0.5)
     },
 

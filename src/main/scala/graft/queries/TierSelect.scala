@@ -39,10 +39,11 @@ object TierSelect {
     * (saturated). */
   def heapsRegime(nShingles: Seq[Long], nPostings: Seq[Long]): String = {
     require(nShingles.nonEmpty && nShingles.size == nPostings.size)
-    val g = nShingles.last.toDouble / nShingles.head
-    val p = nPostings.last.toDouble / nPostings.head
-    if (g >= 2.0) "heaps"
-    else if (p >= 2.0) "saturated"
+    // INTEGER comparisons (last >= 2·first), not float ratios, so the
+    // oracle SQL of x_dedup_ngram_auto computes the identical decision
+    // from the identical counts with no representation slack
+    if (nShingles.last >= 2 * nShingles.head) "heaps"
+    else if (nPostings.last >= 2 * nPostings.head) "saturated"
     else "undetermined" // degenerate corpus: neither grew across the carve
   }
 

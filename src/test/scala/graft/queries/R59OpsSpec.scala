@@ -62,4 +62,53 @@ class R59OpsSpec extends SparkSpec {
           catch { case _: Throwable => () })
     }
   }
+
+  test("x_dedup_ngram_auto at the growing-vocabulary gate scale keeps " +
+      "width 3 and matches x_dedup_ngram_jaccard exactly") {
+    val auto = SparkEntry.queries("x_dedup_ngram_auto")(spark, sf).collect()
+    assert(auto.nonEmpty)
+    assert(auto.forall(_.getInt(0) == 3), "sf0.001 reads heaps -> width 3")
+    val base = SparkEntry.queries("x_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val got = auto.map(r => s"[${r.get(1)},${r.get(2)},${r.get(3)}]")
+      .sorted.toSeq
+    assert(got === base, "same inverted-index pass behind the dispatch")
+  }
+
+  test("x_dedup_ngram_auto on a written saturated-vocabulary corpus " +
+      "coarsens to width 5, pairs matching ngramJaccardPairs(width=5)") {
+    import spark.implicits._
+    // 3-word vocabulary (distinct first-3-chars+length so wordHash can't
+    // collide) over 40 docs: every trigram combination appears in the
+    // 25% carve already, so n_shingles is FLAT across levels while
+    // postings quadruple -> the saturated read -> width 5
+    val vocab = Array("aa", "bb", "cc")
+    val docs = (0 until 40).map { i =>
+      val words = (0 until 30).map(k => vocab((i * 7 + k * 3 + k) % 3))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ngram_auto").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val auto = SparkEntry.queries("x_dedup_ngram_auto")(spark, dir)
+        .collect()
+      assert(auto.nonEmpty, "a 3-word corpus has width-5 near-dups")
+      assert(auto.forall(_.getInt(0) == 5), "saturated read -> width 5")
+      val expect = graft.llm.Dedup.ngramJaccardPairs(
+          graft.Tables(spark, dir).documents, "doc_id", "text",
+          threshold = 0.5, width = 5)
+        .collect().map(_.toString).sorted.toSeq
+      val got = auto.map(r => s"[${r.get(1)},${r.get(2)},${r.get(3)}]")
+        .sorted.toSeq
+      assert(got === expect)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f)
+          catch { case _: Throwable => () })
+    }
+  }
 }
