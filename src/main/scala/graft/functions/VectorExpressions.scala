@@ -356,10 +356,14 @@ object GraftFunctions {
   def l2Sq(a: Column, b: Column): Column =
     Shim.column(SquaredL2Distance(Shim.expression(a), Shim.expression(b)))
 
-  /** Dataset-API entry: `srpSigs(quantized, planes, bandBits, dims)` over an
-    * `array<bigint>` integer-quantized embedding. */
-  def srpSigs(quantized: Column, planes: Int, bandBits: Int, dims: Int): Column =
-    Shim.column(SrpSignatures(Shim.expression(quantized), planes, bandBits, dims))
+  /** Dataset-API entry: `srpSigs(embedding, planes, bandBits, dims)` over an
+    * `array<float>` RAW embedding — quantization (round to int at scale
+    * 1000, the HALF_UP tie window included) happens INSIDE the expression,
+    * once per dimension ([[SrpSignatures.quantize]]); passing a
+    * pre-quantized array is a type error (checkInputDataTypes requires
+    * array<float>). */
+  def srpSigs(embedding: Column, planes: Int, bandBits: Int, dims: Int): Column =
+    Shim.column(SrpSignatures(Shim.expression(embedding), planes, bandBits, dims))
 
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
@@ -371,7 +375,7 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SquaredL2Distance].getName, "l2_sq"),
     (children: Seq[Expression]) => SquaredL2Distance(children(0), children(1)))
 
-  /** `srp_sigs(quantized, planes, bandBits, dims)` — the three width
+  /** `srp_sigs(embedding, planes, bandBits, dims)` — the three width
     * parameters must be INT literals (they shape the weight matrix at plan
     * build; a non-literal width has no meaning for a data-independent
     * hyperplane family). */

@@ -362,7 +362,7 @@ object R50Ops {
       val m = cell.select(col("rk"), col("brand"), col("rev"),
         sum("rev").over(Window.partitionBy("rk")).as("rev_r"),
         sum("rev").over(Window.partitionBy("brand")).as("rev_b"),
-        sum("rev").over(Window.partitionBy(lit(1) === lit(1)))
+        sum("rev").over(Window.partitionBy(lit(1)))
           .as("rev_t"))
       m.select(col("rk").as("region"), col("brand"),
           round((col("rev") / col("rev_r"))
@@ -400,7 +400,7 @@ object R50Ops {
           col("p_brand").as("brand"))
         .agg(yearSum(1995).as("e0"), yearSum(1996).as("e1"))
       val nz = cell.filter(col("e0") > 0)
-      val wAll = Window.partitionBy(lit(1) === lit(1))
+      val wAll = Window.partitionBy(lit(1))
       val wB = Window.partitionBy("brand")
       val g = nz.select(col("rk"), col("brand"), col("e0"), col("e1"),
         ((sum("e1").over(wAll) - sum("e0").over(wAll))

@@ -207,7 +207,7 @@ object R51Ops {
     tt.select(col("x"), col("y"), col("n"),
       sum("n").over(Window.partitionBy("x")).cast("bigint").as("rx"),
       sum("n").over(Window.partitionBy("y")).cast("bigint").as("cy"),
-      sum("n").over(Window.partitionBy(lit(1) === lit(1)))
+      sum("n").over(Window.partitionBy(lit(1)))
         .cast("bigint").as("nn"))
   }
 

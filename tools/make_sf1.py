@@ -42,13 +42,15 @@ Round 12 additions (the sf10 canary-first demo):
   --replicas=N Replica count (default 10 = ~sf1; 100 = ~sf10). With
                --heaps and N > 10 the per-replica renaming switches
                from the suffix scheme ('z' * r — O(N) char growth) to
-               a Caesar shift of each word's FIRST character by
-               r % 26 plus a 'z' * (r // 26) suffix: still a
-               per-replica vocabulary bijection, still a distinct
-               wordHash per replica (first-3-chars change with the
-               shift, length with the suffix), but bounded +4 chars at
-               N <= 104. N <= 10 keeps the round-11 scheme EXACTLY so
-               sf1h fixtures stay reproducible.
+               the INFIX marker scheme (replica char + '~' inserted
+               after the word's first two chars, '~' * (r // 26)
+               appended — see HEAPS_TEXT_INFIX): still a per-replica
+               vocabulary bijection, still a distinct wordHash per
+               replica (the replica char sits INSIDE the
+               first-3-chars window, the tail varies length), at
+               +2 chars per renamed word + 1 per 26 replicas.
+               N <= 10 keeps the round-11 scheme EXACTLY so sf1h
+               fixtures stay reproducible.
   --tables=a,b Only build the listed tables (the canary demo needs
                documents + events; building 100x lineitem for a
                4-query go/no-go read would be fixture theater).
@@ -145,24 +147,32 @@ PERTURB = {
 # universe and under the engine's first-3-chars+length wordHash).
 #   N <= 10 (the round-11 sf1h fixture, kept byte-reproducible):
 #     suffix 'z' * r — distinct length => distinct wordHash.
-#   N > 10 (sf10+): prepend a replica-unique 3-char marker,
-#     base26(r) (2 chars) + '~'. The round-12 Caesar variant
-#     (shift first char by r % 26 + 'z' * (r // 26)) was NOT
-#     disjoint (ADVICE r12): a shifted word could equal an
-#     unrenamed kept word (shift('cat',1)='dat'), two DIFFERENT
-#     originals in different replicas could shift to the SAME
-#     string ('cat'+1 = 'bat'+2 = 'dat'), and the mod-26 shift was
-#     non-bijective off lowercase. The prefix fixes all three by
-#     construction: '~' never occurs in the base corpus (lowercase
-#     + space only — asserted post-build), so renamed ∩ kept = ∅;
-#     the base26 pair is unique per replica (known-good for
-#     r < 676, asserted), so renamed vocabularies are pairwise
-#     disjoint; prepending a fixed string is injective, so
-#     within-replica word identity (and therefore shingle
-#     structure) is preserved exactly. Constant +3 chars per
-#     renamed word (vs the suffix scheme's O(r)), and the marker
-#     lands in the engine's first-3-chars+length wordHash prefix,
-#     so hash-universe disjointness holds too.
+#   N > 10 (sf10+): INFIX marker — insert chr(97 + r % 26) + '~'
+#     after the word's first TWO chars, plus '~' * (r // 26) at the
+#     end. The round-13 PREFIX variant (base26(r) + '~' prepended)
+#     was string-disjoint but COLLAPSED in the engine's hash
+#     universe (ADVICE r13): wordHash reads only the first 3 chars
+#     + length, so every renamed word in a replica shared the
+#     3-char marker window and equal-length distinct originals
+#     collided — the hashed-trigram vocabulary x_heaps_profile
+#     counts stopped growing with replicas, the opposite of what
+#     the fixture exists to demonstrate. The infix keeps the
+#     word's OWN first two chars in the hash window: window =
+#     (t1, t2, replica char), so within-replica distinctness
+#     matches the base corpus's own (first2, length) classes
+#     (the 31-word base vocabulary is fully distinct there —
+#     measured), and replicas differ in the window char (r % 26)
+#     or in length (the '~' tail, r // 26) — pairwise disjoint
+#     hashes for ANY replica count. String universe: '~' is always
+#     present and never occurs in the base corpus (lowercase +
+#     space only — asserted post-build per scheme), so
+#     renamed ∩ kept = ∅ and the fixed-position insertion is
+#     injective — within-replica word identity (and therefore
+#     shingle structure) is preserved exactly. Cost: +2 chars per
+#     renamed word + 1 per 26 replicas. A post-build check
+#     measures the hashed vocabulary against the base and asserts
+#     ~linear growth in REPLICAS (the advice's invariant, checked
+#     rather than claimed).
 HEAPS_TEXT_SUFFIX = (
     "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
     "list_transform(string_split(text, ' '), "
@@ -183,12 +193,12 @@ EMB_SIGNFLIP = (
     "z -> CASE WHEN hash(r.r * 64 + z[2]) % 2 = 0 "
     "THEN z[1] ELSE -z[1] END)::FLOAT[] END AS embedding")
 
-HEAPS_TEXT_PREFIX = (
+HEAPS_TEXT_INFIX = (
     "CASE WHEN r.r = 0 THEN text ELSE array_to_string("
     "list_transform(string_split(text, ' '), "
     "t -> CASE WHEN hash(t) % 5 = 0 OR len(t) = 0 THEN t "
-    "ELSE chr(CAST(97 + (r.r // 26) % 26 AS INTEGER)) "
-    "|| chr(CAST(97 + r.r % 26 AS INTEGER)) || '~' || t END), ' ') "
+    "ELSE t[1:2] || chr(CAST(97 + r.r % 26 AS INTEGER)) || '~' "
+    "|| t[3:] || repeat('~', r.r // 26) END), ' ') "
     "END AS text")
 
 
@@ -209,21 +219,27 @@ def main():
             smap = dict(shifts)
             pmap = dict(PERTURB.get(t, {}))
             if HEAPS and t == "documents":
-                assert REPLICAS < 676, "base26 marker pair exhausted"
-                # both schemes' disjointness proofs rest on the rename
-                # markers being absent from the base corpus ('z' suffix
-                # for N <= 10, '~' prefix for N > 10) — assert it rather
-                # than assume it (ADVICE r12): a marker occurring in a
-                # kept word would let a renamed word collide with it
+                # each scheme's disjointness proof rests on ITS rename
+                # marker being absent from the base corpus — assert per
+                # scheme rather than blanket (ADVICE r13: the old
+                # any-'z' check rejected legitimate corpora containing
+                # e.g. 'size'; the suffix scheme only needs that no
+                # kept word ENDS with 'z', the infix scheme only that
+                # '~' is absent)
+                if REPLICAS <= 10:
+                    cond = "regexp_matches(text, 'z( |$)')"
+                    what = "a word ending in 'z'"
+                else:
+                    cond = "text LIKE '%~%'"
+                    what = "a '~'"
                 bad = con.execute(
-                    f"SELECT count(*) FROM '{src}' "
-                    "WHERE text LIKE '%z%' OR text LIKE '%~%'"
+                    f"SELECT count(*) FROM '{src}' WHERE {cond}"
                 ).fetchone()[0]
                 assert bad == 0, (
-                    f"{bad} base documents contain a rename marker "
-                    "('z'/'~') — heaps vocabulary disjointness broken")
+                    f"{bad} base documents contain {what} — heaps "
+                    "vocabulary disjointness broken for this scheme")
                 pmap["text"] = (HEAPS_TEXT_SUFFIX if REPLICAS <= 10
-                                else HEAPS_TEXT_PREFIX)
+                                else HEAPS_TEXT_INFIX)
             if EMBHONEST and t == "embeddings":
                 pmap["embedding"] = EMB_SIGNFLIP
             sel = ", ".join(
@@ -236,6 +252,31 @@ def main():
                 f"TO '{dst}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{t}: {n} rows")
+        if HEAPS and t == "documents":
+            # the invariant the fixture exists for, CHECKED in the
+            # universe the engine counts (ADVICE r13): distinct
+            # first-3-chars+length wordHash values must grow ~linearly
+            # with replicas (renamed ~80% of the vocabulary x N
+            # replicas, hash-disjoint by construction). The r13 prefix
+            # scheme failed exactly this (built/base ratio ~flat).
+            wh = ("ascii(substr(t || '___', 1, 1)) * 65536"
+                  " + ascii(substr(t || '___', 2, 1)) * 256"
+                  " + ascii(substr(t || '___', 3, 1))"
+                  " + len(t) * 16777216")
+            def hvocab(path):
+                return con.execute(
+                    "WITH w AS (SELECT DISTINCT unnest("
+                    f"string_split(text, ' ')) AS t FROM '{path}') "
+                    f"SELECT count(DISTINCT {wh}) FROM w "
+                    "WHERE len(t) > 0").fetchone()[0]
+            h0, h1 = hvocab(src), hvocab(dst)
+            ratio = h1 / max(h0, 1)
+            print(f"  heaps_hash_vocab: base={h0} built={h1} "
+                  f"ratio={ratio:.2f} (replicas={REPLICAS})")
+            assert ratio >= 0.5 * REPLICAS, (
+                f"hashed vocabulary grew only x{ratio:.2f} over "
+                f"{REPLICAS} replicas — renaming collapsed in the "
+                "wordHash universe (expected ~0.8 x replicas)")
 
 
 if __name__ == "__main__":
