@@ -30,7 +30,7 @@ object SparkEntry {
       R45Ops.defs ++ R46Ops.defs ++ R47Ops.defs ++ R48Ops.defs ++
       R49Ops.defs ++ R50Ops.defs ++ R51Ops.defs ++ R52Ops.defs ++
       R53Ops.defs ++ R54Ops.defs ++ R55Ops.defs ++ R56Ops.defs ++
-      R57Ops.defs ++ R58Ops.defs ++ R59Ops.defs
+      R57Ops.defs ++ R58Ops.defs ++ R59Ops.defs ++ R60Ops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

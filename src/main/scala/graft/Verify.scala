@@ -41,6 +41,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Canary battery as part of the standard gate (round 14, r13 verdict
+    // task 6): on every FULL sweep, run the regime canaries over the
+    // driver fixtures and assert the documented per-fixture selections —
+    // a regression in a decision function or canary query fails the
+    // verify gate, not an on-demand demo. A failure is recorded loudly
+    // (stderr + _errors.json) rather than thrown, so a battery drift
+    // can never zero the whole round's per-query correctness record.
+    if (subset.isEmpty) {
+      val fixtures = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1").filter(p => new java.io.File(p).isDirectory)
+      val lines = fixtures.flatMap { d =>
+        try {
+          val s = graft.queries.CanaryBattery.read(spark, d)
+          graft.queries.CanaryBattery.assertDocumented(d, s)
+          Some(s.json(d))
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] canary battery FAILED at $d: ${e.getMessage}")
+          errors(s"_canary_battery:$d") =
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+          None
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/canary_battery.json"),
+        lines.mkString("", "\n", "\n"))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -404,20 +404,38 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
-  /** Mechanized SRP tier selection (round 13 — closes the "tier
-    * escalation is a human act" residual): bandBits ≈ ceil(log₂ n)
-    * clamped to the two REGISTERED tiers, as one integer comparison both
-    * engines can compute identically — n > 2⁸ ⟺ ceil(log₂ n) > 8 ⟹ the
-    * 8-bit band space is outnumbered by the corpus, escalate to the
-    * sized (64, 16) tier; otherwise the (32, 8) default. This is exactly
-    * the go/no-go read x_srp_band_density documents ("avg occupancy ≫
-    * cap ⇒ widen bandBits"), turned from prose into the dispatch
-    * x_dedup_srp_auto registers: the 8-bit tier's recall collapses to
-    * ~0.10 at sf1h density while the sized tier holds 0.96
-    * (SrpSizingProbe, both scale fixtures). `n` is the corpus count —
-    * one metadata-cheap pass (parquet footers) at plan build. */
+  /** Mechanized SRP tier selection (round 13; a LADDER since round 14 —
+    * closes the r13 "the auto tier clamps at 16 bits" residual):
+    * bandBits ≈ ceil(log₂ n) rounded up to the next REGISTERED tier
+    * width, i.e. clamp(8, 24) in steps of 8, as integer comparisons both
+    * engines can compute identically — n > 2^bits ⟹ the current band
+    * space is outnumbered by the corpus, escalate:
+    *   n ≤ 2⁸ → (32, 8); 2⁸ < n ≤ 2¹⁶ → (64, 16); n > 2¹⁶ → (144, 24).
+    * Each rung escalates a full cap-factor (32×) BEFORE its band space
+    * saturates (saturation = avg occupancy n/2^bits > maxBucket, i.e.
+    * n > 32·2^bits): the 8-bit tier's recall collapses to ~0.10 at sf1h
+    * density (n ≈ 25k ≫ 2⁸) while (64, 16) holds 0.96, and the 16-bit
+    * space saturates the same way at n > 32·2¹⁶ ≈ 2.1M, where the
+    * 24-bit rung holds (SrpSizingProbe at the ×1000-replica density —
+    * the r13 verdict's one-decade-up cliff, now dispatched over).
+    * Why 144 planes (6 bands), not the 4-band pattern of the lower
+    * rungs: per-band match probability FALLS as bands widen (measured
+    * ≈ 0.58 per 24-bit band on the clone families vs ≈ 0.7 per 16-bit
+    * band), so a 4-band 24-bit tier reads recall 0.89 (measured,
+    * (96, 24)) — below the 0.9 posture; two more OR-amplification
+    * bands lift it to 1 − (1 − 0.42)⁶ ≈ 0.96 predicted, 0.97
+    * measured. Escalating bandBits must escalate the band COUNT with
+    * it — that is the rung's shape, not a tuning knob. This is
+    * exactly the go/no-go read x_srp_band_density documents ("avg
+    * occupancy ≫ cap ⇒ widen bandBits"), turned from prose into the
+    * dispatch x_dedup_srp_auto registers with a triple-branch oracle.
+    * `n` is the corpus count — one metadata-cheap pass (parquet
+    * footers) at plan build. Past 2⁴⁰ vectors (~10¹² — a corpus three
+    * decades beyond the 100 TB design point) the 24-bit rung would
+    * saturate too; the generator takes arbitrary (planes, bandBits), so
+    * the next rung is one list entry, not new machinery. */
   def srpAutoTier(n: Long): (Int, Int) =
-    if (n > 256) (64, 16) else (32, 8)
+    if (n > 65536) (144, 24) else if (n > 256) (64, 16) else (32, 8)
 
   /** Prototype-distance filtering (the D4 recipe — "D4: Improving LLM
     * Pretraining via Document De-Duplication and Diversification",

@@ -140,6 +140,35 @@ object R56Ops {
   // exactly the twin-pair padding QDefDistinctnessSpec exists to forbid.
   // The ItemCfSql retirement precedent (R39Ops round 10).
 
+  /** The x_grid_density engine body (extracted round 14 so the
+    * x_grid_knn_auto dispatch reads the IDENTICAL bill): same-cell
+    * Σ C(n,2) + half-neighborhood cross products over the bounded cell
+    * frame. */
+  private[queries] def gridDensityFrame(
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pts = customer.select(
+        (col("c_custkey") % 97).cast("long").as("x"),
+        ((col("c_custkey") * 31) % 89).cast("long").as("y"))
+      .select(floor(col("x") / 5).as("cx"), floor(col("y") / 5).as("cy"))
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // consumed by 3 aggregates below
+    val offsets = Seq((1, 0), (0, 1), (1, 1), (-1, 1))
+    val probe = cells.select(col("n").as("na"),
+        explode(array(offsets.map { case (ox, oy) =>
+          struct((col("cx") + ox).as("cx"), (col("cy") + oy).as("cy"))
+        }: _*)).as("o"))
+      .select(col("na"), col("o.cx"), col("o.cy"))
+    val crossP = probe.join(cells, Seq("cx", "cy"))
+      .agg(sum(col("na") * col("n")).as("pairs_cross"))
+    val sameP = cells.agg(count(lit(1)).as("n_cells"),
+      sum(col("n")).as("n_points"), max(col("n")).as("max_cell"),
+      sum(col("n") * (col("n") - 1) / 2).cast("bigint").as("pairs_same"))
+    sameP.crossJoin(crossP)
+      .select(col("n_points"), col("n_cells"), col("max_cell"),
+        col("pairs_same"), col("pairs_cross"),
+        (col("pairs_same") + col("pairs_cross")).as("candidate_pairs"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // COARSE-SHINGLE JACCARD: the x_dedup_ngram_jaccard inverted index at
@@ -184,27 +213,7 @@ object R56Ops {
     // coordinate domain regime, x_grid_knn's documented quadratic) —
     // re-cell or cap before the join.
     QDef("x_grid_density", GridDensitySql) { (s, d) =>
-      val pts = Tables(s, d).customer.select(
-          (col("c_custkey") % 97).cast("long").as("x"),
-          ((col("c_custkey") * 31) % 89).cast("long").as("y"))
-        .select(floor(col("x") / 5).as("cx"), floor(col("y") / 5).as("cy"))
-      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
-        .localCheckpoint(false) // consumed by 3 aggregates below
-      val offsets = Seq((1, 0), (0, 1), (1, 1), (-1, 1))
-      val probe = cells.select(col("n").as("na"),
-          explode(array(offsets.map { case (ox, oy) =>
-            struct((col("cx") + ox).as("cx"), (col("cy") + oy).as("cy"))
-          }: _*)).as("o"))
-        .select(col("na"), col("o.cx"), col("o.cy"))
-      val crossP = probe.join(cells, Seq("cx", "cy"))
-        .agg(sum(col("na") * col("n")).as("pairs_cross"))
-      val sameP = cells.agg(count(lit(1)).as("n_cells"),
-        sum(col("n")).as("n_points"), max(col("n")).as("max_cell"),
-        sum(col("n") * (col("n") - 1) / 2).cast("bigint").as("pairs_same"))
-      sameP.crossJoin(crossP)
-        .select(col("n_points"), col("n_cells"), col("max_cell"),
-          col("pairs_same"), col("pairs_cross"),
-          (col("pairs_same") + col("pairs_cross")).as("candidate_pairs"))
+      gridDensityFrame(Tables(s, d).customer)
     },
 
     // HEAPS-LAW CANARY: is the shingle vocabulary still growing with the

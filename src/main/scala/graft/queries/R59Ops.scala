@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   * 100 TB operator had to know to run the canary and switch (VERDICT r12,
   * "What's wrong" #2). x_dedup_srp_auto closes that: the tier is selected
   * by [[graft.llm.Similarity.srpAutoTier]] — bandBits ≈ ceil(log₂ n)
-  * clamped to the two registered tiers, i.e. the single integer
-  * comparison n > 2⁸ — computed identically in the engine (two
-  * metadata-cheap parquet counts at plan build) and in the oracle (the
-  * same two counts in SQL), and the chosen width is part of the OUTPUT
-  * (`bandbits`), so the dispatch itself is oracle-gated, not just the
-  * winning tier's pairs.
+  * rounded up to the next registered rung of the 8/16/24 ladder
+  * (round 14: three rungs — the integer comparisons n > 2⁸, n > 2¹⁶) —
+  * computed identically in the engine (two metadata-cheap parquet counts
+  * at plan build) and in the oracle (the same two counts in SQL), and
+  * the chosen width is part of the OUTPUT (`bandbits`), so the dispatch
+  * itself is oracle-gated, not just the winning tier's pairs.
   *
   * Scale shape: identical to the dispatched tier (scan-local native
   * signature pass → capped band join → id-only candidates) plus two
@@ -26,20 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object R59Ops {
 
-  /** The 8-bit tier's capped CTE block with every CTE name suffixed "8"
-    * so it can coexist with the 16-bit block inside ONE WITH clause
-    * (DuckDB rejects duplicate CTE names). Word-boundary rename over the
-    * closed set of CTE names the shared generator emits; the requires
-    * fail the build if the generator's names drift. */
-  private[queries] val SrpCtesCapped8Renamed: String = {
+  /** A tier's capped CTE block with every CTE name suffixed (e.g. "8",
+    * "24") so several tiers can coexist inside ONE WITH clause (DuckDB
+    * rejects duplicate CTE names). Word-boundary rename over the closed
+    * set of CTE names the shared generator emits; the requires fail the
+    * build if the generator's names drift. */
+  private[queries] def srpCtesCappedRenamed(planes: Int, bandBits: Int,
+      sfx: String): String = {
     // ee0 must precede ee in the alternation (longest-first at 'ee0')
     val names = Seq("ee0", "pert", "ee", "norms", "eq", "proj", "sig",
       "hotsrp", "ksig", "cand", "cdots", "srp")
-    val base = R9Ops.srpCappedText(32, 8)
+    val base = R9Ops.srpCappedText(planes, bandBits)
     names.foreach(n => require(base.contains(n + " AS ("),
-      s"srpCappedText CTE '$n' moved — update SrpCtesCapped8Renamed"))
+      s"srpCappedText CTE '$n' moved — update srpCtesCappedRenamed"))
     ("""\b(""" + names.mkString("|") + """)\b""").r
-      .replaceAllIn(base, m => m.group(1) + "8")
+      .replaceAllIn(base, m => m.group(1) + sfx)
   }
 
   /** A registered ngram-tier text (both end in the same final-SELECT
@@ -65,29 +66,41 @@ object R59Ops {
       .replaceAllIn(block, m => m.group(1) + sfx)
   }
 
-  /** The dual-width dispatch oracle of x_dedup_ngram_auto: the
-    * x_heaps_profile counts (hashed-trigram universe, 25/50/100% carve)
-    * decide the width with the SAME integer comparisons as
-    * [[TierSelect.heapsRegime]], then both registered tiers' CTE
-    * pipelines run, each branch guarded by the decision. */
+  /** The dual-width dispatch oracle of x_dedup_ngram_auto: the SAMPLED
+    * heaps read (hashed-trigram universe over the doc_id-even HALF of
+    * the corpus, 25%/50% nested carve — round 14, was the full-corpus
+    * 25/50/100% profile) decides the width with the SAME integer
+    * comparisons as [[TierSelect.heapsRegimeSampled]], then both
+    * registered tiers' CTE pipelines run, each branch guarded by the
+    * decision. A missing carve level makes both WHEN comparisons NULL
+    * and falls to the ELSE width-3 default — the engine's
+    * "undetermined" branch, identically (ADVICE r13). */
   private[queries] val NgramAutoSql = {
     val w3 = ngramTierCtes(StarExt.NgramJaccardSql, "")
     val w5 = ngramTierCtes(R56Ops.NgramCoarseSql, "5")
+    // the canary shingles ONLY the even-id half: the WordShCte text with
+    // its document scan filtered — anchored replace, required below
+    val srcAnchor = "FROM documents)"
+    require(StarExt.WordShCte.contains(srcAnchor)
+      && !StarExt.WordShCte.contains("WHERE"),
+      "WordShCte scan anchor moved — update NgramAutoSql's half-carve")
+    val wshHalf = StarExt.WordShCte.replace(srcAnchor,
+      "FROM documents WHERE doc_id % 2 = 0)")
     // the decision CTEs stripMargin'd ALONE; the tier blocks (which
     // contain line-leading '||' concat operators a stripMargin would
     // eat) are concatenated verbatim
     val head =
-      s"""WITH ${StarExt.WordShCte},
+      s"""WITH $wshHalf,
          |lv AS (SELECT id, sh,
-         |  unnest(CASE WHEN id % 4 = 0 THEN [1, 2, 3]
-         |    WHEN id % 2 = 0 THEN [2, 3] ELSE [3] END) AS lvl FROM wsh),
+         |  unnest(CASE WHEN id % 4 = 0 THEN [1, 2] ELSE [2] END) AS lvl
+         |  FROM wsh),
          |hp AS (SELECT lvl, CAST(count(DISTINCT sh) AS BIGINT) AS ns,
          |  CAST(count(*) AS BIGINT) AS np FROM lv GROUP BY 1),
          |flag AS (SELECT CASE
-         |    WHEN (SELECT ns FROM hp WHERE lvl = 3)
-         |      >= 2 * (SELECT ns FROM hp WHERE lvl = 1) THEN 3
-         |    WHEN (SELECT np FROM hp WHERE lvl = 3)
-         |      >= 2 * (SELECT np FROM hp WHERE lvl = 1) THEN 5
+         |    WHEN 2 * (SELECT ns FROM hp WHERE lvl = 2)
+         |      >= 3 * (SELECT ns FROM hp WHERE lvl = 1) THEN 3
+         |    WHEN 2 * (SELECT np FROM hp WHERE lvl = 2)
+         |      >= 3 * (SELECT np FROM hp WHERE lvl = 1) THEN 5
          |    ELSE 3 END AS w),""".stripMargin
     val tail =
       """SELECT CAST(3 AS INTEGER) AS width, d1, d2, jaccard
@@ -100,26 +113,34 @@ object R59Ops {
 
   val defs: Seq[QDef] = Seq(
 
-    // AUTO-SIZED SRP-LSH near-dup: the canary's go/no-go read, mechanized.
-    // n = |augmented corpus| (base + 1-in-4 clones, the shared fixture);
-    // n > 256 (⟺ ceil(log2 n) > 8: the corpus outnumbers the 8-bit band
-    // space) escalates to the sized (64, 16) tier, else the (32, 8)
-    // default — both with the maxBucket=32 valve. The chosen bandBits is
-    // emitted as a column, so the oracle verifies the DISPATCH and the
-    // pairs in one hash: its SQL computes the identical integer from the
-    // identical counts and unions both tiers' capped CTE pipelines, each
-    // guarded by the branch predicate. At the gate scales n = 625/2500
-    // → the 16-bit branch runs (the 8-bit branch is exercised by
-    // R59OpsSpec on a written small-corpus fixture); at sf1h density the
-    // same dispatch keeps recall at 0.96 where the 8-bit default reads
-    // ~0.10 — without a human consulting the canary.
+    // AUTO-SIZED SRP-LSH near-dup: the canary's go/no-go read, mechanized
+    // as a LADDER (round 14 — was two rungs). n = |augmented corpus|
+    // (base + 1-in-4 clones, the shared fixture); n > 2^bits means the
+    // current band space is outnumbered by the corpus, so escalate:
+    // n ≤ 2⁸ → (32, 8), n ≤ 2¹⁶ → (64, 16), else (144, 24 — 6 bands; see srpAutoTier) with the
+    // maxBucket=32 valve, each rung escalating a full cap-factor before
+    // its space saturates (Similarity.srpAutoTier). The chosen bandBits
+    // is emitted as a column, so the oracle verifies the DISPATCH and
+    // the pairs in one hash: its SQL computes the identical integers
+    // from the identical counts and unions all THREE tiers' capped CTE
+    // pipelines, each guarded by its branch predicate. At the gate
+    // scales n = 625/2500 → the 16-bit branch runs (the 8-bit branch is
+    // exercised by R59OpsSpec on a written small-corpus fixture; the
+    // 24-bit rung's ladder arithmetic in TierSelectSpec, and end-to-end
+    // by SrpSizingProbe at the ×1000-replica density where 16 bits
+    // saturates — avg occupancy 2.5M/2¹⁶ ≈ 38 > cap — and 24 bits hold
+    // recall). No human consults the canary at any rung.
     QDef("x_dedup_srp_auto",
       s"""WITH ${R9Ops.srpCappedText(64, 16)},
-         |$SrpCtesCapped8Renamed,
+         |${srpCtesCappedRenamed(32, 8, "8")},
+         |${srpCtesCappedRenamed(144, 24, "24")},
          |nv AS (SELECT (SELECT count(*) FROM embeddings)
          |  + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 1) AS n)
+         |SELECT CAST(24 AS INTEGER) AS bandbits, d1, d2, cos
+         |FROM srp24, nv WHERE cos >= 0.9 AND nv.n > 65536
+         |UNION ALL
          |SELECT CAST(16 AS INTEGER) AS bandbits, d1, d2, cos
-         |FROM srp, nv WHERE cos >= 0.9 AND nv.n > 256
+         |FROM srp, nv WHERE cos >= 0.9 AND nv.n > 256 AND nv.n <= 65536
          |UNION ALL
          |SELECT CAST(8 AS INTEGER) AS bandbits, d1, d2, cos
          |FROM srp8, nv WHERE cos >= 0.9 AND nv.n <= 256""".stripMargin) {
@@ -135,34 +156,48 @@ object R59Ops {
     },
 
     // AUTO-WIDTH NGRAM DEDUP: the TEXT side of the same mechanization —
-    // the x_heaps_profile canary read (one hashed-trigram pass, three
-    // released rows, collected at plan build) decides the shingle width
-    // via TierSelect.heapsRegime's integer comparisons: vocabulary still
-    // growing (n_shingles doubling across the 25/50/100% carve) keeps
-    // the width-3 default; saturated vocabulary (postings doubling while
-    // shingles stay flat — df tracks the corpus, the inverted index's
+    // a SAMPLED heaps read (round 14: one hashed-trigram pass over the
+    // doc_id-even HALF of the corpus, two released rows, collected at
+    // plan build — was the full-corpus 25/50/100% profile, 2.29 s of the
+    // query's 6.44 s at sf0.1) decides the shingle width via
+    // TierSelect.heapsRegimeSampled's integer comparisons on the 25%→50%
+    // prefix doubling: vocabulary still growing (shingles ×≥1.5 across
+    // the doubling; measured ×1.75-1.90 in the heaps regimes) keeps the
+    // width-3 default; saturated vocabulary (shingles ×1.09 while
+    // postings double — df tracks the corpus, the inverted index's
     // quadratic window) coarsens to width 5, the documented mitigation
     // (x_dedup_ngram_coarse: ×6.97 where width 3 ran ×17.74). The width
     // is an output column and the oracle recomputes the identical
-    // decision, so the dispatch is hash-gated. BOTH branches run at the
-    // shipped gates: the driver corpus reads "heaps" at sf0.001/sf0.01
-    // (width 3) and "saturated" at sf0.1 (width 5).
+    // decision (including the missing-level → width-3 default, ADVICE
+    // r13), so the dispatch is hash-gated. BOTH branches run at the
+    // shipped gates: the sampled carve reads "heaps" at sf0.001/sf0.01
+    // (width 3) and "saturated" at sf0.1 (width 5) — the same selections
+    // as the retired full-corpus read on all five measured regimes.
     QDef("x_dedup_ngram_auto", NgramAutoSql) { (s, d) =>
       val docs = Tables(s, d).documents
-      val sh = graft.llm.Dedup.wordShingleSet(docs, "doc_id", "text")
-      def lvls(id: org.apache.spark.sql.Column) =
-        when(id % 4 === 0, array(lit(1), lit(2), lit(3)))
-          .when(id % 2 === 0, array(lit(2), lit(3)))
-          .otherwise(array(lit(3)))
-      val hp = sh.select(col("sh"), explode(lvls(col("id"))).as("lvl"))
-        .groupBy("lvl")
-        .agg(countDistinct(col("sh")).as("ns"), count(lit(1)).as("np"))
-        .orderBy("lvl").collect()
-      val regime = TierSelect.heapsRegime(
-        hp.map(_.getLong(1)).toSeq, hp.map(_.getLong(2)).toSeq)
-      val width = TierSelect.shingleWidth(regime)
+      val width = sampledShingleWidth(docs)
       graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           threshold = 0.5, width = width)
         .select(lit(width).as("width"), col("d1"), col("d2"), col("jaccard"))
     })
+
+  /** The SAMPLED heaps canary → shingle width, as run by
+    * x_dedup_ngram_auto at plan build and by [[CanaryBattery]]: one
+    * hashed-trigram pass over the doc_id-even half, 25%/50% nested
+    * carve, [[TierSelect.heapsRegimeSampled]]'s integer decision. */
+  private[queries] def sampledShingleWidth(
+      docs: org.apache.spark.sql.DataFrame): Int = {
+    val sh = graft.llm.Dedup.wordShingleSet(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val hp = sh.select(col("sh"),
+        explode(when(col("id") % 4 === 0, array(lit(1), lit(2)))
+          .otherwise(array(lit(2)))).as("lvl"))
+      .groupBy("lvl")
+      .agg(countDistinct(col("sh")).as("ns"), count(lit(1)).as("np"))
+      .collect()
+    val byLvl = hp.map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    TierSelect.shingleWidth(
+      TierSelect.heapsRegimeSampled(byLvl.get(1), byLvl.get(2)))
+  }
 }

@@ -252,17 +252,122 @@ object R9Ops {
 
   /** The SRP test corpus: embeddings plus deterministic perturbed clones
     * (1 in 4 originals, vec_id+10⁶, integer-seeded jitter float-rounded
-    * through FloatType so both engines hold bit-identical clones). */
-  private[queries] def srpAugmented(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    * through FloatType so both engines hold bit-identical clones).
+    * `offset` (default 10⁶, the value every registered oracle text
+    * spells out) must exceed the corpus's max id — SrpSizingProbe
+    * passes 10⁸ for its ×1000-replica fixtures whose ids reach 10⁷;
+    * the jitter seed uses the ORIGINAL id, so clone geometry is
+    * offset-independent. */
+  private[queries] def srpAugmented(t: graft.Tables,
+      offset: Long = 1000000L): org.apache.spark.sql.DataFrame = {
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
     val clones = t.embeddings.filter(col("vec_id") % 4 === 1)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + offset).as("vec_id"),
         expr(
           """transform(embedding, (x, k) ->
             |  CAST(CAST(x AS DOUBLE)
             |    + ((vec_id * 64 + k) * 2654435761 % 21 - 10) * 0.002D
             |    AS FLOAT))""".stripMargin).as("embedding"))
     base.union(clones)
+  }
+
+  /** Radius-bounded grid NN as ONE portable text — oracle of
+    * `x_grid_knn`, and since round 14 the shared-semantics pipeline of
+    * `x_grid_knn_auto`'s dispatch oracle (R60Ops turns the final SELECT
+    * into a CTE by string surgery, so the registrations cannot
+    * drift). */
+  private[queries] val GridKnnSql =
+    """WITH p AS (
+      |  SELECT c_custkey AS id, CAST(c_custkey % 97 AS BIGINT) AS x,
+      |    CAST((c_custkey * 31) % 89 AS BIGINT) AS y
+      |  FROM customer),
+      |cand AS (
+      |  SELECT a.id, b.id AS nn,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM p a JOIN p b ON a.id <> b.id
+      |    AND abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 5
+      |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25),
+      |r AS (SELECT id, nn, d2,
+      |  row_number() OVER (PARTITION BY id ORDER BY d2, nn) AS rn FROM cand)
+      |SELECT id, nn, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn = 1""".stripMargin
+
+  /** The deterministic integer point cloud of the grid family, pinned
+    * (read by the position collapse AND both search branches — the
+    * Dedup.pin lifecycle). */
+  private[queries] def gridPoints(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    t.customer.select(col("c_custkey").as("id"),
+        (col("c_custkey") % 97).cast("long").as("x"),
+        ((col("c_custkey") * 31) % 89).cast("long").as("y"))
+      .localCheckpoint(false)
+
+  /** The CO-LOCATION SHORT-CIRCUIT formulation (round-11 fix — the full
+    * sf1 sweep measured the naive all-points probe at ×117): integer
+    * coordinates mean co-located points are EXACT ties at d2 = 0, so
+    * every point that is not its position's min id has its answer in one
+    * grouped aggregate — nn = (0, position min id), no join at all. Only
+    * the ONE min-id representative per occupied position runs the 3×3
+    * grid search (against all points, so co-located (0, second-min)
+    * candidates are still seen). The probe side is bounded by the
+    * coordinate DOMAIN (≤ 97×89 positions here), not the corpus, so
+    * candidate volume is O(positions × 9 × density) = O(corpus) — linear
+    * at ANY density, where the all-points probe was O(corpus × density)
+    * = quadratic on a bounded domain. Measured at the ×10 sf1h scale-up:
+    * 134 s (naive probe, ×117 vs sf0.1) → 6.2 s (×2.7) — BENCH_NOTES
+    * round 11. */
+  private[queries] def gridShortCircuit(
+      pts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val radius = 5
+    // position collapse: min id per occupied integer coordinate —
+    // the frame is coordinate-DOMAIN-bounded (≤ 97×89 rows)
+    val pos = pts.groupBy("x", "y").agg(min(col("id")).as("m1"))
+    val withM = pts.join(pos, Seq("x", "y"))
+    // every non-representative point: nearest is co-located, d2 = 0,
+    // nn = the position's min id (the oracle's (d2, nn) order picks
+    // exactly this pair) — one join against the tiny pos frame
+    val direct = withM.filter(col("id") =!= col("m1"))
+      .select(col("id"), col("m1").as("nn"), lit(0L).as("d2"))
+    // representatives (≤ one per position) run the 3×3 grid search
+    // against ALL points — co-located (0, second-min) candidates
+    // included via the same-position, id ≠ nn pairs
+    val reps = withM.filter(col("id") === col("m1"))
+      .select(col("id"), col("x"), col("y"))
+    direct.union(gridCellSearch(reps, pts))
+  }
+
+  /** The 3×3 neighbor-cell search of `probe` points against ALL of
+    * `pts`, cell width = radius (Euclid ≤ R ⟹ L∞ ≤ R, so the candidate
+    * set is EXACT for radius-bounded NN); winner = lexicographic
+    * min-struct (d2, nn) — a bounded-state aggregate, not a window.
+    * Shared core of [[gridShortCircuit]] (probe = the per-position
+    * representatives) and [[R60Ops]]'s direct formulation (probe = every
+    * point — the low-density branch of the x_grid_knn_auto dispatch,
+    * O(corpus × density): the right plan exactly when the density canary
+    * reads linear). */
+  private[queries] def gridCellSearch(probe: org.apache.spark.sql.DataFrame,
+      pts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val radius = 5
+    val probes = probe
+      .select(col("id"), col("x"), col("y"),
+        floor(col("x") / radius).as("cx"), floor(col("y") / radius).as("cy"))
+      .select(col("id"), col("x"), col("y"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1), dx ->
+            |  transform(sequence(-1, 1), dy ->
+            |    struct(cx + dx AS cx, cy + dy AS cy))))""".stripMargin)).as("nc"))
+      .select(col("id"), col("x"), col("y"), col("nc.cx"), col("nc.cy"))
+    val dx = col("x") - col("nx")
+    val dy = col("y") - col("ny")
+    probes
+      .join(pts.select(col("id").as("nn"), col("x").as("nx"),
+          col("y").as("ny"), floor(col("x") / radius).as("cx"),
+          floor(col("y") / radius).as("cy")),
+        Seq("cx", "cy"))
+      .filter(col("id") =!= col("nn"))
+      .withColumn("d2", dx * dx + dy * dy)
+      .filter(col("d2") <= radius * radius)
+      .groupBy("id")
+      .agg(min(struct(col("d2"), col("nn"))).as("m"))
+      .select(col("id"), col("m.nn").as("nn"), col("m.d2").cast("long").as("d2"))
   }
 
   def defs: Seq[QDef] = Seq(
@@ -1302,61 +1407,8 @@ object R9Ops {
     // probe, ×117 vs sf0.1) → 6.2 s (×2.7) — BENCH_NOTES round 11.
     // x_grid_density is the one-pass canary that reads the density
     // regime (and the naive join's candidate bill) before committing.
-    QDef("x_grid_knn",
-      """WITH p AS (
-        |  SELECT c_custkey AS id, CAST(c_custkey % 97 AS BIGINT) AS x,
-        |    CAST((c_custkey * 31) % 89 AS BIGINT) AS y
-        |  FROM customer),
-        |cand AS (
-        |  SELECT a.id, b.id AS nn,
-        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
-        |  FROM p a JOIN p b ON a.id <> b.id
-        |    AND abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 5
-        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25),
-        |r AS (SELECT id, nn, d2,
-        |  row_number() OVER (PARTITION BY id ORDER BY d2, nn) AS rn FROM cand)
-        |SELECT id, nn, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn = 1""".stripMargin) {
-      (s, d) =>
-        val radius = 5
-        val pts = Tables(s, d).customer.select(col("c_custkey").as("id"),
-            (col("c_custkey") % 97).cast("long").as("x"),
-            ((col("c_custkey") * 31) % 89).cast("long").as("y"))
-          .localCheckpoint(false) // lazily pinned: read by the position collapse AND both branches (the Dedup.pin lifecycle)
-        // position collapse: min id per occupied integer coordinate —
-        // the frame is coordinate-DOMAIN-bounded (≤ 97×89 rows)
-        val pos = pts.groupBy("x", "y").agg(min(col("id")).as("m1"))
-        val withM = pts.join(pos, Seq("x", "y"))
-        // every non-representative point: nearest is co-located, d2 = 0,
-        // nn = the position's min id (the oracle's (d2, nn) order picks
-        // exactly this pair) — one join against the tiny pos frame
-        val direct = withM.filter(col("id") =!= col("m1"))
-          .select(col("id"), col("m1").as("nn"), lit(0L).as("d2"))
-        // representatives (≤ one per position) run the 3×3 grid search
-        // against ALL points — co-located (0, second-min) candidates
-        // included via the same-position, id ≠ nn pairs
-        val reps = withM.filter(col("id") === col("m1"))
-          .select(col("id"), col("x"), col("y"),
-            floor(col("x") / radius).as("cx"), floor(col("y") / radius).as("cy"))
-        val probes = reps.select(col("id"), col("x"), col("y"),
-            explode(expr(
-              """flatten(transform(sequence(-1, 1), dx ->
-                |  transform(sequence(-1, 1), dy ->
-                |    struct(cx + dx AS cx, cy + dy AS cy))))""".stripMargin)).as("nc"))
-          .select(col("id"), col("x"), col("y"), col("nc.cx"), col("nc.cy"))
-        val dx = col("x") - col("nx")
-        val dy = col("y") - col("ny")
-        val repAnswers = probes
-          .join(pts.select(col("id").as("nn"), col("x").as("nx"),
-              col("y").as("ny"), floor(col("x") / radius).as("cx"),
-              floor(col("y") / radius).as("cy")),
-            Seq("cx", "cy"))
-          .filter(col("id") =!= col("nn"))
-          .withColumn("d2", dx * dx + dy * dy)
-          .filter(col("d2") <= radius * radius)
-          .groupBy("id")
-          .agg(min(struct(col("d2"), col("nn"))).as("m"))
-          .select(col("id"), col("m.nn").as("nn"), col("m.d2").cast("long").as("d2"))
-        direct.union(repAnswers)
+    QDef("x_grid_knn", GridKnnSql) { (s, d) =>
+      gridShortCircuit(gridPoints(Tables(s, d)))
     },
 
     // Kaplan-Meier survival: time from each user's first signup to first

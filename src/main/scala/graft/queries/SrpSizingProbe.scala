@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * dispatch chooses the tier from the corpus count exactly as the
   * registered query does, and the record carries the width it chose:
   * the "≥0.9 recall at sf1h density without a human choosing the tier"
-  * evidence row.
+  * evidence row. Round 14: the ladder's third rung — at the
+  * ×1000-replica density (2M base vectors; avg 16-bit occupancy ≈ 38 >
+  * cap), `auto` picks (144, 24) from the count alone, and the explicit
+  * `64 16` run on the same fixture is the saturation contrast row.
   */
 object SrpSizingProbe {
   def main(args: Array[String]): Unit = {
@@ -43,10 +46,18 @@ object SrpSizingProbe {
       } else (args.headOption.map(_.toInt).getOrElse(64),
         if (args.length > 1) args(1).toInt else 16)
 
-    val aug = R9Ops.srpAugmented(Tables(spark, sfDir))
+    // the clone-id offset must clear the corpus id space: the default
+    // 10⁶ (every registered oracle's constant) suffices through the
+    // ×10 fixtures (ids < 10⁵); the ×1000-replica 16-bit-saturation
+    // fixture reaches 10⁷, so the probe escalates to 10⁸ there (the
+    // jitter seed uses the ORIGINAL id — clone geometry is unchanged)
+    val maxId = Tables(spark, sfDir).embeddings
+      .agg(max(col("vec_id"))).first().getLong(0)
+    val offset = if (maxId >= 1000000L) 100000000L else 1000000L
+    val aug = R9Ops.srpAugmented(Tables(spark, sfDir), offset)
     // the x_dedup_srp_recall probe sub-universe: pinned ≤4000-id sample
-    val sub = aug.filter((col("vec_id") % 1000000) % 20 === 1
-      && (col("vec_id") % 1000000) < 4000)
+    val sub = aug.filter((col("vec_id") % offset) % 20 === 1
+      && (col("vec_id") % offset) < 4000)
     val l = sub.select(col("vec_id").as("d1"), col("embedding").as("e1"))
     val r = sub.select(col("vec_id").as("d2"), col("embedding").as("e2"))
     val truth = l.join(broadcast(r), col("d1") < col("d2"))

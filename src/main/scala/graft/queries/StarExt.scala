@@ -118,6 +118,85 @@ object StarExt {
   private[queries] val NormsCte =
     "norms AS (SELECT vec_id, sum(e * e) AS n2 FROM ee GROUP BY vec_id)"
 
+  /** Shared head of the IVF-recall oracle family (round 14 — extracted
+    * from the previously inline x_sim_ivf_recall/x_sim_ivf_nprobe texts
+    * so the x_sim_ivf_auto dispatch oracle composes the REGISTERED
+    * tiers, not copies): brute-force truth for the 10-query probe set +
+    * the 8-centroid assignment. */
+  private[queries] val IvfRecallHead: String =
+    s"""$EmbExpl,
+       |$NormsCte,
+       |bdots AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
+       |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |bscored AS (
+       |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+       |  FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+       |brute AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM bscored) WHERE rn <= 3),
+       |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
+       |d2 AS (
+       |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
+       |  FROM ee v JOIN cent c ON c.j = v.j
+       |  GROUP BY 1, 2),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+       |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** One IVF search chain at `nprobe`, every chain-local CTE name
+    * suffixed with `sfx` (the srpCtesCappedRenamed convention) and ending
+    * in a `rec$sfx` per-query (hits, recall) frame — composes over
+    * [[IvfRecallHead]]. nprobe = 1 probes only the query's own cell;
+    * nprobe > 1 fans the query side out to its `nprobe` nearest cells
+    * (the corpus side never re-shuffles). */
+  private[queries] def ivfSearchCtes(nprobe: Int, sfx: String): String = {
+    val q =
+      if (nprobe == 1)
+        s"q$sfx AS (SELECT vec_id AS qid, centroid_id FROM assign WHERE vec_id < 10)"
+      else
+        s"""q$sfx AS (
+           |  SELECT vec_id AS qid, centroid_id FROM (
+           |    SELECT vec_id, centroid_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
+           |    FROM d2) WHERE rn <= $nprobe AND vec_id < 10)""".stripMargin
+    s"""$q,
+       |ipairs$sfx AS (
+       |  SELECT q$sfx.qid, a.vec_id AS cid FROM q$sfx
+       |  JOIN assign a ON a.centroid_id = q$sfx.centroid_id AND a.vec_id <> q$sfx.qid),
+       |idots$sfx AS (
+       |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
+       |  FROM ipairs$sfx p
+       |  JOIN ee e1 ON e1.vec_id = p.qid
+       |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
+       |  GROUP BY 1, 2),
+       |iscored$sfx AS (
+       |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
+       |  FROM idots$sfx JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
+       |ivf$sfx AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |    FROM iscored$sfx) WHERE rn <= 3),
+       |rec$sfx AS (
+       |  SELECT b.qid, CAST(count(i.cid) AS INT) AS hits,
+       |    round(count(i.cid) / 3.0, 6) AS recall
+       |  FROM brute b LEFT JOIN ivf$sfx i ON i.qid = b.qid AND i.cid = b.cid
+       |  GROUP BY b.qid)""".stripMargin
+  }
+
+  /** The registered IVF recall oracle at a fixed `nprobe` — the tiers of
+    * the x_sim_ivf_auto dispatch. */
+  private[queries] def ivfRecallSql(nprobe: Int): String =
+    s"""WITH $IvfRecallHead,
+       |${ivfSearchCtes(nprobe, "")}
+       |SELECT qid, hits, recall FROM rec""".stripMargin
+
   /** Word-trigram Jaccard near-dups (inverted-index join, ≥ 0.5) as ONE
     * portable text — oracle of `x_dedup_ngram_jaccard`, and since round
     * 13 the width-3 tier of `x_dedup_ngram_auto`'s dual-width dispatch
@@ -792,54 +871,10 @@ object StarExt {
 
     // IVF recall@3 vs the brute-force ground truth, per query, as exact
     // fractions (hits INT / constant k). nprobe=1 floor — the recall/nprobe
-    // tradeoff is documented in SCALE.md.
-    QDef("x_sim_ivf_recall",
-      s"""WITH $EmbExpl,
-         |$NormsCte,
-         |bdots AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
-         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
-         |  GROUP BY 1, 2),
-         |bscored AS (
-         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
-         |  FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
-         |brute AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-         |    FROM bscored) WHERE rn <= 3),
-         |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
-         |d2 AS (
-         |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
-         |  FROM ee v JOIN cent c ON c.j = v.j
-         |  GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, centroid_id FROM assign WHERE vec_id < 10),
-         |ipairs AS (
-         |  SELECT q.qid, a.vec_id AS cid FROM q
-         |  JOIN assign a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.qid),
-         |idots AS (
-         |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
-         |  FROM ipairs p
-         |  JOIN ee e1 ON e1.vec_id = p.qid
-         |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
-         |  GROUP BY 1, 2),
-         |iscored AS (
-         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
-         |  FROM idots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
-         |ivf AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-         |    FROM iscored) WHERE rn <= 3)
-         |SELECT b.qid, CAST(count(i.cid) AS INT) AS hits,
-         |  round(count(i.cid) / 3.0, 6) AS recall
-         |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
-         |GROUP BY b.qid""".stripMargin) { (s, d) =>
+    // tradeoff is documented in SCALE.md. Text generated by the shared
+    // ivfRecallSql (round 14) so the x_sim_ivf_auto dispatch oracle
+    // cannot drift from the tiers it dispatches between.
+    QDef("x_sim_ivf_recall", ivfRecallSql(1)) { (s, d) =>
       val emb = Tables(s, d).embeddings
       Similarity.ivfRecall(emb.filter(col("vec_id") < 10), emb,
         emb.filter(col("vec_id") < 8), 3)
@@ -851,57 +886,7 @@ object StarExt {
     // The corpus keeps its single map-only cell; only the (broadcast)
     // query side fans out to its 4 nearest cells, so candidates grow
     // ~linearly in nprobe and the corpus never shuffles.
-    QDef("x_sim_ivf_nprobe",
-      s"""WITH $EmbExpl,
-         |$NormsCte,
-         |bdots AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.e * c.e) AS dot
-         |  FROM ee q JOIN ee c ON c.j = q.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
-         |  GROUP BY 1, 2),
-         |bscored AS (
-         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
-         |  FROM bdots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
-         |brute AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-         |    FROM bscored) WHERE rn <= 3),
-         |cent AS (SELECT vec_id AS centroid_id, j, e FROM ee WHERE vec_id < 8),
-         |d2 AS (
-         |  SELECT v.vec_id, c.centroid_id, round(sum((v.e - c.e) * (v.e - c.e)), 6) AS dist2
-         |  FROM ee v JOIN cent c ON c.j = v.j
-         |  GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |q AS (
-         |  SELECT vec_id AS qid, centroid_id FROM (
-         |    SELECT vec_id, centroid_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, centroid_id) AS rn
-         |    FROM d2) WHERE rn <= 4 AND vec_id < 10),
-         |ipairs AS (
-         |  SELECT q.qid, a.vec_id AS cid FROM q
-         |  JOIN assign a ON a.centroid_id = q.centroid_id AND a.vec_id <> q.qid),
-         |idots AS (
-         |  SELECT p.qid, p.cid, sum(e1.e * e2.e) AS dot
-         |  FROM ipairs p
-         |  JOIN ee e1 ON e1.vec_id = p.qid
-         |  JOIN ee e2 ON e2.vec_id = p.cid AND e2.j = e1.j
-         |  GROUP BY 1, 2),
-         |iscored AS (
-         |  SELECT qid, cid, round(dot / (sqrt(nq.n2) * sqrt(nc.n2)), 6) AS cos
-         |  FROM idots JOIN norms nq ON nq.vec_id = qid JOIN norms nc ON nc.vec_id = cid),
-         |ivf AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-         |    FROM iscored) WHERE rn <= 3)
-         |SELECT b.qid, CAST(count(i.cid) AS INT) AS hits,
-         |  round(count(i.cid) / 3.0, 6) AS recall
-         |FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
-         |GROUP BY b.qid""".stripMargin) { (s, d) =>
+    QDef("x_sim_ivf_nprobe", ivfRecallSql(4)) { (s, d) =>
       val emb = Tables(s, d).embeddings
       Similarity.ivfRecall(emb.filter(col("vec_id") < 10), emb,
         emb.filter(col("vec_id") < 8), 3, nprobe = 4)

@@ -39,12 +39,46 @@ object TierSelect {
     * (saturated). */
   def heapsRegime(nShingles: Seq[Long], nPostings: Seq[Long]): String = {
     require(nShingles.nonEmpty && nShingles.size == nPostings.size)
-    // INTEGER comparisons (last >= 2·first), not float ratios, so the
-    // oracle SQL of x_dedup_ngram_auto computes the identical decision
-    // from the identical counts with no representation slack
+    // INTEGER comparisons (last >= 2·first), not float ratios, so an
+    // oracle SQL can compute the identical decision from the identical
+    // counts with no representation slack (x_dedup_ngram_auto dispatches
+    // on the SAMPLED variant below since round 14; this full-profile
+    // read remains the CanaryBattery/x_heaps_profile diagnosis)
     if (nShingles.last >= 2 * nShingles.head) "heaps"
     else if (nPostings.last >= 2 * nPostings.head) "saturated"
     else "undetermined" // degenerate corpus: neither grew across the carve
+  }
+
+  /** SAMPLED vocabulary regime (round 14 — the r13 "canary is a full
+    * corpus pass" residual): decide from the 25%→50% prefix pair alone,
+    * so the canary shingles only the doc_id-even HALF of the corpus and
+    * the 100% level is never computed. Thresholds are 3/2 as INTEGER
+    * comparisons (the oracle of x_dedup_ngram_auto recomputes them
+    * exactly): one corpus DOUBLING shows shingle growth ×1.75-1.90 in
+    * the measured heaps regimes (driver sf0.001/sf0.01, hashed-trigram
+    * universe) against ×1.09 in the measured saturated regimes (driver
+    * sf0.1, sf1h base, sf10 base — postings ×1.97 there), so 1.5 sits
+    * an order-of-magnitude-wide margin from both clusters; the full
+    * 4× carve's 2.0 threshold would MISREAD a single doubling (heaps
+    * growth per doubling is 2^β with β < 1). Either level absent
+    * (degenerate carve — no doc_id % 4 = 0 docs, say) returns
+    * "undetermined" exactly as the oracle's NULL-comparison falls to its
+    * ELSE branch (ADVICE r13: the engine previously read head/last of
+    * whatever levels existed and could diverge from the oracle on such
+    * corpora). Why not a FIXED-SIZE (truly sublinear) sample: saturation
+    * is a corpus-size-vs-vocabulary property — a fixed 5k-doc sample of
+    * the 50k-doc saturated corpus reads the 5k-scale curve, which is
+    * still growing (the driver's own sf0.01 slice reads "heaps"), so it
+    * answers the wrong question; a constant-fraction carve is the floor
+    * for this read, and ½ is the fraction with the widest measured
+    * separation. */
+  def heapsRegimeSampled(l1: Option[(Long, Long)],
+      l2: Option[(Long, Long)]): String = (l1, l2) match {
+    case (Some((ns1, np1)), Some((ns2, np2))) =>
+      if (2 * ns2 >= 3 * ns1) "heaps"
+      else if (2 * np2 >= 3 * np1) "saturated"
+      else "undetermined"
+    case _ => "undetermined"
   }
 
   /** Shingle width for the inverted-index dedup family, from the
@@ -69,10 +103,38 @@ object TierSelect {
     * 64 separates the measured regimes by an order of magnitude each
     * side (1.9 at sf0.001, 35 at sf0.01 — GO; 360 at sf0.1, 1.8e3 at
     * sf1h, 3.6e4 at the sf10 demo's 27e9-pair NO-GO read — quadratic:
-    * re-cell or commit the co-location short-circuit first). */
+    * re-cell or commit the co-location short-circuit first). Since
+    * round 14 this read is WIRED to a registered dispatch —
+    * x_grid_knn_auto chooses the formulation via the integer form
+    * [[gridRegimeExact]]; this double form serves recorded-reading
+    * replays. */
   def gridRegime(nPoints: Long, candidatePairs: Double,
       budgetPerPoint: Int = 64): String =
     if (nPoints > 0 && 2.0 * candidatePairs / nPoints > budgetPerPoint)
       "quadratic"
     else "linear"
+
+  /** [[gridRegime]] in PURE INTEGER form (2·pairs > 64·n — the same
+    * inequality cleared of the division) for the x_grid_knn_auto
+    * dispatch, where the oracle SQL must compute the IDENTICAL decision
+    * with no float-rounding slack near the boundary. Counts up to 2⁵³
+    * agree with the double form everywhere; past it only this form is
+    * exact. */
+  def gridRegimeExact(nPoints: Long, candidatePairs: Long,
+      budgetPerPoint: Int = 64): String =
+    if (nPoints > 0 && 2 * candidatePairs > budgetPerPoint.toLong * nPoints)
+      "quadratic"
+    else "linear"
+
+  /** IVF probe width from the MEASURED bounded-probe recall canary (the
+    * x_sim_ivf_recall read, round 14): mean recall@k over the probe set
+    * below the 0.9 target escalates to the registered nprobe=4 tier
+    * (the documented lever — the sweep on this corpus reads 0.833 at
+    * nprobe 1-3, 0.933 at 4; SCALE.md / x_sim_ivf_nprobe). INTEGER
+    * comparison 10·Σhits ≥ 9·(k·|probes|), identically computable in
+    * the x_sim_ivf_auto oracle. An empty probe set escalates (the
+    * oracle's NULL comparison falls to its ELSE branch — nothing is
+    * returned either way). */
+  def ivfNprobe(sumHits: Long, nProbeRows: Long, k: Int = 3): Int =
+    if (nProbeRows > 0 && 10 * sumHits >= 9 * k * nProbeRows) 1 else 4
 }

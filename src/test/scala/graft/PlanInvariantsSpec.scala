@@ -427,6 +427,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_sim_binary_topk" -> "query-vector + plane frames — probe-set-bounded",
     "x_sim_cosine_topk" -> "query-vector frame — probe-set-bounded",
     "x_sim_cosine_topk_agg" -> "query-vector frame — probe-set-bounded",
+    "x_sim_ivf_auto" ->
+      "centroid + probe frames — k-bounded (dispatched recall chain)",
     "x_sim_ivf_nprobe" -> "k-means centroid frame — k-bounded",
     "x_sim_ivf_recall" -> "centroid + probe frames — k-bounded",
     "x_sim_ivf_topk" -> "centroid + probe frames — k-bounded",

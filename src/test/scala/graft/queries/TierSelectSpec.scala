@@ -29,6 +29,32 @@ class TierSelectSpec extends SparkSpec {
     assert(TierSelect.shingleWidth("heaps") === 3)
   }
 
+  test("heapsRegimeSampled: the 25%→50% doubling separates the measured " +
+      "regimes at the 3/2 threshold; missing levels default") {
+    // recorded lvl-1/lvl-2 readings (hashed-trigram universe, oracle SQL)
+    assert(TierSelect.heapsRegimeSampled(
+      Some((6064L, 7120L)), Some((10622L, 13891L))) === "heaps")   // sf0.001 x1.75
+    assert(TierSelect.heapsRegimeSampled(
+      Some((5523L, 6229L)), Some((9964L, 12635L))) === "heaps")    // sf0.01 x1.80
+    assert(TierSelect.heapsRegimeSampled(
+      Some((24609L, 66301L)), Some((26893L, 130592L)))
+      === "saturated")                                             // sf0.1 x1.09/x1.97
+    assert(TierSelect.heapsRegimeSampled(
+      Some((245559L, 663010L)), Some((268354L, 1305920L)))
+      === "saturated")                                             // sf1h base
+    assert(TierSelect.heapsRegimeSampled(
+      Some((294659L, 795612L)), Some((322012L, 1567104L)))
+      === "saturated")                                             // 12-replica infix build
+    // degenerate carves: a missing level (ADVICE r13) or flat counts
+    assert(TierSelect.heapsRegimeSampled(None, Some((10L, 10L)))
+      === "undetermined")
+    assert(TierSelect.heapsRegimeSampled(Some((10L, 10L)), None)
+      === "undetermined")
+    assert(TierSelect.heapsRegimeSampled(Some((10L, 10L)), Some((12L, 13L)))
+      === "undetermined")
+    assert(TierSelect.shingleWidth("undetermined") === 3)
+  }
+
   test("srpCapPressure: recorded readings — none at sf0.01, mild at " +
       "sf0.1 (5 hot buckets), saturated at sf1h (occupancy 98 >> cap)") {
     assert(TierSelect.srpCapPressure(625L,
