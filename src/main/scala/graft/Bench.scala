@@ -13,19 +13,41 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
-    // The r13 record's tail carried one DAGScheduler WARN + stack trace
-    // from updateAccumulators/handleTaskCompletion: a straggler task of a
-    // finished query reported its SQLMetric accumulators AFTER one of this
-    // file's explicit System.gc() nudges had collected the execution's
-    // accumulator registry (the nudges exist to drop finished queries'
-    // shuffle/broadcast/checkpoint refs — their whole point is collecting
-    // finished-execution state, so the race is inherent to the harness,
-    // not a plan defect; rc=0, 0 failed, every query timed). Scheduler
-    // ERRORs (stage failures, aborts) still surface; only the WARN-level
-    // late-completion accounting noise is dropped from the record.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.ERROR)
+    // The r13 record's tail carried a DAGScheduler stack trace from
+    // updateAccumulators/handleTaskCompletion: "Failed to update
+    // accumulator N (Unknown class) for task 0" — a task-completion
+    // event processed after the query's SQLExecution was torn down and
+    // its SQLMetric accumulators dropped from AccumulatorContext's
+    // weak-reference map by a GC. Diagnosis (r14): NOT specific to this
+    // file's explicit System.gc() nudges — the same trace appears in
+    // Verify sweeps, which have none; any natural GC between two of the
+    // ~738 sequential queries unregisters the finished execution's
+    // metrics, and a straggling completion event then logs this at
+    // ERROR level (so a level threshold cannot drop it without muting
+    // real scheduler errors). rc=0, 0 failed, every query timed — the
+    // known benign late-completion accounting race. Drop EXACTLY this
+    // message with a message-specific DENY filter; stage failures,
+    // aborts, and every other DAGScheduler ERROR still surface.
+    locally {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      import org.apache.logging.log4j.core.Filter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val lc = Option(cfg.getLoggerConfig(name)).filter(_.getName == name)
+        .getOrElse {
+          val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
+            name, org.apache.logging.log4j.Level.WARN, true)
+          cfg.addLogger(name, fresh)
+          fresh
+        }
+      lc.addFilter(RegexFilter.createFilter(
+        "Failed to update accumulator.*", null, false,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
     // Warm-up outside the timed loop: pays the one-time JVM/codegen/scan
     // costs so the first alphabetical query isn't charged for them.
     try {
