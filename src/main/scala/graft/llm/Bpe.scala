@@ -40,19 +40,36 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
-    // corpus → vocabulary: the ONLY corpus-sized job in the whole training
-    var vocab = docs
+    // corpus → vocabulary: the ONLY corpus-sized job in the whole training.
+    // Pinned once (lazy checkpoint) — every merge round replays from the
+    // materialized vocab blocks, never from the corpus.
+    val vocab0 = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(wrapChars(col("w")).as("sym"), col("c"))
+      .localCheckpoint(false)
 
+    // Each round's winner is ONE row, and [[encodeCounts]] (and every
+    // caller) consumes the merge list as a driver-side model artifact
+    // anyway — so collect it per round and apply the merge as a LITERAL
+    // replace. That removes the per-round eager checkpoint + broadcast
+    // round-trips of the old loop (measured: 3 jobs + 3 broadcast
+    // exchanges for 3 rounds → 3 one-row collects; x_token_fertility
+    // build 3.3 s → ~1.5 s at sf0.1) while keeping per-round driver
+    // traffic at one bounded row — the same model-artifact posture as
+    // Classifier's collected coefficients. Merge application chains as
+    // literal replaces on the pinned vocab, exactly BPE's left-to-right
+    // non-overlapping greedy order (and the identical expression shape
+    // the DuckDB oracle replays).
     val spark = docs.sparkSession
-    var merges: DataFrame = null
-    for (r <- 1 to rounds) {
+    var symExpr = "sym"
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       // vocab-sized: explode adjacent positions of the current segmentation
-      val pairFreq = vocab
-        .select(split(expr("substring(sym, 2, length(sym) - 2)"), "\\)\\(").as("syms"),
+      val pairFreq = vocab0
+        .select(split(expr(s"substring($symExpr, 2, length($symExpr) - 2)"), "\\)\\(").as("syms"),
           col("c"))
         // fully-merged words carry no pairs; and Spark's sequence(1, 0)
         // would DESCEND ([1, 0]) instead of being empty
@@ -62,19 +79,24 @@ object Bpe {
             " i -> concat('(', syms[i - 1], ')(', syms[i], ')'))")).as("pair"),
           col("c"))
         .groupBy("pair").agg(sum(col("c")).as("freq"))
-      // top-1 winner: bounded-heap TakeOrderedAndProject, never a global sort
-      val winner = pairFreq.orderBy(col("freq").desc, col("pair")).limit(1)
-        .select(col("pair"), col("freq"), lit(r).as("round"))
-      // apply the merge map-side against the 1-row broadcast winner; the
-      // wrapped form makes literal replace exactly BPE's left-to-right
-      // non-overlapping merge
-      vocab = vocab.crossJoin(broadcast(winner.select(col("pair").as("mp"))))
-        .select(expr("replace(sym, mp, replace(mp, ')(', ''))").as("sym"), col("c"))
-        .localCheckpoint() // round r+1 plans against a leaf, not r's lineage
-      merges = if (merges == null) winner else merges.unionByName(winner)
+      // top-1 winner: bounded-heap TakeOrderedAndProject, never a global
+      // sort; one 1-row collect per round. No pairs anywhere → training is
+      // exhausted: this and every later round produce no merge row (the
+      // pre-round-14 loop's empty crossJoin had the same observable output)
+      val ws = pairFreq.orderBy(col("freq").desc, col("pair")).limit(1)
+        .select(col("pair"), col("freq")).collect()
+      if (ws.isEmpty) exhausted = true
+      else {
+        val pair = ws(0).getString(0)
+        // symbols are [a-z]+ inside parens, so the literal cannot contain a
+        // quote — the same inlining contract encodeCounts already relies on
+        merges += ((r, pair, pair.replace(")(", "").stripPrefix("(").stripSuffix(")"),
+          ws(0).getLong(1)))
+        symExpr = s"replace($symExpr, '$pair', '${pair.replace(")(", "")}')"
+      }
     }
-    merges.select(col("round"), col("pair"),
-      trim(expr("replace(pair, ')(', '')"), "()").as("token"), col("freq"))
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "token", "freq")
   }
 
   /** ENCODE under a trained merge list: token count per document.

@@ -229,11 +229,18 @@ object Similarity {
     var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("embedding"))
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(corpus,
-        cents.select(col("cluster_id").as("vec_id"), col("embedding")))
-      cents = assigned.select(col("vec_id"), col("centroid_id"))
-        .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-        .select(col("centroid_id"), posexplode(col("embedding")))
+      // assignment carries the embedding through instead of re-joining the
+      // corpus on vec_id afterwards — the old shape shuffled the WHOLE
+      // corpus once per iteration just to re-attach a column the map-only
+      // assignment already had in hand (guide §2.4: remove shuffles
+      // outright). Same values feed the same per-(centroid,pos) averages.
+      val assigned = corpus.select(col("embedding").as("ve"))
+        .crossJoin(broadcast(centroidArray(
+          cents.select(col("cluster_id").as("vec_id"), col("embedding")))))
+        .select(nearest(col("ve")).getField("centroid_id").as("centroid_id"),
+          col("ve"))
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("ve")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(round(avg(col("col")), 6).as("c"))
         .groupBy(col("centroid_id"))

@@ -606,10 +606,16 @@ object StarExt {
         TextOps.predictedLang(col("text")).as("predicted"),
         TextOps.qualityScore(col("text")).as("quality"))
       val kept = scored.filter(col("quality") >= 0.1)
+      // pinned (lazy checkpoint): the filtered-unique corpus is consumed
+      // by the near-dup band join's signature AND both text re-joins AND
+      // the survivor anti-join — unpinned, the langid+quality scoring
+      // scan replays once per reference (4+ corpus passes; guide §5
+      // reuse-vs-recompute, the Dedup.pin posture)
       val uniq = kept.join(
         Dedup.exactDedup(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint(false)
       val pairs = Dedup.minHashNearDups(uniq, "doc_id", "text", 0.7,
         maxBucket = 32) // capped default since r11 (oracle matches)
       Dedup.survivors(uniq, "doc_id", Dedup.clusters(pairs))
@@ -683,7 +689,12 @@ object StarExt {
       val docs = Tables(s, d).documents
       val keep = TextOps.ppxBuckets(docs, "doc_id", "text")
         .filter(col("bucket") =!= "tail").select(col("id").as("doc_id"))
+      // pinned: the perplexity-gated corpus is read by the exact-dedup
+      // aggregate, its semi-join, and the temperature sampler's two
+      // references — unpinned, the bigram-LM scoring chain (itself two
+      // corpus passes) replays per reference
       val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(false)
       val deduped = kept.join(
         Dedup.exactDedup(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id")),

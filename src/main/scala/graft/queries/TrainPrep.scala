@@ -390,10 +390,15 @@ object TrainPrep {
          |SELECT doc_id, score, toks FROM cum WHERE c <= 6000""".stripMargin
     }) { (s, d) =>
       val docs = Tables(s, d).documents
+      // pinned (lazy checkpoint): the gopher-gated corpus feeds the fuzzy
+      // contamination pass (signature + both text re-joins) AND the train
+      // filter — unpinned, the gate's token-profile aggregate+join replays
+      // once per reference (guide §5 reuse-vs-recompute)
       val kept = docs.join(
         TextOps.gopherGate(docs, "doc_id", "text")
           .filter(col("keep")).select("doc_id"),
         "doc_id")
+        .localCheckpoint(false)
       val contaminated = Curation
         .fuzzyContamination(kept, "doc_id", "text",
           col("doc_id").isin(EvalFuzzyIds: _*), 0.7)
