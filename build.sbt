@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Per-test durations in the log (-oD): the round-14 driver run was killed
+// at its time budget mid-suite; keeping durations visible is how the
+// suite's fit inside that budget stays auditable.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Pass the forked program's stdout/stderr through UNDECORATED: sbt's
 // default logged output prefixes every line with [info]/[error], which

@@ -216,7 +216,15 @@ object Bench {
     val refJson = refPath.map("\"" + _ + "\"").getOrElse("null")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"build_sec":$builds,"heap_peak_mb":$peaks,"gc_ms":$gcs,"retry_ref":$refJson,"retry_sec":$retries,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Per-run default filename (r14 verdict item 4): an 8-core scaling
+    // sweep used to overwrite the 32-core record because both defaulted to
+    // the same name. The stdout line's "full" pointer names whichever file
+    // this run wrote, so consumers never guess.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      s"bench_full_${ts}_c$cpus.json"
+    })
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
     catch { case e: Throwable =>

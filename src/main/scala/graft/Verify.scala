@@ -9,6 +9,16 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // The WindowExec "No Partition Defined" WARNs sprayed dozens of
+    // repeats through the r14 entry tail. Every unpartitioned window in
+    // the repo runs over a bounded (bin/calendar/dimension) frame —
+    // statically audited and dynamically growth-probed at three SFs by
+    // PlanInvariantsSpec's single-partition carve-out tests (see the
+    // boundedFrame map there and the audit table in OPTIMIZATION_r15.md)
+    // — so the warning carries no signal here; same silence Bench applies.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // A query that throws must show up as BROKEN, not silently vanish from
     // the correctness record (round-6 lesson: 5 crashed queries were only

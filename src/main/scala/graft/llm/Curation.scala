@@ -37,12 +37,12 @@ object Curation {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, width: Int = 3): DataFrame = {
-    // width == 3 keeps the original wordTrigrams expression so the
-    // registered x_contamination plan is byte-identical to rounds ≤ 10
-    val grams = if (width == 3) TextOps.wordTrigrams(col(textCol))
-      else TextOps.wordNgrams(col(textCol), width)
+    // native fused shingle+distinct (round 15; any width — the old
+    // width-3 special case only preserved a now-retired HOF plan shape)
+    val grams = graft.functions.Shingles.wordNgrams(col(textCol), width,
+      distinct = true)
     val tri = docs.select(col(idCol).as("doc_id"), isEval.as("is_eval"),
-      explode(array_distinct(grams)).as("g"))
+      explode(grams).as("g"))
     val evalGrams = tri.filter(col("is_eval")).select("g").distinct()
     tri.filter(!col("is_eval"))
       .join(broadcast(evalGrams), "g")
@@ -90,8 +90,10 @@ object Curation {
     val trTxt = tr.select(col(idCol).as("doc_id"), col(textCol).as("ttxt"))
     cand.join(broadcast(evTxt), "eid").join(trTxt, "doc_id")
       .select(col("doc_id"), col("eid"),
-        array_distinct(TextOps.wordTrigramHashes(col("ttxt"))).as("s1"),
-        array_distinct(TextOps.wordTrigramHashes(col("etxt"))).as("s2"))
+        graft.functions.Shingles.wordTrigramHashes(col("ttxt"),
+          distinct = true).as("s1"),
+        graft.functions.Shingles.wordTrigramHashes(col("etxt"),
+          distinct = true).as("s2"))
       .select(col("doc_id"), col("eid"),
         size(array_intersect(col("s1"), col("s2"))).as("i"),
         size(col("s1")).as("n1"), size(col("s2")).as("n2"))
@@ -124,8 +126,11 @@ object Curation {
     * replay the corpus explode. */
   def dsirLogRatio(docs: DataFrame, textCol: String, isTarget: Column,
       dim: Int): DataFrame = {
+    // r15: native fused bucket expression (one codegen'd loop per doc)
+    // replaces the filter+transform+zip_with HOF chain — bit-identity
+    // pinned in DsirExpressionsSpec against TextOps.ngramBuckets
     val feats = docs.select(isTarget.as("is_t"),
-      explode(TextOps.ngramBuckets(col(textCol), dim)).as("j"))
+      explode(graft.functions.Dsir.ngramBuckets(col(textCol), dim)).as("j"))
     val cnts = Dedup.pin(feats.groupBy("j").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
       sum(when(col("is_t"), 0L).otherwise(1L)).as("rc")))
@@ -156,11 +161,14 @@ object Curation {
     * empty product of ratios). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, dim: Int): DataFrame =
+    // r15: the per-doc scoring fold (interpreted aggregate HOF +
+    // per-element element_at) is now the native DsirDot — one fused
+    // loop computing buckets and Σ lrn[bucket] together; the BIGINT sum
+    // is order-free so the result is bit-identical (DsirExpressionsSpec)
     docs.filter(!isTarget).select(col(idCol), col(textCol))
       .crossJoin(broadcast(dsirLogRatio(docs, textCol, isTarget, dim)))
       .select(col(idCol),
-        (round(aggregate(TextOps.ngramBuckets(col(textCol), dim), lit(0L),
-          (acc, j) => acc + element_at(col("lrn"), j.cast("int") + 1))
+        (round(graft.functions.Dsir.dsirDot(col(textCol), col("lrn"), dim)
           .cast("double") / 1000.0).cast("bigint") / lit(1000000.0d))
           .as("logw"))
 

@@ -196,8 +196,10 @@ object Dedup {
       .join(txt.select(col("id").as("d1"), col("txt").as("txt1")), "d1")
       .join(txt.select(col("id").as("d2"), col("txt").as("txt2")), "d2")
       .select(col("d1"), col("d2"),
-        array_distinct(TextOps.wordTrigramHashes(col("txt1"))).as("sh1"),
-        array_distinct(TextOps.wordTrigramHashes(col("txt2"))).as("sh2"))
+        graft.functions.Shingles.wordTrigramHashes(col("txt1"),
+          distinct = true).as("sh1"),
+        graft.functions.Shingles.wordTrigramHashes(col("txt2"),
+          distinct = true).as("sh2"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("sh1"), col("sh2"))).as("i"),
         size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
@@ -245,8 +247,10 @@ object Dedup {
       .join(fresh.select(col(idCol).as("nid"), col(textCol).as("ntxt")), "nid")
       .join(corpus.select(col(idCol).as("cid"), col(textCol).as("ctxt")), "cid")
       .select(col("nid"),
-        array_distinct(TextOps.wordTrigramHashes(col("ntxt"))).as("sh1"),
-        array_distinct(TextOps.wordTrigramHashes(col("ctxt"))).as("sh2"))
+        graft.functions.Shingles.wordTrigramHashes(col("ntxt"),
+          distinct = true).as("sh1"),
+        graft.functions.Shingles.wordTrigramHashes(col("ctxt"),
+          distinct = true).as("sh2"))
       .select(col("nid"), size(array_intersect(col("sh1"), col("sh2"))).as("i"),
         size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
       .filter(round(col("i") / (col("n1") + col("n2") - col("i")), 6)
@@ -423,10 +427,11 @@ object Dedup {
     * plans are unchanged. */
   private[llm] def keptShingles(docs: DataFrame, idCol: String,
       textCol: String, maxDf: Int, width: Int = 3): DataFrame = {
-    val grams = if (width == 3) TextOps.wordTrigrams(col(textCol))
-                else TextOps.wordNgrams(col(textCol), width)
-    val g = docs.select(col(idCol).as("id"),
-      explode(array_distinct(grams)).as("g"))
+    // native fused shingle+distinct (round 15): one codegen'd loop per
+    // document replaces the slice/zip_with HOF chain + array_distinct pass
+    val grams = graft.functions.Shingles.wordNgrams(col(textCol), width,
+      distinct = true)
+    val g = docs.select(col(idCol).as("id"), explode(grams).as("g"))
       .transform(pin) // referenced by both the df-count and the anti-join
     val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("g")
@@ -468,7 +473,8 @@ object Dedup {
   def ngramHashJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
     val g = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.wordTrigramHashes(col(textCol)))).as("g"))
+      explode(graft.functions.Shingles.wordTrigramHashes(col(textCol),
+        distinct = true)).as("g"))
       .transform(pin) // referenced by both the df-count and the anti-join
     val hot = g.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("g")
@@ -566,11 +572,16 @@ object Dedup {
     // shuffle a fixed-width integer regardless of minLen (2^-64 collision
     // odds — a colliding window is marked duplicated, never dropped text
     // corrupted, since spans only gate removal downstream).
+    // r15: native fused window-hash kernel. The HOF form
+    // (transform(sequence(...), i -> xxhash64(substring(text, i+1, minLen))))
+    // re-seeks the code-point boundary from byte 0 on every substring call
+    // — O(chars²) per document; the kernel walks boundaries once and
+    // hashes byte ranges in place (bit-identity pinned in
+    // ShingleExpressionsSpec; the length >= minLen filter above is the
+    // kernel's contract for short docs).
     def wins = docsWide
       .select(col(idCol).as("id"),
-        posexplode(expr(
-          s"transform(sequence(0, length($textCol) - $minLen), " +
-            s"i -> xxhash64(substring($textCol, i + 1, $minLen)))")))
+        posexplode(graft.functions.Shingles.windowHashes(col(textCol), minLen)))
       .toDF("id", "pos", "wkey")
     // "seen in >1 doc" is min(id) ≠ max(id) — two cheap partial aggregates
     // with full map-side combine, NOT countDistinct (whose distinct

@@ -30,13 +30,19 @@ object TextOps {
     * string_split; empty tokens kept for positional determinism). */
   def spaceTokens(text: Column): Column = split(text, " ", -1)
 
-  /** Word 3-gram shingles as space-joined strings.
-    *
-    * Implemented as shifted slices + zip_with rather than element_at inside
-    * a lambda: higher-order lambdas don't codegen, so `element_at(split(..),
-    * i)` would re-split the text per element — O(tokens²) per row. Slices
-    * evaluate the split a constant number of times. */
-  def wordTrigrams(text: Column): Column = {
+  /** Word 3-gram shingles as space-joined strings — the native fused
+    * expression (round 15; one codegen'd loop per document). The retired
+    * HOF formulation ([[wordTrigramsHof]]) is kept as the bit-identity
+    * reference: higher-order lambdas don't codegen, so it paid an
+    * interpreted pass per zip level plus intermediate arrays. */
+  def wordTrigrams(text: Column): Column =
+    graft.functions.Shingles.wordNgrams(text, 3)
+
+  /** Retired zip_with formulation of [[wordTrigrams]] — bit-identity
+    * reference for ShingleExpressionsSpec only. (Shifted slices + zip_with
+    * rather than element_at inside a lambda: `element_at(split(..), i)`
+    * would re-split the text per element — O(tokens²) per row.) */
+  private[graft] def wordTrigramsHof(text: Column): Column = {
     val toks = spaceTokens(text)
     val n = greatest(size(toks) - 2, lit(0))
     val t1 = slice(toks, lit(1), n)
@@ -68,7 +74,12 @@ object TextOps {
 
   /** Exact int64 hash of a word trigram from its three word hashes —
     * Horner-combined mod 2147483647 (Broder shingling; reproducible in SQL). */
-  def wordTrigramHashes(text: Column): Column = {
+  def wordTrigramHashes(text: Column): Column =
+    graft.functions.Shingles.wordTrigramHashes(text)
+
+  /** Retired zip_with formulation of [[wordTrigramHashes]] — bit-identity
+    * reference for ShingleExpressionsSpec only. */
+  private[graft] def wordTrigramHashesHof(text: Column): Column = {
     val p = 2147483647L
     val toks = spaceTokens(text)
     val n = greatest(size(toks) - 2, lit(0))
@@ -87,7 +98,12 @@ object TextOps {
     * at the price of less tolerance to small edits (one changed word
     * breaks n shingles instead of 3). Width 3 reproduces
     * [[wordTrigrams]] exactly. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.Shingles.wordNgrams(text, n)
+
+  /** Retired slice/zip_with formulation of [[wordNgrams]] — bit-identity
+    * reference for ShingleExpressionsSpec only. */
+  private[graft] def wordNgramsHof(text: Column, n: Int): Column = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
     val toks = spaceTokens(text)
     val cnt = greatest(size(toks) - (n - 1), lit(0))
@@ -103,7 +119,12 @@ object TextOps {
     * vocabulary the trigram-hash universe tops out at V³ and signature
     * minima concentrate; width-5 hashes restore the diversity the bands
     * need. */
-  def wordNgramHashes(text: Column, n: Int): Column = {
+  def wordNgramHashes(text: Column, n: Int): Column =
+    graft.functions.Shingles.wordNgramHashes(text, n)
+
+  /** Retired slice/zip_with formulation of [[wordNgramHashes]] —
+    * bit-identity reference for ShingleExpressionsSpec only. */
+  private[graft] def wordNgramHashesHof(text: Column, n: Int): Column = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
     val p = 2147483647L
     val toks = spaceTokens(text)
@@ -116,7 +137,12 @@ object TextOps {
 
   /** Word bigrams as space-joined strings — same shifted-slice shape as
     * [[wordTrigrams]] (lambdas never re-evaluate the split). */
-  def wordBigrams(text: Column): Column = {
+  def wordBigrams(text: Column): Column =
+    graft.functions.Shingles.wordNgrams(text, 2)
+
+  /** Retired zip_with formulation of [[wordBigrams]] — bit-identity
+    * reference for ShingleExpressionsSpec only. */
+  private[graft] def wordBigramsHof(text: Column): Column = {
     val toks = spaceTokens(text)
     val n = greatest(size(toks) - 1, lit(0))
     zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
@@ -418,12 +444,23 @@ object TextOps {
     * one log per DISTINCT char rather than one per char, and the same
     * expression the oracle evaluates. Empty/null-safe: 0.0. */
   def charEntropy(text: Column): Column = {
-    val chars = split(text, "", -1)
+    // r15: the Σ count·ln(count) fold is the native CharEntropySum — the
+    // HOF form paid one full interpreted filter pass PER DISTINCT CHAR
+    // (O(len·distinct) per doc); the kernel is one counting pass + one
+    // in-first-occurrence-order fold (bit-identical float order —
+    // ShingleExpressionsSpec pins it against the HOF below).
     val n = length(text).cast("double")
+    val sumClnC = graft.functions.Shingles.charEntropySum(text)
+    when(n > 0, round((log(n) - sumClnC / n) / math.log(2.0), 6)).otherwise(0.0)
+  }
+
+  /** Retired HOF formulation of [[charEntropy]]'s fold — bit-identity
+    * reference for ShingleExpressionsSpec only. */
+  private[graft] def charEntropySumHof(text: Column): Column = {
+    val chars = split(text, "", -1)
     val counts = transform(array_distinct(chars),
       c => size(filter(chars, x => x === c)).cast("double"))
-    val sumClnC = aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
-    when(n > 0, round((log(n) - sumClnC / n) / math.log(2.0), 6)).otherwise(0.0)
+    aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
   }
 
   /** BM25 (Okapi) scores against a FIXED term set — the ranked-retrieval

@@ -686,12 +686,16 @@ object R10Ops {
       val ns = words.filter(!col("word").isInCollection(stop))
         .withColumn("grp", col("pos") -
           row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      // r15 pin: pw (derived from phr) feeds BOTH the word-stats aggregate
+      // and the score join — unpinned, the words→window→phrase chain
+      // replayed once per reference (guide §5 reuse-vs-recompute)
       val phr = ns.groupBy("doc_id", "grp")
         .agg(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("word")))),
             x => x.getField("word")), " ").as("phrase"),
           count(lit(1)).as("len"))
         .filter(col("len") <= 4)
+        .localCheckpoint(false)
       val pw = phr.select(col("doc_id"), col("grp"), col("phrase"), col("len"),
         explode(split(col("phrase"), " ")).as("word"))
       val wstats = pw.groupBy("word")

@@ -193,7 +193,11 @@ object R42Ops {
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+      // r15: pin the multi-referenced frames — the unpinned plan replayed
+      // the (g,v) collapse and the scaffold into every downstream
+      // reference (the x_fligner_killeen 48-aggregate pattern)
       val gv = oc.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumed by vh AND the ga score join
       val vh = gv.groupBy("v").agg(sum(col("c")).as("cv"))
       val r = BinnedRank.belowAndN(vh, Seq.empty,
         floor(col("v") / lit(1000)).cast("bigint"), Seq(col("v")),
@@ -203,9 +207,11 @@ object R42Ops {
         .withColumn("s", expr(normInvSql(
           "((below + (cv + 1.0e0) / 2.0e0) / (nn + 1.0e0))")))
         .select("v", "cv", "s")
+        .localCheckpoint(false) // consumed by ga AND the s2 moment agg
       val ga = gv.join(sc.select("v", "s"), "v")
         .groupBy("g").agg(sum(col("c")).as("n_g"),
           sum(col("c") * col("s")).as("a_j"))
+        .localCheckpoint(false) // 5 rows; consumed by tstat AND the final select
       val s2 = sc.crossJoin(broadcast(tt))
         .agg((sum(col("cv") * col("s") * col("s"))
           / (max(col("nn")) - 1)).as("s2"))
@@ -234,10 +240,24 @@ object R42Ops {
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+      // r15: the real fligner cost was REPLAY, not the median itself —
+      // the unpinned chain inlined the median + |residual| subtree into
+      // every downstream reference: 48 ObjectHashAggregates / 96 scans in
+      // one 410-node plan (plans/r15/..._before.txt). The multi-referenced
+      // frames are now pinned (lazy localCheckpoint), so the median
+      // aggregate runs ONCE. The percentile→BinnedRank-scaffold swap
+      // (ops.ExactQuantile) was re-measured at local[32] per the r14
+      // verdict and re-rejected: bit-identical but ~2× slower on every
+      // site at this scale (AbQuantile: med stage 0.6 s → 1.3 s) — the
+      // interpreted map over ≤600k rows stays below the scaffold's
+      // 6-stage floor even at 32 cores. ExactQuantile remains available
+      // for the 100 TB posture (near-unique measures, where the
+      // O(distinct) per-group map is the scale-killer).
       val med = oc.groupBy("g").agg(expr("median(v)").as("med"))
       val gz = oc.join(broadcast(med), "g")
         .select(col("g"), abs(col("v") - col("med")).as("z"))
         .groupBy("g", "z").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumed by zh AND the ga score join
       val zh = gz.groupBy("z").agg(sum(col("c")).as("cz"))
       val r = BinnedRank.belowAndN(zh, Seq.empty,
         floor(col("z") / lit(1000)).cast("bigint"), Seq(col("z")),
@@ -248,9 +268,11 @@ object R42Ops {
           "(0.5e0 + (below + (cz + 1.0e0) / 2.0e0) "
             + "/ (2.0e0 * (nn + 1.0e0)))")))
         .select("z", "cz", "a")
+        .localCheckpoint(false) // consumed by ga AND the gl moment agg
       val ga = gz.join(sc.select("z", "a"), "z")
         .groupBy("g").agg(sum(col("c")).as("n_g"),
           (sum(col("c") * col("a")) / sum(col("c"))).as("abar_j"))
+        .localCheckpoint(false) // 5 rows; consumed by x AND the final select
       val gl = sc.crossJoin(broadcast(tt)).agg(
         (sum(col("cz") * col("a")) / max(col("nn"))).as("abar"),
         ((sum(col("cz") * col("a") * col("a"))

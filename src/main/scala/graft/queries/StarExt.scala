@@ -695,10 +695,14 @@ object StarExt {
       // corpus passes) replays per reference
       val kept = docs.join(keep, Seq("doc_id"), "left_semi")
         .localCheckpoint(false)
+      // phase-2 pin (r15): temperatureSample reads its input twice (the
+      // per-group count aggregate + the rate-filter join), and each replay
+      // re-runs the exact-dedup aggregate + semi-join over the gated corpus
       val deduped = kept.join(
         Dedup.exactDedup(kept, "doc_id", "text")
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint(false)
       Sampling.temperatureSample(deduped, "source", "doc_id", 0.5, 150L)
         .groupBy("source").agg(count(lit(1)).as("docs"),
           sum(size(TextOps.spaceTokens(col("text")))).cast("bigint").as("toks"))

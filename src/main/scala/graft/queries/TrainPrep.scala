@@ -405,9 +405,15 @@ object TrainPrep {
         .select("doc_id")
       val train = kept.filter(!col("doc_id").isin(EvalFuzzyIds: _*))
         .join(contaminated, Seq("doc_id"), "left_anti")
+      // phase-2 pin (r15): budgetSelect reads its input three times
+      // (histogram + fully-kept pass + boundary-bin pass) — for a bare
+      // corpus scan that is three cheap pruned reads, but HERE each replay
+      // re-runs the contamination anti-join and the per-doc quality/token
+      // scoring. The pinned frame is (doc_id, q, t) — KB-scale rows.
       val scored = train.select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("q"),
         TextOps.tokenCount(col("text")).as("t"))
+        .localCheckpoint(false)
       Curation.budgetSelect(scored, "doc_id", "q", "t", 6000L)
     },
 

@@ -167,12 +167,17 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_ansari_bradley" ->
       "quantity-domain histogram — l_quantity has <=50 distinct values",
     "x_sql_ansari" -> "same quantity histogram (SQL twin)",
-    "x_vdw_test" ->
-      "floor(price/1000) bin frame — Kruskal rank machinery (BinnedRank)",
+    // NB x_vdw_test / x_fligner_killeen (r15): their BinnedRank bin-frame
+    // windows now sit BELOW a lazy localCheckpoint pin (the scaffold is
+    // pinned because two downstream consumers replayed it — 48 aggregates
+    // in the unpinned fligner plan), so the SinglePartition exchange runs
+    // at construction inside the pinned subtree and the query's own
+    // executedPlan starts from LogicalRDD leaves — not a suspect. The
+    // frames stay what they were: value-domain ~500-bin histograms, the
+    // same bounded shape the x_sql_vdw / x_sql_fk twins' carve-outs below
+    // still probe dynamically every run.
     "x_sql_vdw" -> "same price-bin frame (SQL twin)",
-    "x_fligner_killeen" ->
-      ("floor(|v-med|/1000) residual-bin frame — value-domain ~500 bins " +
-        "(x_conformal class; BinnedRank)"),
+
     "x_sql_fk" -> "same residual-bin frame (SQL twin)",
     "x_shapiro_francia" ->
       "quantity-domain histogram — l_quantity has <=50 distinct values",
@@ -307,25 +312,38 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  /** ONE static sweep shared by the three 738-query plan audits (r15:
+    * each audit used to re-construct every query's QueryExecution — three
+    * full planning passes, ~2 min each, and the round-14 driver killed the
+    * suite at its time budget). Per query: the executedPlan text (the
+    * CartesianProduct + SinglePartition walks) and the analyzed-plan
+    * broadcast-hint suspicion — computed from the SAME QueryExecution. A
+    * construction failure is carried as a CONSTRUCTION FAILED plan string
+    * so it fails the CartesianProduct audit by name, never silently. */
+  private lazy val staticSweep: Seq[(String, String, Boolean)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val qe = fn(spark, sfStatic).queryExecution
+        val hinted = suspectHintFrames(qe.analyzed).nonEmpty
+        (name, qe.executedPlan.toString, hinted)
+      } catch { case e: Throwable =>
+        (name, s"CONSTRUCTION FAILED: ${e.getMessage}", false)
+      }
+    }
+
   test("no CartesianProduct in any registered query plan") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          try fn(spark, sfStatic).queryExecution.executedPlan.toString
-          catch { case e: Throwable => s"CONSTRUCTION FAILED: ${e.getMessage}" }
-        if (plan.contains("CartesianProduct") || plan.contains("CONSTRUCTION FAILED"))
-          Some(name -> plan.linesIterator.take(3).mkString(" | "))
-        else None
+    val offenders = staticSweep.flatMap { case (name, plan, _) =>
+      if (plan.contains("CartesianProduct") || plan.contains("CONSTRUCTION FAILED"))
+        Some(name -> plan.linesIterator.take(3).mkString(" | "))
+      else None
     }
     assert(offenders.isEmpty, offenders.map(_._1).mkString(", "))
   }
 
   test("every registered query: non-aggregate SinglePartition exchanges " +
       "require a justified bounded-frame carve-out (opt-out, stale entries flagged)") {
-    val suspects = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sfStatic).queryExecution.executedPlan.toString
-        if (staticSuspect(plan)) Some(name) else None
+    val suspects = staticSweep.collect {
+      case (name, plan, _) if staticSuspect(plan) => name
     }.toSet
     val missing = (suspects -- boundedFrame.keySet).toSeq.sorted
     val stale = (boundedFrame.keySet -- suspects).toSeq.sorted
@@ -410,10 +428,16 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_mutual_info" -> "(event_type x dow) marginals — bounded domains",
     "x_nb_langid" -> "char-ngram language model — charset x lang bounded",
     "x_normalize" -> "per-group moment frame — group-domain-bounded",
-    "x_pipeline_pretrain" ->
-      ("quality-bin histogram (budgetSelect) + the decontamination stage's " +
-        "eval frames — PINNED 100-doc id list, bounded by construction; " +
-        "probe-measured"),
+    // NB x_pipeline_pretrain: its broadcast hints (eval band/text frames,
+    // budget verdict) all sit above the r14 gated-corpus pin, whose
+    // localCheckpoint truncates lineage to a LogicalRDD — the corpus-leaf
+    // walk can no longer see through it, so the query is NOT a suspect and
+    // a carve-out here would be stale (latent r14 red: the pin landed
+    // after the builder's last green cold run, and the driver's r14 sbt
+    // test was killed before reaching this audit). The frames stay
+    // dynamically bounded — the eval id lists are pinned literals and the
+    // verdict histogram is the same <=1001-bin frame x_budget_select's
+    // carve-out probes.
     "x_pq_adc_topk" -> "PQ codebook frame — k x subspaces bounded",
     "x_pq_recall" -> "PQ codebook + probe frames — k-bounded",
     "x_pq_rerank" -> "PQ codebook + probe frames — k-bounded",
@@ -475,8 +499,11 @@ class PlanInvariantsSpec extends SparkSpec {
         "<=20 cells (the hint keeps the dominance cross off " +
         "CartesianProduct)"),
     "x_sql_ordassoc" -> "same cell frame (SQL twin hint comment)",
-    "x_fligner_killeen" ->
-      "per-segment median frame — 5 segments (x_levene_bf class)",
+    // NB x_fligner_killeen (r15): its broadcast(med) hint — the 5-row
+    // per-segment median frame — now sits INSIDE the pinned gz subtree
+    // (lazy localCheckpoint), so the corpus-leaf walk stops at the
+    // LogicalRDD and the query is no longer a suspect; a carve-out here
+    // would be stale. The frame itself is unchanged (5 segments).
     "x_newsvendor" ->
       "selected-quantile frame — single row by construction (Q*)",
     "x_energy_dist" ->
@@ -589,10 +616,8 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("forced broadcast() on a corpus-derived frame requires a justified " +
       "bounded-frame carve-out (opt-out, stale entries flagged)") {
-    val suspects = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val analyzed = fn(spark, sfStatic).queryExecution.analyzed
-        if (suspectHintFrames(analyzed).nonEmpty) Some(name) else None
+    val suspects = staticSweep.collect {
+      case (name, _, hinted) if hinted => name
     }.toSet
     val missing = (suspects -- boundedBroadcast.keySet).toSeq.sorted
     val stale = (boundedBroadcast.keySet -- suspects).toSeq.sorted
@@ -647,6 +672,9 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!qe.analyzed.toString.contains("ResolvedHint"))
     assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"))
     // 8-byte hash key in both the duplicate-window aggregate and the join
-    assert(qe.optimizedPlan.toString.contains("xxhash64"))
+    // (r15: the native window_hashes kernel — xxhash64 values, fused loop;
+    // bit-identity vs the xxhash64(substring(..)) HOF pinned in
+    // ShingleExpressionsSpec)
+    assert(qe.optimizedPlan.toString.contains("window_hashes"))
   }
 }
