@@ -23,13 +23,21 @@ object R14Ops {
     * window orders the bounded bin frame (the round-8 dynamic probe
     * rejected a first draft that ranked the raw distinct-price frame —
     * 15k → 150k rows through SinglePartition at 10×). */
-  private[queries] val KruskalSql =
-    """WITH oc AS (
+  /** KruskalSql's corpus prefix (oc → gv), split out (r15) so the
+    * x_sql_kruskal twin can materialize the multiply-referenced gv frame
+    * once (the x_sql_mp from-birth rule) — Spark inlines every CTE
+    * reference, so the unsplit twin re-ran the orders⋈customer collapse
+    * per reference (28 scans in its plan). Concatenation below keeps
+    * [[KruskalSql]] byte-identical to the pre-split text. */
+  private[queries] val KruskalGvCtes =
+    """oc AS (
       |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
       |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-      |  FROM oc GROUP BY 1, 2),
-      |vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
+      |  FROM oc GROUP BY 1, 2)""".stripMargin
+
+  private[queries] val KruskalTailCtes =
+    """vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
       |hb AS (SELECT v, cv, CAST(floor(v / 1000) AS BIGINT) AS bin
       |  FROM vh),
       |binpre AS (
@@ -61,6 +69,9 @@ object R14Ops {
       |  round(gr.two_r / 2.0e0, 1) AS rank_sum,
       |  round(h.hst, 4) AS h_stat
       |FROM gr, h""".stripMargin
+
+  private[queries] val KruskalSql =
+    s"WITH $KruskalGvCtes,\n$KruskalTailCtes"
 
   /** Jarque-Bera as ONE portable SQL text — oracle of `x_jarque_bera`
     * and whole query of the `x_sql_jb` twin. */

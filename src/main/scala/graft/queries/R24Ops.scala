@@ -42,7 +42,13 @@ object R24Ops {
     // window (carved out like the x_sql_mannwhitney twin).
     QDef("x_sql_kruskal", R14Ops.KruskalSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders", "customer")
-      s.sql(R14Ops.KruskalSql)
+      // r15: the multiply-referenced gv collapse materialized once (the
+      // x_sql_mp from-birth rule) — the one-string form re-ran the
+      // orders⋈customer collapse per CTE reference (28 scans in
+      // plans/r15/x_sql_kruskal_before.txt)
+      s.sql(s"WITH ${R14Ops.KruskalGvCtes} SELECT g, v, c FROM gv")
+        .transform(SqlSurface.materialized("gv"))
+      s.sql(s"WITH ${R14Ops.KruskalTailCtes}")
     },
 
     // Jarque-Bera through Spark's SQL parser, same shared text.

@@ -475,7 +475,12 @@ object R37Ops {
         .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("g"), col("o_totalprice").as("v"))
+      // r15 pins: gv feeds vh AND the rank re-join; gr feeds BOTH sides
+      // of the pairwise cross — unpinned, the whole collapse+scaffold
+      // replayed per reference (28 scans / 27 exchanges in the old plan,
+      // the x_fligner_killeen pattern)
       val gv = oc.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val vh = gv.groupBy("v").agg(sum(col("c")).as("cv"))
       val r = BinnedRank.belowAndN(vh, Seq.empty,
         floor(col("v") / lit(1000)).cast("bigint"), Seq(col("v")), col("cv"))
@@ -483,6 +488,7 @@ object R37Ops {
         .groupBy("g").agg(sum(col("c")).as("n_g"),
           sum(col("c") * (lit(2) * col("below") + col("cv") + lit(1)))
             .as("two_r"))
+        .localCheckpoint(false) // 5 rows; consumed by both pair sides
       val tt = vh.agg(
         sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tie3"),
         sum(col("cv")).as("nn"))

@@ -58,13 +58,19 @@ object R42Ops {
   /** KruskalSql's histogram/rank CTE fragment (oc → gv → vh → hb →
     * binpre → r), shared verbatim so the vdW twin carries the same
     * binned two-level prefix shape. */
-  private val RankCtes =
+  /** RankCtes' corpus prefix (oc → gv), split out (r15) so the x_sql_vdw
+    * twin can materialize gv once (Spark inlines CTE references — the
+    * unsplit twin re-ran the orders⋈customer collapse per reference, 48
+    * scans). Concatenation keeps [[RankCtes]]/[[VdwSql]] byte-identical. */
+  private[queries] val RankGvCtes =
     """oc AS (
       |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
       |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-      |  FROM oc GROUP BY 1, 2),
-      |vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
+      |  FROM oc GROUP BY 1, 2)""".stripMargin
+
+  private[queries] val RankBinCtes =
+    """vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM gv GROUP BY 1),
       |hb AS (SELECT v, cv, CAST(floor(v / 1000) AS BIGINT) AS bin
       |  FROM vh),
       |binpre AS (
@@ -80,11 +86,12 @@ object R42Ops {
       |    AS below
       |  FROM hb JOIN binpre bp ON hb.bin = bp.bin)""".stripMargin
 
+  private val RankCtes = s"$RankGvCtes,\n$RankBinCtes"
+
   /** van der Waerden as ONE portable text — oracle of `x_vdw_test` and
     * whole query of the `x_sql_vdw` twin. */
-  private[queries] val VdwSql =
-    s"""WITH $RankCtes,
-       |tt AS (SELECT CAST(sum(cv) AS BIGINT) AS nn FROM vh),
+  private[queries] val VdwTailCtes =
+    s"""tt AS (SELECT CAST(sum(cv) AS BIGINT) AS nn FROM vh),
        |sc AS (SELECT r.v, r.cv,
        |  ${normInvSql(
            "((r.below + (r.cv + 1.0e0) / 2.0e0) / (tt.nn + 1.0e0))")}
@@ -102,19 +109,28 @@ object R42Ops {
        |  round(t.t1, 4) AS t_stat
        |FROM ga CROSS JOIN t""".stripMargin
 
+  private[queries] val VdwSql = s"WITH $RankCtes,\n$VdwTailCtes"
+
   /** Fligner-Killeen as ONE portable text — oracle of
     * `x_fligner_killeen` and whole query of the `x_sql_fk` twin.
     * median() interpolates identically in both engines (mean of the
     * two central values — the x_levene_bf contract). */
-  private[queries] val FkSql =
-    s"""WITH oc AS (
-       |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
-       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-       |med AS (SELECT g, median(v) AS med FROM oc GROUP BY 1),
-       |gz AS (SELECT oc.g, abs(oc.v - med.med) AS z,
-       |  CAST(count(*) AS BIGINT) AS c
-       |  FROM oc JOIN med ON oc.g = med.g GROUP BY 1, 2),
-       |zh AS (SELECT z, CAST(sum(c) AS BIGINT) AS cz FROM gz GROUP BY 1),
+  /** FkSql's corpus prefix (oc → med → gz), split out (r15) so the
+    * x_sql_fk twin can materialize gz once — the unsplit twin's plan
+    * inlined the median + |residual| chain into every reference (96
+    * scans / 48 ObjectHashAggregates, plans/r15/x_sql_fk_before.txt).
+    * Concatenation keeps [[FkSql]] byte-identical to the pre-split text. */
+  private[queries] val FkGzCtes =
+    """oc AS (
+      |  SELECT c.c_mktsegment AS g, o.o_totalprice AS v
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |med AS (SELECT g, median(v) AS med FROM oc GROUP BY 1),
+      |gz AS (SELECT oc.g, abs(oc.v - med.med) AS z,
+      |  CAST(count(*) AS BIGINT) AS c
+      |  FROM oc JOIN med ON oc.g = med.g GROUP BY 1, 2)""".stripMargin
+
+  private[queries] val FkTailCtes =
+    s"""zh AS (SELECT z, CAST(sum(c) AS BIGINT) AS cz FROM gz GROUP BY 1),
        |hb AS (SELECT z, cz, CAST(floor(z / 1000) AS BIGINT) AS bin
        |  FROM zh),
        |binpre AS (
@@ -151,6 +167,8 @@ object R42Ops {
        |  round(ga.abar_j, 6) AS mean_score,
        |  round(x.chi2, 4) AS fk_chi2
        |FROM ga CROSS JOIN x""".stripMargin
+
+  private[queries] val FkSql = s"WITH $FkGzCtes,\n$FkTailCtes"
 
   /** Shapiro-Francia (midrank-Blom convention, documented) as ONE
     * portable text — oracle of `x_shapiro_francia` and whole query of
@@ -224,10 +242,17 @@ object R42Ops {
           round(col("t1"), 4).as("t_stat"))
     },
 
-    // van der Waerden through Spark's SQL parser — same shared text.
+    // van der Waerden through Spark's SQL parser — same shared text, with
+    // the multiply-referenced gv collapse materialized ONCE behind a
+    // localCheckpoint view (the x_sql_mp / x_sql_kcore from-birth rule;
+    // r15): Spark inlines CTE references, so the one-string form re-ran
+    // the orders⋈customer (g,v) collapse per reference — 48 scans / 46
+    // exchanges in plans/r15/x_sql_vdw_before.txt.
     QDef("x_sql_vdw", VdwSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders", "customer")
-      s.sql(VdwSql)
+      s.sql(s"WITH $RankGvCtes SELECT g, v, c FROM gv")
+        .transform(SqlSurface.materialized("gv"))
+      s.sql(s"WITH $RankBinCtes,\n$VdwTailCtes")
     },
 
     // FLIGNER-KILLEEN: the rank scale test robust to non-normality —
@@ -288,10 +313,15 @@ object R42Ops {
           round(col("chi2"), 4).as("fk_chi2"))
     },
 
-    // Fligner-Killeen through Spark's SQL parser — same shared text.
+    // Fligner-Killeen through Spark's SQL parser — same shared text, with
+    // the median + |residual| collapse (gz) materialized ONCE (r15): the
+    // one-string form inlined it into every reference — 96 scans / 48
+    // ObjectHashAggregates (plans/r15/x_sql_fk_before.txt).
     QDef("x_sql_fk", FkSql) { (s, d) =>
       SqlSurface.viewed(s, d, "orders", "customer")
-      s.sql(FkSql)
+      s.sql(s"WITH $FkGzCtes SELECT g, z, c FROM gz")
+        .transform(SqlSurface.materialized("gz"))
+      s.sql(s"WITH $FkTailCtes")
     },
 
     // SHAPIRO-FRANCIA: is quantity normal — the squared correlation of

@@ -26,7 +26,7 @@ object SqlSurface {
     * stale-view reference fails CI instead of shipping. */
   private[graft] val MaterializedViews: Set[String] =
     Set("e", "w", "hist", "bins", "daily", "p", "ix", "dist", "ob", "cal",
-      "rm", "m", "bk")
+      "rm", "m", "bk", "gv", "gz")
 
   /** The one sanctioned way to register a from-birth materialization view
     * (`.transform(materialized("name"))`): pins the frame (localCheckpoint

@@ -144,8 +144,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "x_jonckheere" ->
       "floor(price/1000) bin frame — binned 5-group cumulatives (BinnedRank)",
     "x_sql_jonckheere" -> "same price-bin frame (SQL twin)",
-    "x_dunn_posthoc" ->
-      "floor(price/1000) bin frame — Kruskal rank machinery (BinnedRank)",
+    // NB x_dunn_posthoc (r15): its BinnedRank bin window now sits below
+    // the gv/gr pins (the x_fligner_killeen treatment), so the
+    // SinglePartition exchange runs at construction and the final plan
+    // starts from LogicalRDD leaves — not a suspect anymore. The frame is
+    // the same bounded price-bin histogram x_sql_kruskal still probes.
     "x_brunner_munzel" ->
       "quantity-domain histogram — l_quantity has <=50 distinct values",
     "x_sql_bm" -> "same quantity histogram (SQL twin)",
@@ -482,9 +485,10 @@ class PlanInvariantsSpec extends SparkSpec {
       "capped probe set (vec_id < 200, absolute) — probe-set-bounded",
     "x_ndcg" -> "query-vector frame — probe-set-bounded (x_sim family)",
     "x_eta_squared" -> "per-segment snapped-mean frame — 5 segments",
-    "x_dunn_posthoc" ->
-      ("per-segment rank-sum frame — 5 segments (the hints keep the " +
-        "triangular pair join off CartesianProduct, x_tukey_hsd posture)"),
+    // NB x_dunn_posthoc (r15): the pair-side broadcast hints now sit on
+    // the PINNED 5-row gr frame (LogicalRDD) — the corpus-leaf walk stops
+    // at the pin, so the query is no longer a suspect; the hints still
+    // keep the triangular pair join off CartesianProduct.
     "x_g_test" -> "contingency marginals — (priority x status) domains",
     "x_brier_decomp" -> "monthly propensity frame — 12 rows",
     "x_item_cf" -> "per-brand item-count frame — 25 brands",
